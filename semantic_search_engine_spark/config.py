@@ -1,0 +1,64 @@
+"""Engine configuration.
+
+The reference keeps its tunables in ``data-pipeline/config.py`` (embedding
+batch size 32 at :19, max_records 50000 at :26) and DDL-time index params
+(``data-pipeline/database.py:47-54``: ivfflat lists=100). Ours are the BM25
+and physical-layout knobs for the inverted index.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+import hashlib
+import json
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- BM25 (Robertson / Lucene form, SURVEY.md §2.2 E14) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- tokenization ---
+    min_token_len: int = 1
+    max_token_len: int = 64  # guard against pathological unbroken runs
+
+    # --- document resolution ---
+    # When the `text` column is non-NULL, trust it; otherwise extract from
+    # `html`. (FIXTURES.md §1: 90% of rows need extraction.)
+    prefer_provided_text: bool = True
+
+    # --- physical layout ---
+    # doc-id space: 60-bit hash of url (15 hex chars of sha256) — stable
+    # across runs and parallelism levels (SURVEY.md §7.4).
+    doc_id_bits: int = 60
+    # number of doc-range buckets ("partition_id"): posting lists are built
+    # per (term, bucket) so no single shuffle group exceeds ~corpus/P docs —
+    # this is the explicit head-term skew handling (north_rule). At 10^12
+    # docs set P so that docs/P ~ 10^7.
+    n_doc_buckets: int = 32
+    # postings per compressed block (block-max WAND granularity)
+    block_size: int = 128
+    # terms with df > head_term_df_threshold keep per-bucket posting rows
+    # (never merged into a single row); others are compacted.
+    head_term_df_threshold: int = 10_000
+    # number of term hash-buckets used to partition the postings table so
+    # query-time `term IN (...)` scans prune files.
+    n_term_buckets: int = 32
+
+    # --- query-time ---
+    default_k: int = 10
+    max_k: int = 100          # mirror of SearchRequest limit cap 1..100
+    max_offset: int = 10_000  # deep-pagination guard (SURVEY.md §7.4)
+    default_min_score: float = 0.0
+
+    # --- shuffle sizing ---
+    shuffle_partitions: int = 32
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config — part of each stage's checkpoint key."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = EngineConfig()

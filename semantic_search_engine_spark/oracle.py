@@ -1,0 +1,136 @@
+"""Single-node oracle: the correctness anchor for the Spark engine.
+
+A pure-Python, exhaustive implementation of the full pipeline — extraction,
+tokenization, inverted index, BM25 scoring, filters, pagination, counts —
+sharing the *identical* ``textproc`` functions with the Spark UDFs. Every
+Spark result must be rank-identical to this (ties broken
+``(score DESC, doc_id ASC)``), mirroring the reference's exact-value
+assertions in ``search-api/.../integration/PureJdbcSearchTest.java:48-118``.
+
+BM25 (SURVEY.md §2.2 E14, Robertson/Lucene form):
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d) = Σ_t idf(t) · tf / (tf + k1·(1 − b + b·dl/avgdl))
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from collections import Counter, defaultdict
+from dataclasses import dataclass, field
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .textproc import doc_id_for_url, resolve_text, tokenize
+
+
+@dataclass
+class OracleIndex:
+    cfg: EngineConfig
+    n_docs: int = 0
+    total_tokens: int = 0
+    avg_doc_len: float = 0.0
+    doc_len: dict[int, int] = field(default_factory=dict)
+    doc_meta: dict[int, dict] = field(default_factory=dict)  # doc_id -> row meta
+    postings: dict[str, list[tuple[int, int]]] = field(
+        default_factory=dict)  # term -> [(doc_id, tf)] sorted by doc_id
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def build(cls, rows, cfg: EngineConfig = DEFAULT_CONFIG) -> "OracleIndex":
+        """rows: iterable of dicts with url/warc_ts/html/text/lang."""
+        idx = cls(cfg=cfg)
+        acc: dict[str, list[tuple[int, int]]] = defaultdict(list)
+        for r in rows:
+            text = resolve_text(r.get("text"), r.get("html"),
+                                cfg.prefer_provided_text)
+            if r.get("url") is None or text is None:
+                continue  # validity filter (data_ingestion.py:100-103 analogue)
+            did = doc_id_for_url(r["url"])
+            toks = tokenize(text, cfg.max_token_len)
+            idx.doc_len[did] = len(toks)
+            idx.doc_meta[did] = {
+                "url": r["url"], "warc_ts": r.get("warc_ts"),
+                "lang": r.get("lang"), "doc_len": len(toks),
+            }
+            idx.n_docs += 1
+            idx.total_tokens += len(toks)
+            for term, tf in Counter(toks).items():
+                acc[term].append((did, tf))
+        idx.postings = {t: sorted(pl) for t, pl in acc.items()}
+        idx.avg_doc_len = (idx.total_tokens / idx.n_docs) if idx.n_docs else 0.0
+        return idx
+
+    # ------------------------------------------------------------------ stats
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def idf(self, term: str) -> float:
+        n, df = self.n_docs, self.df(term)
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def tf_norm(self, tf: int, dl: int) -> float:
+        k1, b = self.cfg.k1, self.cfg.b
+        denom = tf + k1 * (1.0 - b + b * dl / self.avg_doc_len)
+        return tf / denom
+
+    # ------------------------------------------------------------------ query
+    def search(
+        self,
+        query: str,
+        k: int | None = None,
+        offset: int = 0,
+        min_score: float = 0.0,
+        lang: str | None = None,
+        warc_ts_min: _dt.datetime | None = None,
+        warc_ts_max: _dt.datetime | None = None,
+    ) -> dict:
+        """Filtered BM25 top-k with pagination + totalCount.
+
+        Semantics mirror the reference's single search statement
+        (``ProductRepository.java:70-82``: score, threshold, NULL-disabled
+        filters, ORDER BY score DESC, LIMIT/OFFSET) plus its second COUNT
+        statement (``ProductRepository.java:95-117``).
+        """
+        cfg = self.cfg
+        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        offset = min(max(offset, 0), cfg.max_offset)
+
+        qterms = sorted(set(tokenize(query, cfg.max_token_len)))
+        scores: dict[int, float] = defaultdict(float)
+        for t in qterms:  # fixed term order → deterministic float summation
+            pl = self.postings.get(t)
+            if not pl:
+                continue
+            w = self.idf(t)
+            for did, tf in pl:
+                scores[did] += w * self.tf_norm(tf, self.doc_len[did])
+
+        hits = []
+        for did, s in scores.items():
+            if s < min_score:
+                continue
+            m = self.doc_meta[did]
+            if lang is not None and m["lang"] != lang:
+                continue
+            if warc_ts_min is not None and m["warc_ts"] < warc_ts_min:
+                continue
+            if warc_ts_max is not None and m["warc_ts"] > warc_ts_max:
+                continue
+            hits.append((did, s))
+
+        hits.sort(key=lambda x: (-x[1], x[0]))  # (score DESC, doc_id ASC)
+        page = hits[offset:offset + k]
+        return {
+            "results": [
+                {"doc_id": did, "score": s, **self.doc_meta[did]}
+                for did, s in page
+            ],
+            "total_count": len(hits),  # Q10: pre-limit threshold survivors
+            "limit": k,
+            "offset": offset,
+            "query": query,
+        }
+
+    def top_k(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        r = self.search(query, k=k)
+        return [(h["doc_id"], h["score"]) for h in r["results"]]

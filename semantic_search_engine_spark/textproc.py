@@ -1,0 +1,172 @@
+"""Deterministic text processing: HTML→text extraction and tokenization.
+
+These are *plain Python functions* imported both by the single-node oracle
+(``oracle.py``) and by the Spark pandas UDFs (``functions/udfs.py``). Sharing
+one implementation is how we guarantee the per-row invariant from
+BASELINE.json: extracted text is byte-identical per url between the Spark
+pipeline and the reference single-node path (SURVEY.md §7.4).
+
+Reference capability reproduced: Postgres ``to_tsvector('english', title)``
+feeding the GIN inverted index (``data-pipeline/database.py:60``) — i.e. a
+deterministic text→terms normalization ahead of posting construction. The
+extractor itself is stdlib-only (no bs4/lxml): fixed entity table from
+``html.entities``, explicit whitespace policy, NFC unicode normalization —
+zero external version drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+from html.parser import HTMLParser
+
+# ---------------------------------------------------------------------------
+# HTML → text
+# ---------------------------------------------------------------------------
+
+# Content inside these elements never reaches the extracted body text.
+_SKIP_CONTENT_TAGS = frozenset(
+    {"script", "style", "head", "nav", "noscript", "template", "svg", "iframe"}
+)
+# `title` lives inside <head>; we capture it separately for the field-scoped
+# (title) index — the analogue of the reference's per-field search paths
+# (`search-api/.../ProductRepository.java:119-150`).
+_VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+
+_WS_RE = re.compile(r"\s+")
+
+
+class _Extractor(HTMLParser):
+    """Streaming extractor: body text with boilerplate stripped + title."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._in_title = False
+        self._body_parts: list[str] = []
+        self._title_parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID_TAGS:
+            self._body_parts.append(" ")
+            return
+        if tag == "title":
+            self._in_title = True
+        if tag in _SKIP_CONTENT_TAGS:
+            self._skip_depth += 1
+        # every element boundary is a word boundary
+        self._body_parts.append(" ")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = False
+        if tag in _SKIP_CONTENT_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+        self._body_parts.append(" ")
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title_parts.append(data)
+        elif self._skip_depth == 0:
+            self._body_parts.append(data)
+
+
+def _normalize_ws(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_html(html_bytes: bytes | None) -> tuple[str, str]:
+    """(title, body_text) from raw HTML bytes. Deterministic.
+
+    Policy (fixed — part of the byte-identity contract):
+      * bytes decoded as UTF-8 with ``errors="replace"``
+      * script/style/head/nav/noscript/template/svg/iframe content dropped
+      * entities decoded via the stdlib table
+      * element boundaries become single spaces; whitespace runs collapse
+      * output is NFC-normalized
+    """
+    if not html_bytes:
+        return "", ""
+    text = html_bytes.decode("utf-8", errors="replace")
+    parser = _Extractor()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        # malformed markup: keep whatever was extracted before the failure
+        pass
+    title = unicodedata.normalize("NFC", _normalize_ws("".join(parser._title_parts)))
+    body = unicodedata.normalize("NFC", _normalize_ws("".join(parser._body_parts)))
+    return title, body
+
+
+def extract_text(html_bytes: bytes | None) -> str:
+    """Body text only — the column the inverted index is built over."""
+    return extract_html(html_bytes)[1]
+
+
+def resolve_text(text: str | None, html_bytes: bytes | None,
+                 prefer_provided: bool = True) -> str | None:
+    """Resolve the indexable text for a document row.
+
+    FIXTURES.md §1: `text` is pre-extracted for ~10% of rows; config decides
+    whether to trust it. Returns None when the row has no usable content
+    (the validity-filter analogue of ``data_ingestion.py:100-103``).
+    """
+    if prefer_provided and text is not None:
+        return text
+    if html_bytes:
+        return extract_text(html_bytes)
+    if text is not None:
+        return text
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+# ASCII-alnum runs over lowercased text. Chosen because the identical rule is
+# expressible in Spark (`regexp_extract_all(lower(text), '[a-z0-9]+', 0)`),
+# DuckDB (`regexp_extract_all(lower(text), '[a-z0-9]+')`) and Python — so the
+# DuckDB correctness oracle can replay tokenization exactly.
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+TOKEN_PATTERN_SQL = "[a-z0-9]+"
+MAX_TOKEN_LEN = 64
+
+
+def tokenize(text: str | None, max_token_len: int = MAX_TOKEN_LEN) -> list[str]:
+    if not text:
+        return []
+    return [t for t in TOKEN_RE.findall(text.lower()) if len(t) <= max_token_len]
+
+
+# ---------------------------------------------------------------------------
+# Stable doc ids
+# ---------------------------------------------------------------------------
+
+def doc_id_for_url(url: str) -> int:
+    """60-bit stable doc id: first 15 hex chars of sha256(url).
+
+    Parallelism-independent (unlike ``monotonically_increasing_id``) and
+    reproducible in Spark as
+    ``conv(substring(sha2(url,256),1,15),16,10).cast('long')`` and in DuckDB.
+    Collisions are audited at build time (count distinct url == doc_id);
+    the analogue of the reference's unique key on ``asin``
+    (``data-pipeline/database.py:28``).
+    """
+    return int(hashlib.sha256(url.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def doc_bucket(doc_id: int, n_buckets: int) -> int:
+    """Range bucket over the 60-bit doc-id space.
+
+    Range (not modulo) bucketing means per-bucket posting lists concatenated
+    in bucket order are globally doc_id-sorted — the property the block-max
+    WAND scan and delta encoding rely on.
+    """
+    return int(doc_id // ((1 << 60) // n_buckets + 1))

@@ -1,0 +1,81 @@
+"""Unit tests for the deterministic extractor/tokenizer (SURVEY.md §5.2)."""
+
+from semantic_search_engine_spark.textproc import (
+    doc_bucket,
+    doc_id_for_url,
+    extract_html,
+    extract_text,
+    resolve_text,
+    tokenize,
+)
+
+
+def test_strips_script_style_head_nav():
+    html = (b"<html><head><title>T</title><style>b{}</style>"
+            b"<script>var s='SECRET';</script></head>"
+            b"<body><p>keep me</p><nav>drop nav</nav><p>and me</p></body></html>")
+    title, body = extract_html(html)
+    assert title == "T"
+    assert body == "keep me and me"
+    assert "SECRET" not in body and "nav" not in body
+
+
+def test_entities_decoded_deterministically():
+    html = (b"<html><body><p>fish &amp; chips &lt;x&gt; don&#8217;t"
+            b"&nbsp;stop</p></body></html>")
+    _, body = extract_html(html)
+    assert body == "fish & chips <x> don’t stop".replace(" ", " ") or True
+    # nbsp collapses under the whitespace policy
+    assert body == "fish & chips <x> don’t stop"
+
+
+def test_void_tags_are_word_boundaries():
+    _, body = extract_html(b"<html><body>a<br>b</body></html>")
+    assert body == "a b"
+
+
+def test_empty_and_malformed():
+    assert extract_html(b"") == ("", "")
+    assert extract_html(None) == ("", "")
+    # malformed markup should not raise
+    extract_html(b"<html><body><p>unclosed <b<b>< p")
+
+
+def test_extraction_is_byte_deterministic():
+    html = ("<html><body><p>straße München 日本語 "
+            "\U0001f600 naïve</p></body></html>").encode()
+    a = extract_text(html).encode("utf-8")
+    b = extract_text(html).encode("utf-8")
+    assert a == b
+    assert "München".encode() in a
+
+
+def test_tokenize_rules():
+    assert tokenize("Fish & CHIPS don't stop 4K!") == [
+        "fish", "chips", "don", "t", "stop", "4k"]
+    assert tokenize("") == []
+    assert tokenize(None) == []
+    assert tokenize("x" * 100) == []  # exceeds max token len
+    assert tokenize("a-b_c") == ["a", "b", "c"]
+
+
+def test_resolve_text_policy():
+    assert resolve_text("provided", b"<p>html</p>") == "provided"
+    assert resolve_text(None, b"<html><body>from html</body></html>") == "from html"
+    assert resolve_text(None, b"") is None
+    assert resolve_text(None, None) is None
+    assert resolve_text("", b"<p>x</p>") == ""  # empty string is still provided
+
+
+def test_doc_id_stable_and_60bit():
+    a = doc_id_for_url("https://a.example/x")
+    assert a == doc_id_for_url("https://a.example/x")
+    assert 0 <= a < (1 << 60)
+    assert a != doc_id_for_url("https://a.example/y")
+
+
+def test_doc_bucket_range_partitioning_preserves_order():
+    ids = sorted(doc_id_for_url(f"u{i}") for i in range(500))
+    buckets = [doc_bucket(d, 32) for d in ids]
+    assert buckets == sorted(buckets)  # monotone in doc_id
+    assert all(0 <= b < 32 for b in buckets)
