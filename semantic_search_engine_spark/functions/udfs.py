@@ -1,0 +1,120 @@
+"""Arrow-vectorized pandas UDFs — the engine's only per-row Python.
+
+BASELINE.json ``north_star`` permits exactly two text stages in Python
+(extraction, tokenization), both Arrow-batched; every statistic downstream
+is a Spark aggregation. These UDFs call the *same* ``textproc`` functions as
+the single-node oracle, which is what makes the per-url byte-identity
+invariant testable.
+
+Reference analogue: the batched embedding UDF
+(``data-pipeline/data_ingestion.py:179-218``, batch size 32 via
+``config.py:19``) — replaced here by Arrow batching
+(``spark.sql.execution.arrow.maxRecordsPerBatch``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..textproc import extract_html, tokenize
+
+EXTRACT_SCHEMA = "title string, text string, extracted_sha256 string"
+
+
+def make_resolve_extract_udf(prefer_provided: bool = True,
+                             max_token_len: int = 64):
+    """(text, html) -> struct(title, text, extracted_sha256).
+
+    Resolution policy: trust a non-NULL ``text`` column when the config says
+    so, else extract from ``html`` (FIXTURES.md §1: 90% of rows need
+    extraction). Rows with neither yield NULL text and are dropped by the
+    validity filter (``data_ingestion.py:100-103`` analogue).
+    """
+
+    @pandas_udf(EXTRACT_SCHEMA)
+    def resolve_extract(text: pd.Series, html: pd.Series) -> pd.DataFrame:
+        titles, bodies, shas = [], [], []
+        for t, h in zip(text, html):
+            hb = bytes(h) if h is not None else None
+            title = ""
+            if hb:
+                title, extracted = extract_html(hb)
+            else:
+                extracted = None
+            if prefer_provided and t is not None:
+                body = t
+            elif extracted is not None and hb:
+                body = extracted
+            else:
+                body = t  # may be None → validity filter drops the row
+            titles.append(title)
+            bodies.append(body)
+            shas.append(
+                hashlib.sha256(body.encode("utf-8")).hexdigest()
+                if body is not None else None)
+        return pd.DataFrame(
+            {"title": titles, "text": bodies, "extracted_sha256": shas})
+
+    return resolve_extract
+
+
+def make_term_freqs_udf(max_token_len: int = 64):
+    """text -> map<term, tf>. One tokenization pass per document.
+
+    Emitting the per-doc tf map directly (instead of exploding raw tokens
+    and running groupBy(doc_id, term)) removes an entire shuffle from the
+    build: tf aggregation happens inside the Arrow batch, and doc_len is a
+    JVM-side ``aggregate(map_values(...))`` afterwards.
+    """
+
+    @pandas_udf("map<string,int>")
+    def term_freqs(text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [dict(Counter(tokenize(t, max_token_len))) if t else {}
+             for t in text])
+
+    return term_freqs
+
+
+# --- JVM-side column expressions (no Python) --------------------------------
+
+def doc_id_expr(url_col: str = "url"):
+    """Stable 60-bit doc id — must match textproc.doc_id_for_url exactly.
+
+    sha2 → first 15 hex chars → base-16 to base-10 via ``conv`` (string math,
+    no double precision loss) → long. Replaces the reference's ``SERIAL`` id
+    (``data-pipeline/database.py:27``) with a parallelism-independent key.
+    """
+    return F.conv(F.substring(F.sha2(F.col(url_col), 256), 1, 15), 16, 10) \
+            .cast("long")
+
+
+def doc_bucket_expr(doc_id_col: str, n_buckets: int):
+    """Range bucket over the 60-bit id space (matches textproc.doc_bucket).
+
+    Integer ``div`` (not ``/``) — double division would lose precision above
+    2^53 and corrupt the bucket-order invariant.
+    """
+    divisor = (1 << 60) // n_buckets + 1
+    return F.expr(f"{doc_id_col} div {divisor}L").cast("int")
+
+
+def term_bucket_expr(term_col: str, n_buckets: int):
+    """Hash bucket for the postings table partition layout — enables
+    partition pruning for query-time ``term IN (...)`` scans."""
+    return F.pmod(F.xxhash64(F.col(term_col)), F.lit(n_buckets)).cast("int")
+
+
+def term_bucket_py(term: str, n_buckets: int, spark) -> int:
+    """Driver-side term bucket (asks the JVM once; used to prune scans)."""
+    return spark.range(1).select(
+        term_bucket_expr_lit(term, n_buckets).alias("b")).collect()[0]["b"]
+
+
+def term_bucket_expr_lit(term: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).cast("int")

@@ -1,0 +1,124 @@
+"""Checkpoint-resumable stage graph + per-partition lineage metrics.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". Reference analogue: the write-only ``search_logs``
+analytics table (``data-pipeline/database.py:63-69``) — we generalize it to
+a per-stage, per-partition lineage record.
+
+Mechanism: every stage's output table is committed with a *fingerprint* =
+hash(engine config, stage name, input snapshot ids, code version). On rerun,
+a stage whose committed output carries the same fingerprint is skipped —
+resume is therefore a property of storage, not of driver state, and survives
+process kills between stages (FIXTURES.md §4.7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sources.store import TableStore
+
+LINEAGE_TABLE = "lineage"
+
+
+def stage_fingerprint(stage: str, config_fp: str, input_fps: list[str],
+                      code_version: str = "1") -> str:
+    blob = json.dumps([stage, config_fp, sorted(input_fps), code_version])
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+class StageRunner:
+    def __init__(self, store: TableStore, config_fp: str, run_id: str | None = None):
+        self.store = store
+        self.config_fp = config_fp
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.metrics: list[dict] = []
+
+    def output_fingerprint(self, table: str) -> str:
+        meta = self.store.table_meta(table) or {}
+        return meta.get("fingerprint", "")
+
+    def run(self, stage: str, output_table: str, inputs: list[str],
+            build_fn, *, partition_by=None, sort_within_partitions=None,
+            partition_col: str | None = None) -> bool:
+        """Run one stage unless its committed output is already current.
+
+        ``build_fn() -> DataFrame`` produces the output. Returns True if the
+        stage executed, False if it was skipped (resume).
+        """
+        fp = stage_fingerprint(
+            stage, self.config_fp,
+            [self.output_fingerprint(t) for t in inputs])
+        if (self.store.exists(output_table)
+                and self.output_fingerprint(output_table) == fp):
+            self._record(stage, output_table, skipped=True, wall_ms=0,
+                         rows=None, per_partition=None)
+            return False
+
+        t0 = time.time()
+        df = build_fn()
+        self.store.write(output_table, df,
+                         partition_by=partition_by,
+                         sort_within_partitions=sort_within_partitions,
+                         meta={"fingerprint": fp, "stage": stage,
+                               "run_id": self.run_id})
+        wall_ms = int((time.time() - t0) * 1000)
+
+        committed = self.store.read(output_table)
+        if partition_col and partition_col in committed.columns:
+            per_part = [
+                r.asDict() for r in committed.groupBy(partition_col)
+                .agg(F.count(F.lit(1)).alias("rows")).collect()
+            ]
+            rows = sum(p["rows"] for p in per_part)
+        else:
+            per_part, rows = None, committed.count()
+        self._record(stage, output_table, skipped=False, wall_ms=wall_ms,
+                     rows=rows, per_partition=per_part)
+        return True
+
+    def _record(self, stage: str, output_table: str, *, skipped: bool,
+                wall_ms: int, rows, per_partition) -> None:
+        self.metrics.append({
+            "run_id": self.run_id,
+            "stage": stage,
+            "output_table": output_table,
+            "skipped": skipped,
+            "wall_ms": wall_ms,
+            "output_rows": rows,
+            "per_partition": per_partition,
+            "ts": time.time(),
+        })
+
+    def commit_lineage(self, spark) -> None:
+        """Append this run's records to the lineage table (flattened to one
+        row per (stage, partition), like the reference's per-event
+        ``search_logs`` rows)."""
+        flat = []
+        for m in self.metrics:
+            parts = m["per_partition"] or [{"partition": None,
+                                            "rows": m["output_rows"]}]
+            for p in parts:
+                pid = p.get("partition")
+                if pid is None:  # groupBy key column name varies
+                    keys = [k for k in p if k != "rows"]
+                    pid = p[keys[0]] if keys else None
+                flat.append((m["run_id"], m["stage"], m["output_table"],
+                             bool(m["skipped"]), int(m["wall_ms"]),
+                             int(p["rows"]) if p["rows"] is not None else None,
+                             int(pid) if pid is not None else None,
+                             float(m["ts"])))
+        df = spark.createDataFrame(
+            flat, "run_id string, stage string, output_table string, "
+                  "skipped boolean, wall_ms int, rows bigint, "
+                  "partition_id int, ts double")
+        if self.store.exists(LINEAGE_TABLE):
+            existing = self.store.read(LINEAGE_TABLE)
+            df = existing.unionByName(df)
+        self.store.write(LINEAGE_TABLE, df)

@@ -1,0 +1,295 @@
+"""Batch inverted-index build pipeline (SURVEY.md §2.2 E1–E9, E13).
+
+One lazy DataFrame DAG per stage, checkpoint-committed through the
+TableStore — the Spark restatement of the reference's ingest pipeline
+(``data-pipeline/data_ingestion.py:279-308``: download → parse → featurize
+→ upsert, with Postgres building GIN/ivfflat indexes per insert).
+
+Stages (each resumable; lineage row per stage × partition):
+
+  doc_features   scan documents → resolve/extract (pandas UDF) → tokenize
+                 to per-doc tf map (pandas UDF) → stable doc_id + range
+                 bucket (JVM exprs) → validity filter + dedup by url.
+  doc_meta       column-pruned projection of doc_features (no tf map).
+  corpus_stats   N, avg doc len, total tokens — pure Spark agg (E6).
+  postings       explode tf maps → repartition by (term, doc-bucket) →
+                 sort → streaming block encoder (mapInPandas, O(block)
+                 memory) → delta+varbyte blocks with block-max metadata.
+  term_stats     df/cf per term — two-level merge over block partials.
+
+Skew strategy (north_rule "head-term skew handled explicitly"): posting
+groups are keyed by (term, partition_id) where partition_id is a *range
+bucket of the doc-id space* — a head term (stopword) with 10^11 postings is
+split across all P buckets, so no shuffle group exceeds ~corpus/P postings,
+while per-bucket lists concatenated in bucket order remain globally
+doc_id-sorted (what WAND and delta encoding need). The term-level merge
+(term_stats, block counts) then aggregates P small partial rows per term —
+the classic salt → partial → final-merge shape, with the salt chosen to be
+*order-preserving* instead of random.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.udfs import (
+    doc_bucket_expr,
+    doc_id_expr,
+    make_resolve_extract_udf,
+    make_term_freqs_udf,
+    term_bucket_expr,
+)
+from ..functions.varbyte import encode_blocks
+from ..lineage import StageRunner
+from ..sources.store import TableStore
+
+POSTINGS_SCHEMA = (
+    "term string, partition_id int, block_id int, n_postings int, "
+    "first_doc_id long, last_doc_id long, doc_ids_vb binary, "
+    "tfs_vb binary, dls_vb binary, block_max_tf_norm double, cf_block long"
+)
+
+
+def make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
+    """Streaming encoder over a (term, partition_id, doc_id)-sorted stream.
+
+    Runs as mapInPandas: groups may span Arrow batches, so a small carry
+    buffer holds the current group's tail. Full blocks are flushed eagerly —
+    peak memory is O(block_size) regardless of posting-list length, which is
+    what makes head terms safe at web scale.
+    """
+
+    def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None          # (term, partition_id)
+        cur_block_id = 0
+        buf_ids: list[np.ndarray] = []
+        buf_tfs: list[np.ndarray] = []
+        buf_dls: list[np.ndarray] = []
+        buf_n = 0
+
+        def flush(out_rows: list, final: bool) -> None:
+            nonlocal cur_block_id, buf_ids, buf_tfs, buf_dls, buf_n
+            if buf_n == 0:
+                return
+            ids = np.concatenate(buf_ids).astype(np.uint64)
+            tfs = np.concatenate(buf_tfs).astype(np.uint64)
+            dls = np.concatenate(buf_dls).astype(np.uint64)
+            n_full = (len(ids) // block_size) * block_size
+            cut = len(ids) if final else n_full
+            if cut:
+                for blk in encode_blocks(ids[:cut], tfs[:cut], dls[:cut],
+                                         avgdl, k1, b, block_size):
+                    cf = int(tfs[blk["block_id"] * block_size:
+                                 blk["block_id"] * block_size
+                                 + blk["n_postings"]].sum())
+                    out_rows.append((
+                        cur_key[0], cur_key[1],
+                        cur_block_id + blk["block_id"], blk["n_postings"],
+                        blk["first_doc_id"], blk["last_doc_id"],
+                        blk["doc_ids_vb"], blk["tfs_vb"], blk["dls_vb"],
+                        blk["block_max_tf_norm"], cf))
+                cur_block_id += (cut + block_size - 1) // block_size if final \
+                    else cut // block_size
+            rem_ids, rem_tfs, rem_dls = ids[cut:], tfs[cut:], dls[cut:]
+            buf_ids = [rem_ids] if rem_ids.size else []
+            buf_tfs = [rem_tfs] if rem_tfs.size else []
+            buf_dls = [rem_dls] if rem_dls.size else []
+            buf_n = int(rem_ids.size)
+
+        cols = ["term", "partition_id", "block_id", "n_postings",
+                "first_doc_id", "last_doc_id", "doc_ids_vb", "tfs_vb",
+                "dls_vb", "block_max_tf_norm", "cf_block"]
+
+        for pdf in batches:
+            out_rows: list = []
+            terms = pdf["term"].to_numpy()
+            pids = pdf["partition_id"].to_numpy()
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            if len(pdf) == 0:
+                continue
+            # group-change boundaries within this batch
+            change = np.ones(len(pdf), dtype=bool)
+            change[1:] = (terms[1:] != terms[:-1]) | (pids[1:] != pids[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts, ends):
+                key = (terms[s], int(pids[s]))
+                if key != cur_key:
+                    flush(out_rows, final=True)
+                    cur_key, cur_block_id = key, 0
+                buf_ids.append(ids[s:e].astype(np.uint64))
+                buf_tfs.append(tfs[s:e].astype(np.uint64))
+                buf_dls.append(dls[s:e].astype(np.uint64))
+                buf_n += e - s
+                if buf_n >= block_size:
+                    flush(out_rows, final=False)
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=cols)
+        final_rows: list = []
+        flush(final_rows, final=True)
+        if final_rows:
+            yield pd.DataFrame(final_rows, columns=cols)
+
+    return encode_stream
+
+
+class IndexBuilder:
+    """E1–E9 + E13. ``build()`` is idempotent and checkpoint-resumable."""
+
+    def __init__(self, spark: SparkSession, store: TableStore,
+                 cfg: EngineConfig = DEFAULT_CONFIG):
+        self.spark = spark
+        self.store = store
+        self.cfg = cfg
+
+    # ------------------------------------------------------------------
+    def build(self, documents: DataFrame, field: str = "text",
+              run_id: str | None = None) -> StageRunner:
+        """documents: (url, warc_ts, html, text, lang) — BASELINE input_hint.
+
+        ``field`` selects the indexed field: "text" (body) or "title" — the
+        per-field scoring variants of the reference
+        (``ProductRepository.java:119-150``).
+        """
+        cfg = self.cfg
+        runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
+                             run_id=run_id)
+        sfx = "" if field == "text" else f"_{field}"
+
+        # -- stage 1: doc_features ------------------------------------------
+        def build_doc_features() -> DataFrame:
+            extract = make_resolve_extract_udf(cfg.prefer_provided_text,
+                                               cfg.max_token_len)
+            term_freqs = make_term_freqs_udf(cfg.max_token_len)
+            ex = (
+                documents
+                .filter(F.col("url").isNotNull())
+                .withColumn("ex", extract("text", "html"))
+                .select("url", "warc_ts", "lang",
+                        F.col("ex.title").alias("title"),
+                        F.col("ex.text").alias("text"),
+                        F.col("ex.extracted_sha256").alias("extracted_sha256"))
+                .filter(F.col("text").isNotNull())       # validity filter
+                .dropDuplicates(["url"])                 # unique-key contract
+                .withColumn("doc_id", doc_id_expr("url"))
+                .withColumn("partition_id",
+                            doc_bucket_expr("doc_id", cfg.n_doc_buckets))
+            )
+            indexed_col = "text" if field == "text" else "title"
+            ex = ex.withColumn("tf_map", term_freqs(F.col(indexed_col)))
+            # doc_len as a JVM aggregate over the map — no extra Python
+            ex = ex.withColumn(
+                "doc_len",
+                F.coalesce(
+                    F.aggregate(F.map_values("tf_map"), F.lit(0),
+                                lambda acc, x: acc + x),
+                    F.lit(0)))
+            return ex.select("doc_id", "url", "warc_ts", "lang", "title",
+                             "text", "extracted_sha256", "doc_len", "tf_map",
+                             "partition_id")
+
+        runner.run(f"doc_features{sfx}", f"doc_features{sfx}", [],
+                   build_doc_features, partition_by=None,
+                   partition_col="partition_id")
+
+        # -- stage 2: doc_meta (column-pruned; parquet never reads tf_map) --
+        runner.run(
+            f"doc_meta{sfx}", f"doc_meta{sfx}", [f"doc_features{sfx}"],
+            lambda: self.store.read(f"doc_features{sfx}").select(
+                "doc_id", "url", "warc_ts", "lang", "doc_len",
+                "extracted_sha256", "partition_id"),
+            partition_col="partition_id")
+
+        # -- stage 3: corpus_stats (E6 — pure aggregation) -------------------
+        runner.run(
+            f"corpus_stats{sfx}", f"corpus_stats{sfx}", [f"doc_meta{sfx}"],
+            lambda: self.store.read(f"doc_meta{sfx}").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("doc_len").alias("avg_doc_len"),
+                F.sum("doc_len").alias("total_tokens"),
+                F.countDistinct("doc_id").alias("n_distinct_doc_ids")))
+        cs = self.store.read(f"corpus_stats{sfx}").collect()[0]
+        if cs["n_distinct_doc_ids"] != cs["n_docs"]:
+            raise RuntimeError(
+                "doc_id hash collision detected "
+                f"({cs['n_docs']} urls → {cs['n_distinct_doc_ids']} ids); "
+                "raise doc_id_bits")
+        avgdl = float(cs["avg_doc_len"] or 0.0)
+
+        # -- stage 4: postings (E5, E7, E8, E9) ------------------------------
+        def build_postings() -> DataFrame:
+            pairs = (
+                self.store.read(f"doc_features{sfx}")
+                .select("partition_id", "doc_id",
+                        F.col("doc_len").alias("dl"),
+                        F.explode("tf_map").alias("term", "tf"))
+            )
+            shuffled = (
+                pairs.repartition(cfg.shuffle_partitions, "term",
+                                  "partition_id")
+                .sortWithinPartitions("term", "partition_id", "doc_id")
+            )
+            encoder = make_block_encoder(avgdl, cfg.k1, cfg.b,
+                                         cfg.block_size)
+            blocks = shuffled.mapInPandas(encoder, schema=POSTINGS_SCHEMA)
+            return blocks.withColumn(
+                "term_bucket", term_bucket_expr("term", cfg.n_term_buckets))
+
+        runner.run(f"postings{sfx}", f"postings{sfx}",
+                   [f"doc_features{sfx}", f"corpus_stats{sfx}"],
+                   build_postings,
+                   partition_by=["term_bucket"],
+                   sort_within_partitions=["term", "partition_id", "block_id"],
+                   partition_col="partition_id")
+
+        # -- stage 5: term_stats (second-level merge of per-bucket partials) -
+        runner.run(
+            f"term_stats{sfx}", f"term_stats{sfx}", [f"postings{sfx}"],
+            lambda: self.store.read(f"postings{sfx}").groupBy("term").agg(
+                F.sum("n_postings").alias("df"),
+                F.sum("cf_block").alias("cf"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.countDistinct("partition_id").alias("n_buckets")))
+
+        runner.commit_lineage(self.spark)
+        return runner
+
+    # ------------------------------------------------------------------
+    def ingest_updates(self, updates: DataFrame) -> None:
+        """MERGE-style upsert of changed documents into doc_features, then
+        rebuild downstream stages (their fingerprints change because the
+        input snapshot changed). ON CONFLICT analogue
+        (``data_ingestion.py:224-243``)."""
+        cfg = self.cfg
+        extract = make_resolve_extract_udf(cfg.prefer_provided_text,
+                                           cfg.max_token_len)
+        term_freqs = make_term_freqs_udf(cfg.max_token_len)
+        ex = (
+            updates.filter(F.col("url").isNotNull())
+            .withColumn("ex", extract("text", "html"))
+            .select("url", "warc_ts", "lang",
+                    F.col("ex.title").alias("title"),
+                    F.col("ex.text").alias("text"),
+                    F.col("ex.extracted_sha256").alias("extracted_sha256"))
+            .filter(F.col("text").isNotNull())
+            .dropDuplicates(["url"])
+            .withColumn("doc_id", doc_id_expr("url"))
+            .withColumn("partition_id",
+                        doc_bucket_expr("doc_id", cfg.n_doc_buckets))
+            .withColumn("tf_map", term_freqs(F.col("text")))
+            .withColumn("doc_len",
+                        F.coalesce(F.aggregate(F.map_values("tf_map"),
+                                               F.lit(0),
+                                               lambda a, x: a + x), F.lit(0)))
+            .select("doc_id", "url", "warc_ts", "lang", "title", "text",
+                    "extracted_sha256", "doc_len", "tf_map", "partition_id")
+        )
+        self.store.merge_by_key("doc_features", ex, key="url")

@@ -1,0 +1,234 @@
+"""BM25 query engine — filtered, scored top-k with pagination + count.
+
+Spark restatement of the reference's single search statement
+(``search-api/.../repository/ProductRepository.java:70-82``: computed score,
+threshold, NULL-disabled structured filters, ORDER BY score DESC,
+LIMIT/OFFSET) plus its second COUNT statement (``:95-117``) — here one lazy
+DAG: postings scan (term-bucket partition pruning + ``term IN`` pushdown) →
+block decode (Arrow) → JVM-side BM25 expression → groupBy(doc_id) sum →
+doc_meta join → filters → TakeOrderedAndProject top-k.
+
+Two physical paths:
+  * exhaustive — scores every posting; used when structured filters are
+    present and as the correctness baseline.
+  * block-max WAND (plans/wand.py) — skips blocks that cannot reach the
+    current top-k threshold; the fast path for bare top-k queries.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.varbyte import decode_block
+from ..sources.store import TableStore
+from ..textproc import tokenize
+
+DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
+
+
+def decode_postings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: block rows → posting rows (Arrow-batched, numpy decode)."""
+    import numpy as np
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        terms, ids, tfs, dls = [], [], [], []
+        for term, dvb, tvb, lvb, n in zip(
+                pdf["term"], pdf["doc_ids_vb"], pdf["tfs_vb"],
+                pdf["dls_vb"], pdf["n_postings"]):
+            i, t, d = decode_block(bytes(dvb), bytes(tvb), bytes(lvb))
+            terms.append(np.repeat(np.array([term], dtype=object), n))
+            ids.append(i.astype(np.int64))
+            tfs.append(t.astype(np.int64))
+            dls.append(d.astype(np.int64))
+        yield pd.DataFrame({
+            "term": np.concatenate(terms),
+            "doc_id": np.concatenate(ids),
+            "tf": np.concatenate(tfs),
+            "dl": np.concatenate(dls),
+        })
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+@dataclass
+class QueryEngine:
+    spark: SparkSession
+    store: TableStore
+    cfg: EngineConfig = DEFAULT_CONFIG
+    field: str = "text"
+
+    def _sfx(self) -> str:
+        return "" if self.field == "text" else f"_{self.field}"
+
+    # ------------------------------------------------------------------
+    def corpus_stats(self) -> dict:
+        row = self.store.read(f"corpus_stats{self._sfx()}").collect()[0]
+        return {"n_docs": int(row["n_docs"]),
+                "avg_doc_len": float(row["avg_doc_len"] or 0.0)}
+
+    def term_idfs(self, qterms: list[str]) -> dict[str, float]:
+        """Broadcast-sized lookup: df for the handful of query terms."""
+        if not qterms:
+            return {}
+        n = self.corpus_stats()["n_docs"]
+        rows = (self.store.read(f"term_stats{self._sfx()}")
+                .filter(F.col("term").isin(qterms))
+                .select("term", "df").collect())
+        return {r["term"]: bm25_idf(n, int(r["df"])) for r in rows}
+
+    def _postings_for_terms(self, qterms: list[str]) -> DataFrame:
+        """Postings scan pruned two ways: partition pruning on term_bucket,
+        then parquet row-group skipping + pushdown on term IN (...)."""
+        from ..functions.udfs import term_bucket_expr
+        buckets = sorted({
+            r["b"] for r in self.spark.createDataFrame(
+                [(t,) for t in qterms], "term string")
+            .select(term_bucket_expr("term", self.cfg.n_term_buckets)
+                    .alias("b")).collect()
+        })
+        return (self.store.read(f"postings{self._sfx()}")
+                .filter(F.col("term_bucket").isin(buckets))
+                .filter(F.col("term").isin(qterms)))
+
+    # ------------------------------------------------------------------
+    def scores_df(self, query: str) -> DataFrame:
+        """Exhaustive BM25 score per candidate doc — lazy DataFrame.
+
+        Decodes only the query terms' postings; the BM25 expression is pure
+        Spark SQL (whole-stage codegen), the per-term weights arrive via a
+        broadcast join of a tiny idf literal frame.
+        """
+        cfg = self.cfg
+        qterms = sorted(set(tokenize(query, cfg.max_token_len)))
+        idfs = self.term_idfs(qterms)
+        stats = self.corpus_stats()
+        avgdl = stats["avg_doc_len"]
+        if not idfs or avgdl <= 0:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+
+        decoded = (self._postings_for_terms(sorted(idfs))
+                   .select("term", "doc_ids_vb", "tfs_vb", "dls_vb",
+                           "n_postings")
+                   .mapInPandas(decode_postings, schema=DECODED_SCHEMA))
+        idf_df = self.spark.createDataFrame(
+            [(t, w) for t, w in sorted(idfs.items())],
+            "term string, idf double")
+        k1, b = float(cfg.k1), float(cfg.b)
+        scored = (
+            decoded.join(F.broadcast(idf_df), "term")
+            .withColumn(
+                "contrib",
+                F.col("idf") * F.col("tf")
+                / (F.col("tf") + F.lit(k1)
+                   * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))))
+        )
+        return scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+
+    # ------------------------------------------------------------------
+    def search_df(
+        self,
+        query: str,
+        k: int | None = None,
+        offset: int = 0,
+        min_score: float = 0.0,
+        lang: str | None = None,
+        warc_ts_min=None,
+        warc_ts_max=None,
+    ) -> DataFrame:
+        """Lazy top-k page: (doc_id, url, warc_ts, lang, doc_len, score).
+
+        Filters are built conditionally in Python (the Catalyst-friendly
+        version of the reference's ``(? IS NULL OR pred)`` SQL trick,
+        ``ProductRepository.java:75-79``).
+        """
+        cfg = self.cfg
+        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        offset = min(max(offset, 0), cfg.max_offset)
+        cand = self.scores_df(query)
+        if min_score > 0.0:
+            cand = cand.filter(F.col("score") >= F.lit(min_score))
+        meta = self.store.read(f"doc_meta{self._sfx()}").select(
+            "doc_id", "url", "warc_ts", "lang", "doc_len")
+        out = cand.join(meta, "doc_id")
+        if lang is not None:
+            out = out.filter(F.col("lang") == F.lit(lang))
+        if warc_ts_min is not None:
+            out = out.filter(F.col("warc_ts") >= F.lit(warc_ts_min))
+        if warc_ts_max is not None:
+            out = out.filter(F.col("warc_ts") <= F.lit(warc_ts_max))
+        # TakeOrderedAndProject: per-partition heap of k+offset, then merge
+        page = (out.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k + offset))
+        if offset:
+            # tiny (≤ k+offset ≤ 10100 rows) — windowing over the limited set
+            from pyspark.sql.window import Window
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            page = (page.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") > offset).drop("_rn"))
+        return page
+
+    # ------------------------------------------------------------------
+    def search(self, query: str, k: int | None = None, offset: int = 0,
+               min_score: float = 0.0, lang: str | None = None,
+               warc_ts_min=None, warc_ts_max=None,
+               count_mode: str = "exact") -> dict:
+        """Materialized result envelope — the analogue of the reference's
+        ``SearchResponse`` (``model/SearchResponse.java:5-12`` +
+        ``SearchService.java:63-78``: results, totalCount, limit, offset,
+        query, executionTimeMs).
+
+        ``count_mode``: "exact" runs the pre-limit count (the reference's
+        second COUNT statement, ``ProductRepository.java:95-117``); "none"
+        mirrors its title-path shortcut (totalCount = page size,
+        ``SearchService.java:110-111``) — the O(1) choice at web scale.
+        """
+        t0 = time.time()
+        cfg = self.cfg
+        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        offset = min(max(offset, 0), cfg.max_offset)
+
+        cand = self.scores_df(query)
+        if min_score > 0.0:
+            cand = cand.filter(F.col("score") >= F.lit(min_score))
+        meta = self.store.read(f"doc_meta{self._sfx()}").select(
+            "doc_id", "url", "warc_ts", "lang", "doc_len")
+        out = cand.join(meta, "doc_id")
+        if lang is not None:
+            out = out.filter(F.col("lang") == F.lit(lang))
+        if warc_ts_min is not None:
+            out = out.filter(F.col("warc_ts") >= F.lit(warc_ts_min))
+        if warc_ts_max is not None:
+            out = out.filter(F.col("warc_ts") <= F.lit(warc_ts_max))
+
+        out = out.cache()
+        try:
+            rows = (out.orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k + offset).collect())[offset:]
+            total = out.count() if count_mode == "exact" else len(rows)
+        finally:
+            out.unpersist()
+        return {
+            "results": [r.asDict() for r in rows],
+            "total_count": total,
+            "limit": k,
+            "offset": offset,
+            "query": query,
+            "execution_time_ms": int((time.time() - t0) * 1000),
+        }
+
+    def top_k(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        r = self.search(query, k=k, count_mode="none")
+        return [(h["doc_id"], h["score"]) for h in r["results"]]

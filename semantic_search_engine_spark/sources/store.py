@@ -1,0 +1,214 @@
+"""Table storage with atomic snapshot commits (Iceberg-ready abstraction).
+
+The engine's target storage is Iceberg (BASELINE.json: "written back to
+Iceberg with per-partition lineage and checkpoint-resumable stages"). This
+sandbox has no Iceberg runtime jar (SURVEY.md §7.1), so all engine code
+writes through :class:`TableStore`:
+
+* :class:`HadoopTableStore` — partitioned Parquet + a JSON manifest whose
+  atomic rename provides snapshot/commit semantics (the subset of Iceberg
+  the engine relies on for checkpoint-resume: atomic commit, snapshot
+  isolation, read-your-committed-snapshot).
+* :class:`IcebergCatalogStore` — used when an Iceberg catalog is configured
+  on the session (``spark-submit --packages org.apache.iceberg:...``); maps
+  the same API to real Iceberg tables (``MERGE INTO`` for upsert).
+
+Reference analogue: the DDL bootstrap + ON CONFLICT upsert path
+(``data-pipeline/database.py:19-78``, ``data_ingestion.py:224-243``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableStore:
+    """Interface. All engine stages read/write through this."""
+
+    def read(self, table: str) -> DataFrame:
+        raise NotImplementedError
+
+    def write(self, table: str, df: DataFrame, *, partition_by=None,
+              sort_within_partitions=None, meta: dict | None = None) -> dict:
+        raise NotImplementedError
+
+    def merge_by_key(self, table: str, updates: DataFrame, key: str) -> dict:
+        raise NotImplementedError
+
+    def exists(self, table: str) -> bool:
+        raise NotImplementedError
+
+    def table_meta(self, table: str) -> dict | None:
+        raise NotImplementedError
+
+
+class HadoopTableStore(TableStore):
+    """Parquet directories + manifest JSON with atomic-rename commits.
+
+    Layout::
+
+        <root>/<table>/snap-<uuid>/...parquet   (immutable snapshot data)
+        <root>/<table>/manifest.json            (current snapshot pointer)
+
+    A writer stages data into a fresh ``snap-*`` dir, then renames a temp
+    manifest over ``manifest.json`` — readers always see a complete
+    snapshot. Old snapshots are kept (time travel for resume tests).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- internals ----------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "manifest.json")
+
+    def _read_manifest(self, table: str) -> dict | None:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, snap_dir: str, meta: dict | None) -> dict:
+        manifest = {
+            "snapshot": os.path.basename(snap_dir),
+            "path": snap_dir,
+            "committed_at": time.time(),
+            "meta": meta or {},
+        }
+        prev = self._read_manifest(table)
+        if prev is not None:
+            manifest["parent"] = prev["snapshot"]
+        tmp = self._manifest_path(table) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path(table))  # atomic commit
+        return manifest
+
+    # -- API ----------------------------------------------------------------
+    def exists(self, table: str) -> bool:
+        return self._read_manifest(table) is not None
+
+    def table_meta(self, table: str) -> dict | None:
+        m = self._read_manifest(table)
+        return m["meta"] if m else None
+
+    def read(self, table: str) -> DataFrame:
+        m = self._read_manifest(table)
+        if m is None:
+            raise FileNotFoundError(f"table {table!r} has no committed snapshot")
+        return self.spark.read.parquet(m["path"])
+
+    def write(self, table: str, df: DataFrame, *, partition_by=None,
+              sort_within_partitions=None, meta: dict | None = None) -> dict:
+        snap = os.path.join(self._tdir(table), f"snap-{uuid.uuid4().hex[:12]}")
+        w = df
+        if sort_within_partitions:
+            w = w.sortWithinPartitions(*sort_within_partitions)
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(snap)
+        return self._commit(table, snap, meta)
+
+    def merge_by_key(self, table: str, updates: DataFrame, key: str) -> dict:
+        """Copy-on-write upsert — the ``INSERT ... ON CONFLICT DO UPDATE``
+        analogue (``data_ingestion.py:224-243``); Iceberg path uses
+        ``MERGE INTO`` instead."""
+        if not self.exists(table):
+            return self.write(table, updates)
+        current = self.read(table)
+        merged = current.join(updates.select(key), on=key,
+                              how="left_anti").unionByName(updates)
+        # merged must be materialized before the commit flips the pointer;
+        # Spark writes eagerly inside write(), reading the *old* snapshot.
+        return self.write(table, merged, meta={"merged_on": key})
+
+
+class IcebergCatalogStore(TableStore):
+    """Real Iceberg tables via a configured Spark catalog.
+
+    Requires ``iceberg-spark-runtime`` on the classpath and a catalog, e.g.::
+
+        spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<v> \\
+          --conf spark.sql.catalog.idx=org.apache.iceberg.spark.SparkCatalog \\
+          --conf spark.sql.catalog.idx.type=hadoop \\
+          --conf spark.sql.catalog.idx.warehouse=<path>
+
+    Not exercisable in this sandbox (no jar, no network) — covered by the
+    interface contract tests against HadoopTableStore instead.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str = "engine"):
+        self.spark = spark
+        self.prefix = f"{catalog}.{namespace}"
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.prefix}")
+
+    def _qual(self, table: str) -> str:
+        return f"{self.prefix}.{table}"
+
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._qual(table))
+
+    def table_meta(self, table: str) -> dict | None:
+        if not self.exists(table):
+            return None
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._qual(table)}").collect()
+        }
+        raw = props.get("engine.meta")
+        return json.loads(raw) if raw else {}
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.table(self._qual(table))
+
+    def write(self, table: str, df: DataFrame, *, partition_by=None,
+              sort_within_partitions=None, meta: dict | None = None) -> dict:
+        w = df
+        if sort_within_partitions:
+            w = w.sortWithinPartitions(*sort_within_partitions)
+        writer = w.writeTo(self._qual(table)).using("iceberg")
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        if meta:
+            blob = json.dumps(meta).replace("'", "''")
+            self.spark.sql(
+                f"ALTER TABLE {self._qual(table)} "
+                f"SET TBLPROPERTIES ('engine.meta'='{blob}')")
+        return {"snapshot": "iceberg", "meta": meta or {}}
+
+    def merge_by_key(self, table: str, updates: DataFrame, key: str) -> dict:
+        if not self.exists(table):
+            return self.write(table, updates)
+        updates.createOrReplaceTempView("_merge_updates")
+        cols = updates.columns
+        sets = ", ".join(f"t.{c} = u.{c}" for c in cols if c != key)
+        names = ", ".join(cols)
+        vals = ", ".join(f"u.{c}" for c in cols)
+        self.spark.sql(
+            f"MERGE INTO {self._qual(table)} t USING _merge_updates u "
+            f"ON t.{key} = u.{key} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})")
+        return {"snapshot": "iceberg-merge", "meta": {"merged_on": key}}
+
+
+def make_store(spark: SparkSession, root_or_catalog: str,
+               kind: str = "hadoop") -> TableStore:
+    if kind == "iceberg":
+        return IcebergCatalogStore(spark, root_or_catalog)
+    return HadoopTableStore(spark, root_or_catalog)

@@ -43,5 +43,6 @@ def spark():
         .config("spark.driver.memory", "4g")
         .getOrCreate()
     )
+    s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
