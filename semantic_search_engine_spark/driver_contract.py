@@ -1,0 +1,679 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+One entry per implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline extras: dedup, text stats, similarity). Each Spark
+callable takes ``(spark, sf_dir)`` and returns a DataFrame whose column
+names/types match the paired ANSI-SQL oracle exactly (the driver compares
+row-count + schema + order-insensitive value hash at sf=0.01).
+
+Float policy: any column produced by arithmetic is ``round(x, 4)`` on BOTH
+sides; ordering keys use raw values with a deterministic integer tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Tokenization rule — identical in Spark, DuckDB, and textproc.tokenize.
+TOK_SPARK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_QUERY_TERMS = ["join", "spark", "window"]  # present in driver vocab
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Full-text engine operators over `documents` (E3, E5, E6, E14, Q1-Q10)
+# ---------------------------------------------------------------------------
+
+def _toks(spark, sf_dir) -> DataFrame:
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.explode(F.expr(TOK_SPARK)).alias("term")))
+
+
+def q_doclen(spark, sf_dir):
+    """E3: tokenization + doc length."""
+    return (_toks(spark, sf_dir).groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("doc_len")))
+
+
+SQL_DOCLEN = f"""
+SELECT doc_id, count(*) AS doc_len
+FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+GROUP BY doc_id
+"""
+
+
+def q_corpus_stats(spark, sf_dir):
+    """E6: corpus statistics as pure aggregations."""
+    return (q_doclen(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_len"), 4).alias("avg_doc_len"),
+        F.sum("doc_len").alias("total_tokens")))
+
+
+SQL_CORPUS_STATS = f"""
+SELECT count(*) AS n_docs, round(avg(doc_len), 4) AS avg_doc_len,
+       sum(doc_len) AS total_tokens
+FROM ({SQL_DOCLEN})
+"""
+
+
+def q_term_stats(spark, sf_dir):
+    """E6: per-term document frequency + collection frequency."""
+    return (_toks(spark, sf_dir)
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count(F.lit(1)).alias("cf")))
+
+
+SQL_TERM_STATS = f"""
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+GROUP BY term
+"""
+
+
+def _bm25_scores(spark, sf_dir) -> DataFrame:
+    """Exhaustive DataFrame BM25 (E14/Q1): tf, df, dl, avgdl all as Spark
+    aggregations; idf weights joined via broadcast."""
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
+    return (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5))
+            * F.col("tf")
+            / (F.col("tf") + BM25_K1
+               * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))))
+        .groupBy("doc_id").agg(F.sum("contrib").alias("raw_score")))
+
+
+_SQL_BM25_SCORED = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                + {BM25_B} * dl.dl / stats.avgdl))) AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Q1+Q8+Q9: scored top-k, deterministic tie-break (score DESC, doc_id)."""
+    return (_bm25_scores(spark, sf_dir)
+            .orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(10)
+            .select("doc_id", F.round("raw_score", 4).alias("score")))
+
+
+SQL_BM25_TOPK = _SQL_BM25_SCORED + """
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored ORDER BY raw_score DESC, doc_id LIMIT 10
+"""
+
+
+def q_bm25_all_scores(spark, sf_dir):
+    """Q1: full scored candidate set (limit-free — robust hash compare)."""
+    return (_bm25_scores(spark, sf_dir)
+            .select("doc_id", F.round("raw_score", 4).alias("score")))
+
+
+SQL_BM25_ALL = _SQL_BM25_SCORED + \
+    "SELECT doc_id, round(raw_score, 4) AS score FROM scored"
+
+
+def q_bm25_filtered_count(spark, sf_dir):
+    """Q2+Q3+Q10: score threshold + structured filter + totalCount."""
+    scores = _bm25_scores(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (scores.join(docs, "doc_id")
+            .filter((F.col("raw_score") >= 0.5) & (F.col("lang") == "en"))
+            .agg(F.count(F.lit(1)).alias("total_count")))
+
+
+SQL_BM25_FILTERED_COUNT = _SQL_BM25_SCORED + """
+SELECT count(*) AS total_count
+FROM scored JOIN documents USING (doc_id)
+WHERE raw_score >= 0.5 AND lang = 'en'
+"""
+
+
+def q_doc_id_assignment(spark, sf_dir):
+    """E4: stable 60-bit hash doc id from a synthesized url."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return d.select(
+        "doc_id", "url",
+        F.conv(F.substring(F.sha2(F.col("url"), 256), 1, 15), 16, 10)
+        .cast("long").alias("hashed_doc_id"))
+
+
+SQL_DOC_ID_ASSIGNMENT = """
+SELECT doc_id,
+       concat('https://example.org/doc/', CAST(doc_id AS VARCHAR)) AS url,
+       CAST(concat('0x', substr(sha256(
+            concat('https://example.org/doc/', CAST(doc_id AS VARCHAR))
+       ), 1, 15)) AS BIGINT) AS hashed_doc_id
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational operators (Q2–Q12, S-series) over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_agg_pushdown(spark, sf_dir):
+    """TPC-H Q1 shape: filtered scan → partial-agg groupBy (map-side combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1997-06-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+SQL_AGG_PUSHDOWN = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_orderby_limit(spark, sf_dir):
+    """Q8/Q9: ORDER BY DESC + LIMIT → TakeOrderedAndProject."""
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10))
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_pagination_offset(spark, sf_dir):
+    """Q9 OFFSET via row_number window (rows 11–20 of the ranking)."""
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice",
+                    F.row_number().over(w).alias("rn"))
+            .filter((F.col("rn") > 10) & (F.col("rn") <= 20)))
+
+
+SQL_PAGINATION = """
+SELECT o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn > 10 AND rn <= 20
+"""
+
+
+def q_filter_range_count(spark, sf_dir):
+    """Q5/Q6/Q10: independent range bounds + threshold + count."""
+    return (_t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_extendedprice").between(1000.0, 5000.0)
+                    & (F.col("l_quantity") >= 25.0))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+SQL_FILTER_RANGE_COUNT = """
+SELECT count(*) AS cnt FROM lineitem
+WHERE l_extendedprice BETWEEN 1000.0 AND 5000.0 AND l_quantity >= 25.0
+"""
+
+
+def q_substring_ci_filter(spark, sf_dir):
+    """Q4: case-insensitive substring filter."""
+    return (_t(spark, sf_dir, "orders")
+            .filter(F.lower(F.col("o_orderpriority")).contains("urgent"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+SQL_SUBSTRING_CI = """
+SELECT o_orderpriority, count(*) AS cnt FROM orders
+WHERE lower(o_orderpriority) LIKE '%urgent%'
+GROUP BY o_orderpriority
+"""
+
+
+def q_array_contains(spark, sf_dir):
+    """Q3: array membership over the tokenized text column."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.expr(TOK_SPARK).alias("toks"))
+            .filter(F.array_contains("toks", "spark"))
+            .select("doc_id"))
+
+
+SQL_ARRAY_CONTAINS = f"""
+SELECT doc_id FROM documents
+WHERE list_contains({TOK_SQL}, 'spark')
+"""
+
+
+def q_join_agg_broadcast(spark, sf_dir):
+    """Dim joins (broadcast) + group agg — orders × customer × nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
+SQL_JOIN_AGG = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_merge_latest(spark, sf_dir):
+    """S4 upsert keep-latest semantics: arg-max row per key."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (_t(spark, sf_dir, "orders")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey")))
+
+
+SQL_MERGE_LATEST = """
+SELECT o_custkey, o_orderkey AS latest_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ingest normalization parsers (P2, P4, P5, P6) — data_ingestion.py analogues
+# ---------------------------------------------------------------------------
+
+def q_parse_price(spark, sf_dir):
+    """P2 (data_ingestion.py:119-129): strip non-numeric chars → double."""
+    p = _t(spark, sf_dir, "part").withColumn(
+        "raw", F.concat(F.lit("USD "), F.col("p_size").cast("string"),
+                        F.lit(".99 approx")))
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("raw", r"[^0-9.]", "").cast("double")
+        .alias("price_parsed"))
+
+
+SQL_PARSE_PRICE = """
+SELECT p_partkey,
+       CAST(regexp_replace(
+            concat('USD ', CAST(p_size AS VARCHAR), '.99 approx'),
+            '[^0-9.]', '', 'g') AS DOUBLE) AS price_parsed
+FROM part
+"""
+
+
+def q_parse_reviewcount(spark, sf_dir):
+    """P5 (data_ingestion.py:162-177): '12K' → 12000, '3M' → 3000000."""
+    p = _t(spark, sf_dir, "part").withColumn(
+        "raw", F.when(F.col("p_partkey") % 2 == 0,
+                      F.concat(F.col("p_size").cast("string"), F.lit("K")))
+               .otherwise(F.concat(F.col("p_size").cast("string"), F.lit("M"))))
+    num = F.regexp_replace("raw", "[KM]", "").cast("double")
+    return p.select(
+        "p_partkey",
+        F.when(F.upper("raw").contains("K"), num * 1000)
+        .when(F.upper("raw").contains("M"), num * 1000000)
+        .otherwise(num).cast("long").alias("review_count"))
+
+
+SQL_PARSE_REVIEWCOUNT = """
+SELECT p_partkey,
+       CAST(CASE
+         WHEN raw LIKE '%K' THEN CAST(regexp_replace(raw, '[KM]', '', 'g') AS DOUBLE) * 1000
+         WHEN raw LIKE '%M' THEN CAST(regexp_replace(raw, '[KM]', '', 'g') AS DOUBLE) * 1000000
+         ELSE CAST(regexp_replace(raw, '[KM]', '', 'g') AS DOUBLE)
+       END AS BIGINT) AS review_count
+FROM (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 2 = 0
+              THEN concat(CAST(p_size AS VARCHAR), 'K')
+              ELSE concat(CAST(p_size AS VARCHAR), 'M') END AS raw
+  FROM part
+)
+"""
+
+
+def q_rating_clamp(spark, sf_dir):
+    """P4 (data_ingestion.py:150-160): clamp to [0, 5]."""
+    return (_t(spark, sf_dir, "events")
+            .select("event_id",
+                    F.least(F.greatest(F.col("value"), F.lit(0.0)),
+                            F.lit(5.0)).alias("rating_clamped")))
+
+
+SQL_RATING_CLAMP = """
+SELECT event_id, least(greatest(value, 0.0), 5.0) AS rating_clamped
+FROM events
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON prop decode (test-shim analogue TestProductRepository.java:36-44)."""
+    return (_t(spark, sf_dir, "events")
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("long").alias("k")))
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+def q_null_normalization(spark, sf_dir):
+    """P6 (data_ingestion.py:81-98): trim/empty→default normalization."""
+    return (_t(spark, sf_dir, "part")
+            .select("p_partkey",
+                    F.coalesce(F.nullif(F.trim(F.col("p_brand")), F.lit("")),
+                               F.lit("unknown")).alias("brand_norm")))
+
+
+SQL_NULL_NORMALIZATION = """
+SELECT p_partkey,
+       coalesce(nullif(trim(p_brand), ''), 'unknown') AS brand_norm
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extras: dedup, text analysis, similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_fingerprint(spark, sf_dir):
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint")))
+
+
+SQL_DEDUP_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: group docs by content hash, keep the min doc_id."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+SQL_DEDUP_EXACT_GROUPS = """
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash (2 permutations via keyed md5) over distinct token sets."""
+    toks = _toks(spark, sf_dir).distinct()
+    return toks.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat(F.col("term"), F.lit(":s1")).cast("binary")))
+        .alias("mh1"),
+        F.min(F.md5(F.concat(F.col("term"), F.lit(":s2")).cast("binary")))
+        .alias("mh2"))
+
+
+SQL_MINHASH = f"""
+SELECT doc_id,
+       min(md5(concat(term, ':s1'))) AS mh1,
+       min(md5(concat(term, ':s2'))) AS mh2
+FROM (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+GROUP BY doc_id
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram (1-gram) Jaccard similarity between adjacent doc pairs."""
+    toks = _toks(spark, sf_dir).distinct().filter(F.col("doc_id") < 100)
+    a = toks.alias("a")
+    b = toks.select((F.col("doc_id") - 1).alias("doc_id"),
+                    F.col("term")).alias("b")
+    inter = (a.join(b, ["doc_id", "term"])
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sz_b = sizes.select((F.col("doc_id") - 1).alias("doc_id"),
+                        F.col("n").alias("n_next"))
+    return (sizes.join(sz_b, "doc_id").join(inter, "doc_id", "left")
+            .filter(F.col("doc_id") < 99)
+            .select("doc_id",
+                    F.round(F.coalesce(F.col("n_inter"), F.lit(0))
+                            / (F.col("n") + F.col("n_next")
+                               - F.coalesce(F.col("n_inter"), F.lit(0))), 4)
+                    .alias("jaccard")))
+
+
+SQL_JACCARD = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term
+  FROM documents WHERE doc_id < 100
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id, count(*) AS n_inter
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 AND b.term = a.term
+  GROUP BY a.doc_id
+)
+SELECT s.doc_id,
+       round(coalesce(i.n_inter, 0)
+             / (s.n + s2.n - coalesce(i.n_inter, 0)), 4) AS jaccard
+FROM sizes s
+JOIN sizes s2 ON s2.doc_id = s.doc_id + 1
+LEFT JOIN inter i ON i.doc_id = s.doc_id
+WHERE s.doc_id < 99
+"""
+
+
+def q_langid_heuristic(spark, sf_dir):
+    """Language-ID heuristic: function-word ratio → 'en' / 'other'."""
+    toks = _toks(spark, sf_dir)
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0))
+        .alias("n_stop"))
+    return agg.select(
+        "doc_id",
+        F.when(F.col("n_stop") / F.col("n") >= 0.03, "en")
+        .otherwise("other").alias("pred_lang"))
+
+
+SQL_LANGID = f"""
+SELECT doc_id,
+       CASE WHEN n_stop * 1.0 / n >= 0.03 THEN 'en' ELSE 'other' END
+         AS pred_lang
+FROM (
+  SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN term IN ({', '.join(repr(s) for s in STOPWORDS)})
+                  THEN 1 ELSE 0 END) AS n_stop
+  FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+  GROUP BY doc_id
+)
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality features: token count, type-token ratio, mean token length."""
+    toks = _toks(spark, sf_dir)
+    return (toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.countDistinct("term") / F.count(F.lit(1)), 4).alias("ttr"),
+        F.round(F.avg(F.length("term")), 4).alias("avg_token_len")))
+
+
+SQL_QUALITY = f"""
+SELECT doc_id, count(*) AS n_tokens,
+       round(count(DISTINCT term) * 1.0 / count(*), 4) AS ttr,
+       round(avg(length(term)), 4) AS avg_token_len
+FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+GROUP BY doc_id
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens vs alnum-run tokens per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
+        F.size(F.expr(TOK_SPARK)).alias("alnum_tokens"))
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len({TOK_SQL}) AS alnum_tokens
+FROM documents
+"""
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs vec_id=0 (ANN baseline; E-similarity).
+
+    Dot/norm via zip_with + aggregate — JVM-side, no Python.
+    """
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("p"))
+    dot = F.aggregate(F.zip_with("v", "p", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.zip_with("v", "v", lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    np_ = F.sqrt(F.aggregate(F.zip_with("p", "p", lambda x, y: x * y),
+                             F.lit(0.0), lambda acc, x: acc + x))
+    return (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+            .select("vec_id", (dot / (nv * np_)).alias("raw_cos"))
+            .orderBy(F.desc("raw_cos"), F.asc("vec_id")).limit(10)
+            .select("vec_id", F.round("raw_cos", 4).alias("cosine")))
+
+
+SQL_EMBEDDING_COSINE = """
+WITH exploded AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+probe AS (SELECT i, x AS y FROM exploded WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         sum(e.x * p.y) / (sqrt(sum(e.x * e.x)) * sqrt(sum(p.y * p.y)))
+           AS raw_cos
+  FROM exploded e JOIN probe p USING (i)
+  WHERE e.vec_id != 0
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(raw_cos, 4) AS cosine
+FROM scored ORDER BY raw_cos DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    # full-text engine core
+    "doclen": (q_doclen, SQL_DOCLEN),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "term_stats": (q_term_stats, SQL_TERM_STATS),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "bm25_all_scores": (q_bm25_all_scores, SQL_BM25_ALL),
+    "bm25_filtered_count": (q_bm25_filtered_count, SQL_BM25_FILTERED_COUNT),
+    "doc_id_assignment": (q_doc_id_assignment, SQL_DOC_ID_ASSIGNMENT),
+    # relational operators
+    "agg_pushdown": (q_agg_pushdown, SQL_AGG_PUSHDOWN),
+    "topk_orderby_limit": (q_topk_orderby_limit, SQL_TOPK),
+    "pagination_offset": (q_pagination_offset, SQL_PAGINATION),
+    "filter_range_count": (q_filter_range_count, SQL_FILTER_RANGE_COUNT),
+    "substring_ci_filter": (q_substring_ci_filter, SQL_SUBSTRING_CI),
+    "array_contains": (q_array_contains, SQL_ARRAY_CONTAINS),
+    "join_agg_broadcast": (q_join_agg_broadcast, SQL_JOIN_AGG),
+    "merge_latest": (q_merge_latest, SQL_MERGE_LATEST),
+    # ingest parsers
+    "parse_price": (q_parse_price, SQL_PARSE_PRICE),
+    "parse_reviewcount": (q_parse_reviewcount, SQL_PARSE_REVIEWCOUNT),
+    "rating_clamp": (q_rating_clamp, SQL_RATING_CLAMP),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "null_normalization": (q_null_normalization, SQL_NULL_NORMALIZATION),
+    # training-data pipeline extras
+    "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
+    "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD),
+    "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
+    "quality_score": (q_quality_score, SQL_QUALITY),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items()
+            if sql is not None}

@@ -1,0 +1,54 @@
+"""Replicates the driver's correctness gate locally: every REGISTRY entry's
+Spark result must match its DuckDB oracle at sf0.01 (row count, column
+names, values as an order-insensitive multiset; floats to 1e-6)."""
+
+import math
+
+import duckdb
+import pytest
+
+from semantic_search_engine_spark.driver_contract import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def canon(df):
+    """pandas → sorted list of canonicalized tuples, sorted column order."""
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False):
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append(None)
+            elif isinstance(v, float):
+                vals.append(round(v, 6))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return cols, sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, ddb):
+    fn, sql = REGISTRY[name]
+    got_cols, got = canon(fn(spark, SF_DIR).toPandas())
+    exp_cols, exp = canon(ddb.execute(sql).df())
+    assert got_cols == exp_cols, f"{name}: columns differ"
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    mismatches = [i for i, (g, e) in enumerate(zip(got, exp)) if g != e]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: "
+        f"{got[mismatches[0]]} != {exp[mismatches[0]]}")
