@@ -30,6 +30,7 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.varbyte import decode_block
 from ..sources.store import TableStore
 from ..textproc import tokenize
+from .wand import WAND_OUT_SCHEMA, make_wand_group_fn
 
 DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
 
@@ -138,6 +139,32 @@ class QueryEngine:
         return scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
 
     # ------------------------------------------------------------------
+    def wand_top_k_df(self, query: str, k: int | None = None) -> DataFrame:
+        """Block-max WAND top-k (E10) — the fast path for bare top-k.
+
+        One job: pruned postings scan → per-doc-bucket WAND
+        (``applyInPandas`` groups on ``partition_id``, each a doc-id-sorted
+        slice of every query term's postings) → merge of ≤ P·k local hits
+        with ``orderBy(score DESC, doc_id ASC).limit(k)``. Exact — the union
+        of per-bucket top-k sets contains the global top-k.
+        """
+        cfg = self.cfg
+        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        qterms = sorted(set(tokenize(query, cfg.max_token_len)))
+        idfs = self.term_idfs(qterms)
+        avgdl = self.corpus_stats()["avg_doc_len"]
+        if not idfs or avgdl <= 0:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        blocks = self._postings_for_terms(sorted(idfs)).select(
+            "term", "partition_id", "block_id", "last_doc_id",
+            "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
+        fn = make_wand_group_fn(idfs, k, float(cfg.k1), float(cfg.b), avgdl)
+        local = blocks.groupBy("partition_id").applyInPandas(
+            fn, schema=WAND_OUT_SCHEMA)
+        return (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .select("doc_id", "score"))
+
+    # ------------------------------------------------------------------
     def search_df(
         self,
         query: str,
@@ -229,6 +256,13 @@ class QueryEngine:
             "execution_time_ms": int((time.time() - t0) * 1000),
         }
 
-    def top_k(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def top_k(self, query: str, k: int = 10,
+              mode: str = "wand") -> list[tuple[int, float]]:
+        """Bare top-k. ``mode="wand"`` (default) runs block-max WAND;
+        ``mode="exhaustive"`` scores every candidate (correctness baseline —
+        the two must be rank-identical)."""
+        if mode == "wand":
+            rows = self.wand_top_k_df(query, k=k).collect()
+            return [(int(r["doc_id"]), float(r["score"])) for r in rows]
         r = self.search(query, k=k, count_mode="none")
         return [(h["doc_id"], h["score"]) for h in r["results"]]

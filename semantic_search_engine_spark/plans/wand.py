@@ -1,0 +1,261 @@
+"""Block-Max WAND top-k over compressed posting blocks (SURVEY.md §2.2 E10).
+
+The fast query path: posting-list intersection with block-max pruning and a
+bounded min-heap (Broder et al., CIKM 2003; Ding & Suel, SIGIR 2011 — public
+algorithms). Reproduces the reference's scored top-k semantics
+(``search-api/.../repository/ProductRepository.java:70-82``: ORDER BY
+similarity DESC LIMIT k) without scoring every candidate: lagging cursors
+hop over whole compressed blocks via their ``last_doc_id`` fences without
+decoding them, and candidates whose block-max score upper bound cannot beat
+the current k-th score are skipped without computing BM25.
+
+Distribution model (Spark-first): the postings table is range-bucketed by
+doc id (``partition_id``), so every bucket holds a doc-id-sorted slice of
+each term's posting list. WAND runs *independently per bucket* inside one
+``applyInPandas`` group — the union of per-bucket top-K sets is a superset
+of the global top-K (each global winner lives in exactly one bucket and must
+be in that bucket's local top-K), so a final
+``orderBy(score DESC, doc_id ASC).limit(K)`` merge over ≤ P·K candidate rows
+is exact. At web scale each group sees only ~|term postings|/P compressed
+bytes and the merge moves P·K ≈ thousands of rows — no full-corpus shuffle.
+
+Determinism (rank-identity with the single-node oracle): a document's score
+is accumulated over query terms in sorted-term order — the identical float
+summation order used by ``oracle.OracleIndex.search`` — and ordering is
+``(score DESC, doc_id ASC)`` throughout. Pruning is exact including
+tie-breaks: WAND visits candidates in increasing doc_id order, so every
+heap member has a smaller doc_id than any future candidate — a future doc
+that can at best *tie* the k-th score would lose the doc_id tie-break
+anyway, which makes the classic strict-``>`` pivot test and ``<=``
+block-skip lossless under our deterministic ordering.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..functions.varbyte import decode_varbyte, delta_decode
+
+EXHAUSTED = 1 << 62
+
+
+class BlockCursor:
+    """Doc-at-a-time cursor over one term's compressed block sequence.
+
+    Blocks arrive sorted by doc id (build order: ``partition_id, block_id``).
+    ``seek`` first hops over blocks whose ``last_doc_id`` fence is below the
+    target — those are never decoded — then binary-searches inside the one
+    decoded block. ``decoded_blocks`` counts decodes (pruning evidence).
+    """
+
+    __slots__ = ("weight", "blocks", "lasts", "k1", "b", "avgdl", "bi",
+                 "pos", "ids", "tfs", "dls", "cur_doc", "decoded_blocks",
+                 "max_block_ub")
+
+    def __init__(self, blocks: list[dict], weight: float,
+                 k1: float, b: float, avgdl: float):
+        self.weight = weight
+        self.blocks = blocks
+        self.lasts = np.array([blk["last_doc_id"] for blk in blocks],
+                              dtype=np.int64)
+        self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.bi = -1
+        self.pos = 0
+        self.ids = self.tfs = self.dls = None
+        self.cur_doc = EXHAUSTED
+        self.decoded_blocks = 0
+        self.max_block_ub = weight * max(
+            (blk["block_max_tf_norm"] for blk in blocks), default=0.0)
+        self._enter_block(0)
+
+    # ------------------------------------------------------------------
+    def _enter_block(self, bi: int) -> None:
+        """Decode block ``bi`` and stand on its first entry."""
+        if bi >= len(self.blocks):
+            self.bi = len(self.blocks)
+            self.cur_doc = EXHAUSTED
+            return
+        blk = self.blocks[bi]
+        self.bi = bi
+        self.ids = delta_decode(
+            decode_varbyte(blk["doc_ids_vb"])).astype(np.int64)
+        self.tfs = decode_varbyte(blk["tfs_vb"]).astype(np.int64)
+        self.dls = decode_varbyte(blk["dls_vb"]).astype(np.int64)
+        self.decoded_blocks += 1
+        self.pos = 0
+        self.cur_doc = int(self.ids[0])
+
+    # ------------------------------------------------------------------
+    def block_ub(self) -> float:
+        """Score upper bound of the *current* block (block-max metadata)."""
+        if self.bi >= len(self.blocks):
+            return 0.0
+        return self.weight * self.blocks[self.bi]["block_max_tf_norm"]
+
+    def seek(self, target: int) -> None:
+        """Advance to the first posting with doc id >= target."""
+        if self.cur_doc >= target:
+            return
+        # fence-hop: binary search the block whose last_doc_id >= target
+        if self.bi < len(self.blocks) and target > self.lasts[self.bi]:
+            bi = int(np.searchsorted(self.lasts, target, side="left"))
+            self._enter_block(bi)
+            if self.cur_doc >= target:
+                return
+        if self.bi >= len(self.blocks):
+            return
+        # in-block binary search (block's last_doc_id >= target here)
+        pos = int(np.searchsorted(self.ids, target, side="left"))
+        self.pos = pos
+        self.cur_doc = int(self.ids[pos])
+
+    def next_doc(self) -> None:
+        self.pos += 1
+        if self.pos < len(self.ids):
+            self.cur_doc = int(self.ids[self.pos])
+        else:
+            self._enter_block(self.bi + 1)
+
+    def contrib(self) -> float:
+        """BM25 contribution of the current posting: w·tf/(tf + K(dl))."""
+        tf = float(self.tfs[self.pos])
+        k_dl = self.k1 * (1.0 - self.b
+                          + self.b * float(self.dls[self.pos]) / self.avgdl)
+        return self.weight * tf / (tf + k_dl)
+
+
+def wand_top_k(
+    term_blocks: dict[str, list[dict]],
+    weights: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> tuple[list[tuple[int, float]], dict]:
+    """Exact block-max WAND top-k over one doc-id-sorted posting slice.
+
+    ``term_blocks``: term → blocks sorted by doc id. ``weights``: term → idf.
+    Returns ``(hits, stats)``: hits as ``(doc_id, score)`` in
+    ``(score DESC, doc_id ASC)`` order; stats reports pruning counters.
+    """
+    cursors = []
+    for term in sorted(term_blocks):  # sorted → deterministic scoring order
+        blocks = term_blocks[term]
+        if blocks and term in weights and avgdl > 0:
+            c = BlockCursor(blocks, weights[term], k1, b, avgdl)
+            if c.cur_doc != EXHAUSTED:
+                cursors.append(c)
+    all_cursors = list(cursors)
+
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+    evaluated = 0
+    skipped_evals = 0
+
+    while cursors:
+        cursors.sort(key=lambda c: c.cur_doc)
+        theta = heap[0][0] if len(heap) >= k else float("-inf")
+        # pivot: smallest prefix whose summed term UBs can *beat* theta.
+        # Strict `>` is exact including tie-breaks: candidates arrive in
+        # increasing doc_id order, so every heap member has a smaller doc_id
+        # than any future candidate — a future doc scoring exactly theta
+        # loses the (score DESC, doc_id ASC) tie-break and is prunable.
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(cursors):
+            acc += c.max_block_ub
+            if acc > theta:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # no remaining doc can reach the k-th score
+        pivot_doc = cursors[pivot_idx].cur_doc
+
+        if cursors[0].cur_doc == pivot_doc:
+            # all cursors at the pivot doc (sorted ⇒ prefix is exactly here;
+            # later cursors may tie). Bound the doc with current-block maxima
+            # over *every* cursor standing on pivot_doc.
+            at_pivot = [c for c in cursors if c.cur_doc == pivot_doc]
+            block_ub = sum(c.block_ub() for c in at_pivot)
+            if len(heap) >= k and block_ub <= theta:
+                skipped_evals += 1
+            else:
+                # at_pivot preserves sorted-term order (stable sort over a
+                # term-sorted build list) ⇒ oracle summation order.
+                score = 0.0
+                for c in at_pivot:
+                    score += c.contrib()
+                evaluated += 1
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+            for c in at_pivot:
+                c.next_doc()
+        else:
+            # lagging cursors jump to the pivot, hopping fences undecoded
+            for c in cursors:
+                if c.cur_doc >= pivot_doc:
+                    break
+                c.seek(pivot_doc)
+        cursors = [c for c in cursors if c.cur_doc != EXHAUSTED]
+
+    hits = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
+    stats = {
+        "evaluated_docs": evaluated,
+        "skipped_evals": skipped_evals,
+        "decoded_blocks": sum(c.decoded_blocks for c in all_cursors),
+        "total_blocks": sum(len(v) for v in term_blocks.values()),
+    }
+    return hits, stats
+
+
+def group_blocks_by_term(pdf) -> dict[str, list[dict]]:
+    """pandas block rows (sorted by (term, partition_id, block_id)) →
+    term → block dicts for :class:`BlockCursor`."""
+    out: dict[str, list[dict]] = {}
+    for term, last, bmax, dvb, tvb, lvb in zip(
+            pdf["term"], pdf["last_doc_id"], pdf["block_max_tf_norm"],
+            pdf["doc_ids_vb"], pdf["tfs_vb"], pdf["dls_vb"]):
+        out.setdefault(term, []).append({
+            "last_doc_id": int(last),
+            "block_max_tf_norm": float(bmax),
+            "doc_ids_vb": bytes(dvb),
+            "tfs_vb": bytes(tvb),
+            "dls_vb": bytes(lvb),
+        })
+    return out
+
+
+WAND_OUT_SCHEMA = "partition_id int, doc_id long, score double"
+
+
+def make_wand_group_fn(weights: dict[str, float], k: int, k1: float,
+                       b: float, avgdl: float):
+    """``applyInPandas`` body: one doc-range bucket's blocks → local top-k.
+
+    Output schema: :data:`WAND_OUT_SCHEMA`. The closure ships only the tiny
+    (|query terms|) weight dict to executors — broadcast-sized state.
+    """
+    import pandas as pd
+
+    def run_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"partition_id": pd.Series([], dtype="int32"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")})
+        pdf = pdf.sort_values(["term", "partition_id", "block_id"],
+                              kind="mergesort")
+        hits, _ = wand_top_k(group_blocks_by_term(pdf), weights, k,
+                             k1, b, avgdl)
+        pid = int(pdf["partition_id"].iloc[0])
+        return pd.DataFrame({
+            "partition_id": pd.Series([pid] * len(hits), dtype="int32"),
+            "doc_id": pd.Series([d for d, _ in hits], dtype="int64"),
+            "score": pd.Series([s for _, s in hits], dtype="float64"),
+        })
+
+    return run_bucket

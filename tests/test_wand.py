@@ -1,0 +1,176 @@
+"""Block-max WAND (E10) correctness + pruning evidence (FIXTURES.md §4.5).
+
+Property layer: WAND over compressed blocks must equal exhaustive scoring
+on randomized corpora (the reference has no property tests — SURVEY.md §5.1
+"Not present"; we add them). Spark layer: `QueryEngine.top_k(mode="wand")`
+must be rank-identical to the oracle and to the exhaustive Spark path.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pytest
+
+from semantic_search_engine_spark.functions.varbyte import encode_blocks
+from semantic_search_engine_spark.plans.wand import wand_top_k
+
+K1, B = 1.2, 0.75
+
+
+def _random_index(rng, n_docs, n_terms, density, block_size):
+    """Random corpus → (term_blocks, weights, exhaustive scorer inputs)."""
+    avgdl = 0.0
+    doc_len = rng.integers(5, 200, size=n_docs)
+    avgdl = float(doc_len.mean())
+    term_postings = {}
+    for t in range(n_terms):
+        mask = rng.random(n_docs) < density * (1.0 if t else 3.0)
+        ids = np.flatnonzero(mask).astype(np.uint64)
+        if ids.size == 0:
+            continue
+        tfs = rng.integers(1, 8, size=ids.size).astype(np.uint64)
+        term_postings[f"t{t:02d}"] = (ids, tfs)
+    term_blocks = {}
+    for term, (ids, tfs) in term_postings.items():
+        dls = doc_len[ids.astype(np.int64)].astype(np.uint64)
+        term_blocks[term] = encode_blocks(ids, tfs, dls, avgdl, K1, B,
+                                          block_size)
+    weights = {t: float(rng.uniform(0.1, 3.0))
+               for t in term_postings}
+    return term_blocks, weights, term_postings, doc_len, avgdl
+
+
+def _exhaustive_top_k(term_postings, weights, doc_len, avgdl, k):
+    scores: dict[int, float] = {}
+    for term in sorted(term_postings):  # same summation order as WAND/oracle
+        if term not in weights:
+            continue
+        w = weights[term]
+        ids, tfs = term_postings[term]
+        for d, tf in zip(ids.astype(int), tfs.astype(int)):
+            dl = float(doc_len[d])
+            contrib = w * tf / (tf + K1 * (1 - B + B * dl / avgdl))
+            scores[d] = scores.get(d, 0.0) + contrib
+    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("block_size", [4, 32])
+def test_wand_equals_exhaustive_random(seed, block_size):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_docs = int(rng.integers(50, 800))
+    term_blocks, weights, postings, doc_len, avgdl = _random_index(
+        rng, n_docs, n_terms=int(rng.integers(2, 6)), density=0.2,
+        block_size=block_size)
+    k = int(rng.integers(1, 25))
+    got, stats = wand_top_k(term_blocks, weights, k, K1, B, avgdl)
+    expected = _exhaustive_top_k(postings, weights, doc_len, avgdl, k)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert math.isclose(gs, es, rel_tol=0, abs_tol=1e-12), (gd, ed)
+
+
+def test_wand_exact_float_identity_with_sorted_term_sum():
+    """Scores must be bit-identical to sorted-term-order accumulation."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    term_blocks, weights, postings, doc_len, avgdl = _random_index(
+        rng, 300, n_terms=4, density=0.5, block_size=8)
+    got, _ = wand_top_k(term_blocks, weights, 10, K1, B, avgdl)
+    expected = _exhaustive_top_k(postings, weights, doc_len, avgdl, 10)
+    assert [s for _, s in got] == [s for _, s in expected]  # == on floats
+
+
+def test_wand_ties_break_by_doc_id():
+    """Identical docs → identical scores; top-k must pick the smallest ids."""
+    n, bs = 64, 4
+    ids = np.arange(n, dtype=np.uint64)
+    tfs = np.full(n, 3, dtype=np.uint64)
+    dls = np.full(n, 50, dtype=np.uint64)
+    blocks = {"t": encode_blocks(ids, tfs, dls, 50.0, K1, B, bs)}
+    got, _ = wand_top_k(blocks, {"t": 1.5}, 10, K1, B, 50.0)
+    assert [d for d, _ in got] == list(range(10))
+    assert len({s for _, s in got}) == 1
+
+
+def test_wand_prunes_blocks_on_selective_query():
+    """A rare term AND a stopword: WAND must not decode most stopword
+    blocks — the lagging cursor fence-hops to the rare term's candidates."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    n_docs = 100_000
+    doc_len = rng.integers(20, 200, size=n_docs)
+    avgdl = float(doc_len.mean())
+    stop_ids = np.arange(0, n_docs, 2, dtype=np.uint64)       # df = 50k
+    rare_ids = np.array([10, 40_000, 99_990], dtype=np.uint64)
+    mk = lambda ids: encode_blocks(
+        ids, rng.integers(1, 5, size=ids.size).astype(np.uint64),
+        doc_len[ids.astype(np.int64)].astype(np.uint64),
+        avgdl, K1, B, 128)
+    term_blocks = {"stop": mk(stop_ids), "rare": mk(rare_ids)}
+    # idf-like weights: rare term dominates
+    weights = {"stop": 0.05, "rare": 8.0}
+    got, stats = wand_top_k(term_blocks, weights, 3, K1, B, avgdl)
+    assert {d for d, _ in got} <= {10, 40_000, 99_990, 11, 41, 9}  # rare docs win
+    assert stats["total_blocks"] > 350
+    # decisive: vast majority of the stopword's blocks were never decoded
+    assert stats["decoded_blocks"] < stats["total_blocks"] * 0.15, stats
+
+
+def test_wand_empty_and_missing_terms():
+    got, stats = wand_top_k({}, {}, 10, K1, B, 100.0)
+    assert got == []
+    rng = np.random.Generator(np.random.PCG64(1))
+    tb, w, *_ = _random_index(rng, 100, 2, 0.3, 8)
+    got, _ = wand_top_k(tb, {}, 10, K1, B, 100.0)  # no weighted terms
+    assert got == []
+
+
+# ---------------------------------------------------------------------------
+# Spark layer
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def wand_built(spark, tiny_corpus_dir, tmp_path_factory):
+    from semantic_search_engine_spark.config import EngineConfig
+    from semantic_search_engine_spark.plans.build_index import IndexBuilder
+    from semantic_search_engine_spark.sources.store import HadoopTableStore
+
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=8,
+                       shuffle_partitions=8, block_size=32)
+    store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wand_wh")))
+    docs = spark.read.parquet(f"{tiny_corpus_dir}/documents.parquet")
+    IndexBuilder(spark, store, cfg).build(docs)
+    return store, cfg
+
+
+def test_spark_wand_rank_identical_to_oracle(spark, wand_built, tiny_rows):
+    from semantic_search_engine_spark.corpus import QUERY_CORPUS
+    from semantic_search_engine_spark.oracle import OracleIndex
+    from semantic_search_engine_spark.plans.query import QueryEngine
+
+    store, cfg = wand_built
+    oracle = OracleIndex.build(tiny_rows, cfg)
+    qe = QueryEngine(spark, store, cfg)
+    for pq in QUERY_CORPUS:
+        expected = oracle.top_k(pq.query, k=10)
+        got = qe.top_k(pq.query, k=10, mode="wand")
+        assert [d for d, _ in got] == [d for d, _ in expected], pq.query
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert math.isclose(gs, es, abs_tol=1e-6), (pq.query, gd)
+
+
+def test_spark_wand_equals_exhaustive_path(spark, wand_built):
+    from semantic_search_engine_spark.plans.query import QueryEngine
+
+    store, cfg = wand_built
+    qe = QueryEngine(spark, store, cfg)
+    for q in ["zipfhead0 zipfhead1", "wireless bluetooth headphones",
+              "raretermxq zipfhead0"]:
+        wand = qe.top_k(q, k=25, mode="wand")
+        exh = qe.top_k(q, k=25, mode="exhaustive")
+        assert [d for d, _ in wand] == [d for d, _ in exh], q
+        for (wd, ws), (ed, es) in zip(wand, exh):
+            assert math.isclose(ws, es, abs_tol=1e-9), (q, wd)
