@@ -10,6 +10,11 @@ scale mapped from ``$SPARK_GRAFT_SF_DIR`` and prints ONE JSON line::
 Run directly: ``python bench.py``. Env knobs:
   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1) — selects scale
   SPARK_GRAFT_CPUS    (default 32)                   — local[N]
+
+``python bench.py --scaling`` runs the identical index build at local[8]
+and local[32] in fresh subprocesses (the sandbox stand-in for N vs 4N
+executors, per the driver instruction), prints both throughputs plus the
+scaling efficiency, and rewrites the measured-results section of BENCH.md.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
@@ -100,5 +106,86 @@ def main() -> None:
     spark.stop()
 
 
+def scaling_main() -> None:
+    """Two-cluster-size scaling evidence (north_rule): same input, same code,
+    local[8] vs local[32]; efficiency = (thr_32 / thr_8) / (32 / 8)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=3600)
+        line = out.stdout.strip().splitlines()[-1]
+        runs[cpus] = json.loads(line)
+        print(f"local[{cpus}]: build {runs[cpus]['queries']['index_build']}s, "
+              f"{runs[cpus]['docs_per_sec']} docs/sec", file=sys.stderr)
+    thr8, thr32 = runs[8]["docs_per_sec"], runs[32]["docs_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    result = {
+        "metric": "index_build_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {"docs_per_sec_local8": thr8,
+                    "docs_per_sec_local32": thr32,
+                    "build_sec_local8": runs[8]["queries"]["index_build"],
+                    "build_sec_local32": runs[32]["queries"]["index_build"]},
+        "sf": runs[32]["sf"],
+        "n_docs": runs[32]["n_docs"],
+        "runs": {str(c): r for c, r in runs.items()},
+    }
+    print(json.dumps(result))
+    _write_bench_md(result)
+
+
+def _write_bench_md(result: dict) -> None:
+    lines = [
+        "# BENCH — measured scaling evidence",
+        "",
+        "North-rule criterion: indexing-throughput scaling efficiency >= 0.8",
+        "between N and 4N executors. No real cluster in this sandbox, so the",
+        "same job runs at two parallelism levels on the same input",
+        "(local[8] vs local[32]), per the driver instruction.",
+        "",
+        f"Corpus: {result['n_docs']} synthetic webtext docs "
+        f"(seeded, deterministic), sf={result['sf']}.",
+        "",
+        "| parallelism | index build (s) | throughput (docs/sec) |",
+        "|---|---|---|",
+    ]
+    q = result["queries"]
+    for c in (8, 32):
+        lines.append(f"| local[{c}] | {q[f'build_sec_local{c}']} "
+                     f"| {q[f'docs_per_sec_local{c}']} |")
+    lines += [
+        "",
+        f"**Scaling efficiency = (thr_32 / thr_8) / (32/8) = "
+        f"{result['value']}** (target >= 0.8).",
+        "",
+        "Per-stage wall-clock (local[32]):",
+        "",
+        "| stage | seconds |",
+        "|---|---|",
+    ]
+    for stage, sec in result["runs"]["32"]["stage_sec"].items():
+        lines.append(f"| {stage} | {sec} |")
+    lines += [
+        "",
+        "Query latencies (local[32], seconds; q* are block-max WAND top-10):",
+        "",
+        "```json",
+        json.dumps(result["runs"]["32"]["queries"], indent=1),
+        "```",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
 if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_main()
+        sys.exit(0)
     sys.exit(main())

@@ -215,7 +215,10 @@ def write_corpus(path: str, n_docs: int, seed: int = SEED) -> str:
             ("lang", pa.string()),
         ]),
     )
-    pq.write_table(table, fpath)
+    # Small row groups keep the single file splittable: Spark parallelism on
+    # a parquet scan is bounded by row-group boundaries, and the extract UDF
+    # is the most expensive stage — one giant row group would serialize it.
+    pq.write_table(table, fpath, row_group_size=2048)
     with open(marker, "w") as f:
         f.write("ok")
     return fpath

@@ -630,6 +630,423 @@ FROM scored ORDER BY raw_cos DESC, vec_id LIMIT 10
 """
 
 
+def q_simhash(spark, sf_dir):
+    """SimHash (16-bit, md5-derived bit weights) per document.
+
+    Per-occurrence weighting (tf counts); bit b of the signature is the sign
+    of Σ_tokens (±1 by bit b of the 60-bit token hash).
+    """
+    toks = _toks(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 15),
+               16, 10).cast("long")
+    bits = (toks.select("doc_id", h.alias("h"))
+            .select("doc_id", "h",
+                    F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")))
+    contrib = F.when(
+        F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1,
+        F.lit(1)).otherwise(F.lit(-1))
+    per_bit = (bits.groupBy("doc_id", "bit")
+               .agg(F.sum(contrib).alias("s")))
+    return (per_bit.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("s") > 0,
+                              F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                       .otherwise(F.lit(0))).alias("simhash16")))
+
+
+SQL_SIMHASH = f"""
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+         AS simhash16
+FROM (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h
+    FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+  ), (SELECT unnest(generate_series(0, 15)) AS bit)
+  GROUP BY doc_id, bit
+)
+GROUP BY doc_id
+"""
+
+
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup: doc pairs with hamming distance <= 3 on the 16-bit
+    signature (doc_id < 150 cap keeps the pair space bounded)."""
+    sig = q_simhash(spark, sf_dir).filter(F.col("doc_id") < 150)
+    a, b2 = sig.alias("a"), sig.alias("b")
+    return (a.join(b2, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.bit_count(F.col("a.simhash16")
+                                .bitwiseXOR(F.col("b.simhash16")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= 3))
+
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH sig AS (
+  SELECT * FROM ({SQL_SIMHASH}) WHERE doc_id < 150
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash16, b.simhash16)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+"""
+
+
+def q_lsh_band_pairs(spark, sf_dir):
+    """MinHash→LSH banding: 2 single-hash bands; docs sharing a band bucket
+    become candidate pairs (the shingle→minhash→band→bucket-join shape)."""
+    toks = _toks(spark, sf_dir).distinct().filter(F.col("doc_id") < 150)
+    mh = lambda salt: F.min(
+        F.md5(F.concat(F.col("term"), F.lit(salt)).cast("binary")))
+    sig = toks.groupBy("doc_id").agg(mh(":b1").alias("band1"),
+                                     mh(":b2").alias("band2"))
+    pairs = None
+    for band in ["band1", "band2"]:
+        a, b2 = sig.alias("a"), sig.alias("b")
+        p = (a.join(b2, (F.col(f"a.{band}") == F.col(f"b.{band}"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (pairs.distinct()
+            .groupBy("doc_a")
+            .agg(F.count(F.lit(1)).alias("n_candidates")))
+
+
+SQL_LSH_BAND_PAIRS = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term
+  FROM documents WHERE doc_id < 150
+),
+sig AS (
+  SELECT doc_id, min(md5(concat(term, ':b1'))) AS band1,
+         min(md5(concat(term, ':b2'))) AS band2
+  FROM toks GROUP BY doc_id
+),
+pairs AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+    FROM sig a JOIN sig b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+  )
+)
+SELECT doc_a, count(*) AS n_candidates FROM pairs GROUP BY doc_a
+"""
+
+
+def q_shingle3_stats(spark, sf_dir):
+    """3-gram shingling per doc: shingle count + distinct-shingle count +
+    winnowing-style document fingerprint (min shingle hash)."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.expr(TOK_SPARK).alias("toks"))
+         .filter(F.size("toks") >= 3))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i + 1),
+                              F.element_at("toks", i + 2),
+                              F.element_at("toks", i + 3)))
+    return (d.select("doc_id", F.explode(shingles).alias("sh"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.countDistinct("sh").alias("n_distinct_shingles"),
+                 F.min(F.md5(F.col("sh").cast("binary")))
+                 .alias("fingerprint")))
+
+
+SQL_SHINGLE3 = f"""
+WITH t AS (
+  SELECT doc_id, {TOK_SQL} AS toks FROM documents
+  WHERE len({TOK_SQL}) >= 3
+),
+sh AS (
+  SELECT doc_id,
+         concat(toks[i+1], ' ', toks[i+2], ' ', toks[i+3]) AS sh
+  FROM t, (SELECT unnest(generate_series(0, 100000)) AS i)
+  WHERE i <= len(toks) - 3
+)
+SELECT doc_id, count(*) AS n_shingles,
+       count(DISTINCT sh) AS n_distinct_shingles,
+       min(md5(sh)) AS fingerprint
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: all pairs with cosine >= 0.3
+    (vec_id < 120 cap bounds the O(n²) candidate space)."""
+    e = (_t(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < 120)
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b2 = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.zip_with("va", "va", lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.zip_with("vb", "vb", lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (a.join(b2, F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", (dot / (na * nb)).alias("raw"))
+            .filter(F.col("raw") >= 0.3)
+            .select("vec_a", "vec_b", F.round("raw", 4).alias("cosine")))
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings WHERE vec_id < 120
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         sum(a.x * b.x)
+           / (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))) AS raw
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(raw, 4) AS cosine FROM p WHERE raw >= 0.3
+"""
+
+
+def q_ann_lsh_bucket_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path next to brute-force cosine): bucket
+    every vector by sign of its dot product with two anchor vectors
+    (vec_id 0 and 1), then search only the probe's bucket (probe vec_id 5).
+    """
+    e = (_t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    anchors = e.filter(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("aid"), F.col("v").alias("av"))
+    dot_av = F.aggregate(F.zip_with("v", "av", lambda x, y: x * y),
+                         F.lit(0.0), lambda acc, x: acc + x)
+    bucketed = (e.crossJoin(F.broadcast(anchors))
+                .select("vec_id", "v",
+                        (F.when(dot_av > 0, 1).otherwise(0)
+                         * F.when(F.col("aid") == 0, 1).otherwise(2))
+                        .alias("bitval"))
+                .groupBy("vec_id")
+                .agg(F.sum("bitval").alias("bucket")))
+    vecs = e.join(bucketed, "vec_id")
+    probe = (vecs.filter(F.col("vec_id") == 5)
+             .select(F.col("v").alias("p"), F.col("bucket").alias("pb")))
+    dot = F.aggregate(F.zip_with("v", "p", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.zip_with("v", "v", lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    np_ = F.sqrt(F.aggregate(F.zip_with("p", "p", lambda x, y: x * y),
+                             F.lit(0.0), lambda acc, x: acc + x))
+    return (vecs.crossJoin(F.broadcast(probe))
+            .filter((F.col("bucket") == F.col("pb"))
+                    & (F.col("vec_id") != 5))
+            .select("vec_id", (dot / (nv * np_)).alias("raw"))
+            .orderBy(F.desc("raw"), F.asc("vec_id")).limit(5)
+            .select("vec_id", F.round("raw", 4).alias("cosine")))
+
+
+SQL_ANN_LSH_BUCKET = """
+WITH e AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+sgns AS (
+  SELECT e.vec_id, a.vec_id AS aid,
+         CASE WHEN sum(e.x * a.x) > 0 THEN 1 ELSE 0 END AS sgn
+  FROM e JOIN e a ON a.vec_id IN (0, 1) AND e.i = a.i
+  GROUP BY e.vec_id, a.vec_id
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN aid = 0 THEN sgn ELSE 2 * sgn END) AS bucket
+  FROM sgns GROUP BY vec_id
+),
+probe AS (SELECT bucket AS pb FROM buckets WHERE vec_id = 5),
+scored AS (
+  SELECT e.vec_id,
+         sum(e.x * p.x) / (sqrt(sum(e.x * e.x)) * sqrt(sum(p.x * p.x)))
+           AS raw
+  FROM e JOIN e p ON p.vec_id = 5 AND e.i = p.i
+  JOIN buckets be ON be.vec_id = e.vec_id
+  CROSS JOIN probe
+  WHERE be.bucket = probe.pb AND e.vec_id != 5
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(raw, 4) AS cosine
+FROM scored ORDER BY raw DESC, vec_id LIMIT 5
+"""
+
+
+def q_punct_quality(spark, sf_dir):
+    """Quality scoring on raw text: character-class ratios (the
+    length/punct/stopword heuristics of web-corpus filtering)."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    alnum = F.length(F.regexp_replace(F.lower("text"), r"[^a-z0-9]", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.round(alnum / nonspace, 4).alias("alnum_ratio"),
+        F.round((nonspace - alnum) / nonspace, 4).alias("punct_ratio"))
+
+
+SQL_PUNCT_QUALITY = """
+SELECT doc_id, length(text) AS n_chars,
+       round(alnum * 1.0 / nonspace, 4) AS alnum_ratio,
+       round((nonspace - alnum) * 1.0 / nonspace, 4) AS punct_ratio
+FROM (
+  SELECT doc_id, text,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum
+  FROM documents WHERE length(text) > 0
+)
+"""
+
+
+def q_stopword_ratio(spark, sf_dir):
+    """Stopword-density quality signal per doc."""
+    toks = _toks(spark, sf_dir)
+    return (toks.groupBy("doc_id").agg(
+        F.round(F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0))
+                / F.count(F.lit(1)), 4).alias("stopword_ratio")))
+
+
+SQL_STOPWORD_RATIO = f"""
+SELECT doc_id,
+       round(sum(CASE WHEN term IN ({', '.join(repr(s) for s in STOPWORDS)})
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS stopword_ratio
+FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (search_logs analogue, database.py:63-69) + window /
+# set / rollup relational completeness
+# ---------------------------------------------------------------------------
+
+def q_events_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window counts per event_type — the batch equivalent
+    of the streaming query-analytics aggregation (streaming/analytics.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_session_gap(spark, sf_dir):
+    """Per-user session gaps via lag window: average seconds between
+    consecutive events (deterministic order: ts, event_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    e = _t(spark, sf_dir, "events").withColumn(
+        "gap", epoch - F.lag(epoch).over(w))
+    return (e.filter(F.col("gap").isNotNull())
+            .groupBy("user_id")
+            .agg(F.round(F.avg("gap"), 2).alias("avg_gap_sec"),
+                 F.count(F.lit(1)).alias("n_gaps")))
+
+
+SQL_EVENTS_SESSION_GAP = """
+SELECT user_id, round(avg(gap), 2) AS avg_gap_sec, count(*) AS n_gaps
+FROM (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+) WHERE gap IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_window_running_sum(spark, sf_dir):
+    """Running revenue per customer (window aggregate beyond row_number)."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (_t(spark, sf_dir, "orders")
+            .filter(F.col("o_custkey") < 200)
+            .select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                    .alias("running_total")))
+
+
+SQL_WINDOW_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total
+FROM orders WHERE o_custkey < 200
+"""
+
+
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP grouping (reference gap list SURVEY.md §2.1): order counts by
+    (priority, status) with subtotals and a grand total."""
+    return (_t(spark, sf_dir, "orders")
+            .rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .select(F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    "n_orders"))
+
+
+SQL_ROLLUP_AGG = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION over key sets (reference gap list)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k"))
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    conly = c.distinct().exceptAll(s.distinct()).withColumn(
+        "src", F.lit("customer_only"))
+    allk = c.union(s).distinct().withColumn("src", F.lit("union"))
+    return (both.unionByName(conly).unionByName(allk)
+            .groupBy("src").agg(F.count(F.lit(1)).alias("n_keys")))
+
+
+SQL_SET_OPS = """
+WITH c AS (SELECT c_nationkey AS k FROM customer),
+     s AS (SELECT s_nationkey AS k FROM supplier),
+     labeled AS (
+       SELECT k, 'both' AS src FROM (SELECT DISTINCT k FROM c INTERSECT
+                                     SELECT DISTINCT k FROM s)
+       UNION ALL
+       SELECT k, 'customer_only' FROM (SELECT DISTINCT k FROM c EXCEPT
+                                       SELECT DISTINCT k FROM s)
+       UNION ALL
+       SELECT k, 'union' FROM (SELECT DISTINCT k FROM (SELECT k FROM c
+                               UNION ALL SELECT k FROM s))
+     )
+SELECT src, count(*) AS n_keys FROM labeled GROUP BY src
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -667,6 +1084,21 @@ REGISTRY: dict[str, tuple] = {
     "quality_score": (q_quality_score, SQL_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_neardup_pairs": (q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP),
+    "lsh_band_pairs": (q_lsh_band_pairs, SQL_LSH_BAND_PAIRS),
+    "shingle3_stats": (q_shingle3_stats, SQL_SHINGLE3),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs,
+                                SQL_EMBEDDING_NEARDUP),
+    "ann_lsh_bucket_topk": (q_ann_lsh_bucket_topk, SQL_ANN_LSH_BUCKET),
+    "punct_quality": (q_punct_quality, SQL_PUNCT_QUALITY),
+    "stopword_ratio": (q_stopword_ratio, SQL_STOPWORD_RATIO),
+    # event-stream analytics + relational completeness
+    "events_tumbling_window": (q_events_tumbling_window, SQL_EVENTS_TUMBLING),
+    "events_session_gap": (q_events_session_gap, SQL_EVENTS_SESSION_GAP),
+    "window_running_sum": (q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
+    "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
 }
 
 
