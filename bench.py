@@ -43,6 +43,11 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
+        # small-scale tuning: the sandbox corpus is tens of MB, so default
+        # 64m advisory/128m split sizes under-parallelize; at real scale
+        # these two lines are unnecessary (data >> advisory size).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

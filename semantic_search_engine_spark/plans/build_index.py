@@ -169,8 +169,15 @@ class IndexBuilder:
             extract = make_resolve_extract_udf(cfg.prefer_provided_text,
                                                cfg.max_token_len)
             term_freqs = make_term_freqs_udf(cfg.max_token_len)
+            # Small-input guard: the extract UDF is the most expensive stage
+            # and its parallelism is bounded by the scan's split count. A
+            # real web corpus arrives as thousands of files (no-op here); a
+            # single small parquet file would otherwise serialize extraction.
+            src = documents
+            if src.rdd.getNumPartitions() < cfg.shuffle_partitions:
+                src = src.repartition(cfg.shuffle_partitions)
             ex = (
-                documents
+                src
                 .filter(F.col("url").isNotNull())
                 .withColumn("ex", extract("text", "html"))
                 .select("url", "warc_ts", "lang",
@@ -178,7 +185,13 @@ class IndexBuilder:
                         F.col("ex.text").alias("text"),
                         F.col("ex.extracted_sha256").alias("extracted_sha256"))
                 .filter(F.col("text").isNotNull())       # validity filter
-                .dropDuplicates(["url"])                 # unique-key contract
+                # unique-key contract (reference UNIQUE asin). The explicit
+                # repartition(n, url) provides the hash distribution the
+                # dedup needs (one shuffle total) at a *fixed* width: AQE
+                # would otherwise coalesce this exchange by byte size and
+                # serialize the tokenize UDF + parquet write behind it.
+                .repartition(cfg.shuffle_partitions, "url")
+                .dropDuplicates(["url"])
                 .withColumn("doc_id", doc_id_expr("url"))
                 .withColumn("partition_id",
                             doc_bucket_expr("doc_id", cfg.n_doc_buckets))

@@ -75,9 +75,15 @@ class QueryEngine:
 
     # ------------------------------------------------------------------
     def corpus_stats(self) -> dict:
+        """Two scalars, cached per engine instance (one tiny job total)."""
+        cached = getattr(self, "_corpus_stats_cache", None)
+        if cached is not None:
+            return cached
         row = self.store.read(f"corpus_stats{self._sfx()}").collect()[0]
-        return {"n_docs": int(row["n_docs"]),
-                "avg_doc_len": float(row["avg_doc_len"] or 0.0)}
+        out = {"n_docs": int(row["n_docs"]),
+               "avg_doc_len": float(row["avg_doc_len"] or 0.0)}
+        object.__setattr__(self, "_corpus_stats_cache", out)
+        return out
 
     def term_idfs(self, qterms: list[str]) -> dict[str, float]:
         """Broadcast-sized lookup: df for the handful of query terms."""
