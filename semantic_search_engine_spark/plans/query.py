@@ -69,6 +69,34 @@ class QueryEngine:
     store: TableStore
     cfg: EngineConfig = DEFAULT_CONFIG
     field: str = "text"
+    #: when set, every search() appends a query-log record (json lines) that
+    #: streaming/analytics.py consumes — the reference's ``search_logs``
+    #: table (``data-pipeline/database.py:63-69``) actually written to.
+    query_log_dir: str | None = None
+
+    def _log_search(self, query: str, results_count: int,
+                    response_time_ms: int) -> None:
+        if not self.query_log_dir:
+            return
+        import datetime
+        import json
+        import os
+        import uuid
+        os.makedirs(self.query_log_dir, exist_ok=True)
+        rec = {
+            "query": query,
+            "results_count": int(results_count),
+            "response_time_ms": int(response_time_ms),
+            "created_at": datetime.datetime.now(datetime.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z",
+        }
+        # one file per record, atomically renamed: file-source streams only
+        # pick up complete files
+        tmp = os.path.join(self.query_log_dir, f".{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(rec) + "\n")
+        os.replace(tmp, os.path.join(
+            self.query_log_dir, f"log-{uuid.uuid4().hex}.json"))
 
     def _sfx(self) -> str:
         return "" if self.field == "text" else f"_{self.field}"
@@ -137,10 +165,14 @@ class QueryEngine:
         scored = (
             decoded.join(F.broadcast(idf_df), "term")
             .withColumn(
+                # idf * (tf/(tf+K)) — same parenthesization as the oracle's
+                # w * tf_norm, so float results are bit-identical
                 "contrib",
-                F.col("idf") * F.col("tf")
-                / (F.col("tf") + F.lit(k1)
-                   * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))))
+                F.col("idf") * (F.col("tf")
+                                / (F.col("tf") + F.lit(k1)
+                                   * (F.lit(1.0 - b)
+                                      + F.lit(b) * F.col("dl")
+                                      / F.lit(avgdl)))))
         )
         return scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
 
@@ -253,13 +285,15 @@ class QueryEngine:
             total = out.count() if count_mode == "exact" else len(rows)
         finally:
             out.unpersist()
+        elapsed_ms = int((time.time() - t0) * 1000)
+        self._log_search(query, total, elapsed_ms)
         return {
             "results": [r.asDict() for r in rows],
             "total_count": total,
             "limit": k,
             "offset": offset,
             "query": query,
-            "execution_time_ms": int((time.time() - t0) * 1000),
+            "execution_time_ms": elapsed_ms,
         }
 
     def top_k(self, query: str, k: int = 10,

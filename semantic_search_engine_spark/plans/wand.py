@@ -52,10 +52,14 @@ class BlockCursor:
 
     __slots__ = ("weight", "blocks", "lasts", "k1", "b", "avgdl", "bi",
                  "pos", "ids", "tfs", "dls", "cur_doc", "decoded_blocks",
-                 "max_block_ub")
+                 "max_block_ub", "term_rank")
 
     def __init__(self, blocks: list[dict], weight: float,
-                 k1: float, b: float, avgdl: float):
+                 k1: float, b: float, avgdl: float, term_rank: int = 0):
+        #: position of this cursor's term in sorted(query terms) — the
+        #: score-summation tie-break that keeps float accumulation in the
+        #: oracle's exact order
+        self.term_rank = term_rank
         self.weight = weight
         self.blocks = blocks
         self.lasts = np.array([blk["last_doc_id"] for blk in blocks],
@@ -119,11 +123,16 @@ class BlockCursor:
             self._enter_block(self.bi + 1)
 
     def contrib(self) -> float:
-        """BM25 contribution of the current posting: w·tf/(tf + K(dl))."""
+        """BM25 contribution of the current posting: w·(tf/(tf + K(dl))).
+
+        Parenthesization matters: the oracle computes ``w * tf_norm`` —
+        evaluating ``(w*tf)/(...)`` instead can differ by 1 ulp and flip a
+        near-tie rank.
+        """
         tf = float(self.tfs[self.pos])
         k_dl = self.k1 * (1.0 - self.b
                           + self.b * float(self.dls[self.pos]) / self.avgdl)
-        return self.weight * tf / (tf + k_dl)
+        return self.weight * (tf / (tf + k_dl))
 
 
 def wand_top_k(
@@ -141,10 +150,11 @@ def wand_top_k(
     ``(score DESC, doc_id ASC)`` order; stats reports pruning counters.
     """
     cursors = []
-    for term in sorted(term_blocks):  # sorted → deterministic scoring order
+    for rank, term in enumerate(sorted(term_blocks)):
         blocks = term_blocks[term]
         if blocks and term in weights and avgdl > 0:
-            c = BlockCursor(blocks, weights[term], k1, b, avgdl)
+            c = BlockCursor(blocks, weights[term], k1, b, avgdl,
+                            term_rank=rank)
             if c.cur_doc != EXHAUSTED:
                 cursors.append(c)
     all_cursors = list(cursors)
@@ -154,7 +164,10 @@ def wand_top_k(
     skipped_evals = 0
 
     while cursors:
-        cursors.sort(key=lambda c: c.cur_doc)
+        # secondary key term_rank: docs tie across cursors, and at_pivot
+        # must enumerate them in sorted-term order (oracle float order) —
+        # stability alone would carry over an arbitrary earlier order
+        cursors.sort(key=lambda c: (c.cur_doc, c.term_rank))
         theta = heap[0][0] if len(heap) >= k else float("-inf")
         # pivot: smallest prefix whose summed term UBs can *beat* theta.
         # Strict `>` is exact including tie-breaks: candidates arrive in
@@ -181,8 +194,7 @@ def wand_top_k(
             if len(heap) >= k and block_ub <= theta:
                 skipped_evals += 1
             else:
-                # at_pivot preserves sorted-term order (stable sort over a
-                # term-sorted build list) ⇒ oracle summation order.
+                # at_pivot is (cur_doc, term_rank)-sorted ⇒ oracle order
                 score = 0.0
                 for c in at_pivot:
                     score += c.contrib()

@@ -112,6 +112,11 @@ class HadoopTableStore(TableStore):
 
     def write(self, table: str, df: DataFrame, *, partition_by=None,
               sort_within_partitions=None, meta: dict | None = None) -> dict:
+        # every commit gets a fresh data identity — downstream checkpoint
+        # fingerprints chain on it, so a rewrite (or merge) of this table
+        # invalidates exactly the stages that consume it
+        meta = dict(meta or {})
+        meta.setdefault("data_uuid", uuid.uuid4().hex)
         snap = os.path.join(self._tdir(table), f"snap-{uuid.uuid4().hex[:12]}")
         w = df
         if sort_within_partitions:
@@ -177,6 +182,8 @@ class IcebergCatalogStore(TableStore):
 
     def write(self, table: str, df: DataFrame, *, partition_by=None,
               sort_within_partitions=None, meta: dict | None = None) -> dict:
+        meta = dict(meta or {})
+        meta.setdefault("data_uuid", uuid.uuid4().hex)
         w = df
         if sort_within_partitions:
             w = w.sortWithinPartitions(*sort_within_partitions)

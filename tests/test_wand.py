@@ -52,7 +52,8 @@ def _exhaustive_top_k(term_postings, weights, doc_len, avgdl, k):
         ids, tfs = term_postings[term]
         for d, tf in zip(ids.astype(int), tfs.astype(int)):
             dl = float(doc_len[d])
-            contrib = w * tf / (tf + K1 * (1 - B + B * dl / avgdl))
+            # w * (tf/(tf+K)) — the oracle's parenthesization (bit-exact)
+            contrib = w * (tf / (tf + K1 * (1 - B + B * dl / avgdl)))
             scores[d] = scores.get(d, 0.0) + contrib
     ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
     return ranked[:k]
