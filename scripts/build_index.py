@@ -1,0 +1,87 @@
+"""spark-submit entrypoint: build the inverted index.
+
+Usage (cluster):
+
+    spark-submit --py-files sse_spark.zip scripts/build_index.py \
+        --input <parquet-or-iceberg-table> --warehouse <path-or-catalog> \
+        [--store hadoop|iceberg] [--field text|title] \
+        [--input-version <source snapshot id>] \
+        [--shuffle-partitions N] [--doc-buckets N] [--term-buckets N]
+
+The job is checkpoint-resumable: re-submitting after a failure skips every
+stage whose committed output is current (lineage.py). Pass the source
+table's snapshot id as --input-version so source-data changes invalidate
+the first stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True,
+                   help="parquet path or catalog table of documents "
+                        "(url, warc_ts, html, text, lang)")
+    p.add_argument("--warehouse", required=True,
+                   help="store root path (hadoop) or catalog name (iceberg)")
+    p.add_argument("--store", default="hadoop", choices=["hadoop", "iceberg"])
+    p.add_argument("--field", default="text", choices=["text", "title"])
+    p.add_argument("--input-version", default="static")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--doc-buckets", type=int, default=None)
+    p.add_argument("--term-buckets", type=int, default=None)
+    p.add_argument("--k1", type=float, default=None)
+    p.add_argument("--b", type=float, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
+
+    from semantic_search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+    from semantic_search_engine_spark.plans.build_index import IndexBuilder
+    from semantic_search_engine_spark.sources.store import make_store
+
+    spark = (SparkSession.builder.appName("sse-build-index")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.adaptive.enabled", "true")
+             .getOrCreate())
+
+    overrides = {k: v for k, v in {
+        "shuffle_partitions": args.shuffle_partitions,
+        "n_doc_buckets": args.doc_buckets,
+        "n_term_buckets": args.term_buckets,
+        "k1": args.k1,
+        "b": args.b,
+    }.items() if v is not None}
+    import dataclasses
+    cfg = dataclasses.replace(DEFAULT_CONFIG, **overrides) \
+        if overrides else DEFAULT_CONFIG
+    assert isinstance(cfg, EngineConfig)
+
+    store = make_store(spark, args.warehouse, args.store)
+    if args.input.endswith((".parquet", "/")) or "/" in args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = spark.read.table(args.input)
+
+    runner = IndexBuilder(spark, store, cfg).build(
+        docs, field=args.field, run_id=args.run_id,
+        input_version=args.input_version)
+    print(json.dumps({"run_id": runner.run_id,
+                      "stages": [{k: m[k] for k in
+                                  ("stage", "skipped", "wall_ms",
+                                   "output_rows")}
+                                 for m in runner.metrics]}, default=str))
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -83,23 +83,23 @@ SCALES = {"tiny": 200, "small": 20_000, "bench": 200_000}
 
 _SCRIPT_FILLER = (
     "(function(){var cfg={" +
-    ",".join(f"k{j}:'v{j * 7919 % 104729:x}'" for j in range(120)) +
+    ",".join(f"k{j}:'v{j * 7919 % 104729:x}'" for j in range(420)) +
     "};window.__t=cfg;document.addEventListener('DOMContentLoaded',"
     "function(){for(var i=0;i<cfg.length;i++){console.log(cfg['k'+i]);}});"
     "})();")
 
 _STYLE_FILLER = "".join(
     f".c{j}{{margin:{j % 17}px;padding:{j % 11}px;color:#{j * 2654435761 % 0xFFFFFF:06x};"
-    f"display:flex;align-items:center}}" for j in range(90))
+    f"display:flex;align-items:center}}" for j in range(260))
 
 _NAV_FILLER = "".join(
     f'<a href="/section/{j}" class="nav-item c{j}">internal nav link {j}</a>'
-    for j in range(40))
+    for j in range(130))
 
 _WRAPPER_OPEN = "".join(
     f'<div class="c{j} wrapper" data-module="m{j}" data-track="{j * 31:x}">'
-    for j in range(25))
-_WRAPPER_CLOSE = "</div>" * 25
+    for j in range(60))
+_WRAPPER_CLOSE = "</div>" * 60
 
 def render_page(i: int, title: str, para1: str, para2: str) -> str:
     """Deterministic page markup; extracted text == title/para1/para2 only."""

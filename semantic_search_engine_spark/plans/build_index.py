@@ -288,6 +288,17 @@ class IndexBuilder:
                 F.count(F.lit(1)).alias("n_blocks"),
                 F.countDistinct("partition_id").alias("n_buckets")))
 
+        # persist the build config so query engines bind to the layout that
+        # was actually built (bucket counts, BM25 params) — the analogue of
+        # index DDL parameters living with the index, not the client
+        import dataclasses
+        import json as _json
+        self.store.write(
+            f"engine_config{sfx}",
+            self.spark.createDataFrame(
+                [(_json.dumps(dataclasses.asdict(cfg), sort_keys=True),)],
+                "config_json string"))
+
         runner.commit_lineage(self.spark)
         return runner
 

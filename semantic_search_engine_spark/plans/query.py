@@ -67,7 +67,10 @@ def bm25_idf(n_docs: int, df: int) -> float:
 class QueryEngine:
     spark: SparkSession
     store: TableStore
-    cfg: EngineConfig = DEFAULT_CONFIG
+    #: None → load the config persisted by the index build (engine_config
+    #: table), falling back to defaults; the physical-layout params
+    #: (bucket counts) MUST match the build or scans prune wrongly.
+    cfg: EngineConfig | None = DEFAULT_CONFIG
     field: str = "text"
     #: when set, every search() appends a query-log record (json lines) that
     #: streaming/analytics.py consumes — the reference's ``search_logs``
@@ -97,6 +100,18 @@ class QueryEngine:
             f.write(json.dumps(rec) + "\n")
         os.replace(tmp, os.path.join(
             self.query_log_dir, f"log-{uuid.uuid4().hex}.json"))
+
+    def __post_init__(self) -> None:
+        if self.cfg is None:
+            self.cfg = self._load_persisted_cfg()
+
+    def _load_persisted_cfg(self) -> EngineConfig:
+        import json as _json
+        table = f"engine_config{self._sfx()}"
+        if self.store.exists(table):
+            row = self.store.read(table).collect()[0]
+            return EngineConfig(**_json.loads(row["config_json"]))
+        return DEFAULT_CONFIG
 
     def _sfx(self) -> str:
         return "" if self.field == "text" else f"_{self.field}"

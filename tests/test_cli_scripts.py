@@ -1,0 +1,56 @@
+"""spark-submit entrypoint scripts: build → query round trip in-process.
+
+The scripts are argparse mains designed for spark-submit; here they run
+in-process against a tiny corpus (getOrCreate picks up the test session).
+"""
+
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cli_env(spark, tiny_corpus_dir, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("cli_wh"))
+    return wh, f"{tiny_corpus_dir}/documents.parquet"
+
+
+def test_build_then_query_roundtrip(spark, cli_env, capsys):
+    wh, corpus = cli_env
+    from scripts.build_index import main as build_main
+    from scripts.query import main as query_main
+
+    rc = build_main(["--input", corpus, "--warehouse", wh,
+                     "--shuffle-partitions", "4", "--doc-buckets", "4",
+                     "--term-buckets", "4", "--input-version", "v1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {s["stage"] for s in out["stages"]} == {
+        "doc_features", "doc_meta", "corpus_stats", "postings", "term_stats"}
+    assert not any(s["skipped"] for s in out["stages"])
+
+    # resubmit: all stages skip (checkpoint resume via CLI)
+    rc = build_main(["--input", corpus, "--warehouse", wh,
+                     "--shuffle-partitions", "4", "--doc-buckets", "4",
+                     "--term-buckets", "4", "--input-version", "v1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(s["skipped"] for s in out["stages"])
+
+    rc = query_main(["--warehouse", wh, "--k", "5",
+                     "wireless bluetooth headphones", "absentterm9z"])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    assert 1 <= len(lines[0]["results"]) <= 5  # tiny corpus: few matches
+    assert lines[0]["results"][0]["score"] > 0
+    assert lines[1]["results"] == []
+
+    # filtered path goes through the full search envelope
+    rc = query_main(["--warehouse", wh, "--k", "5", "--lang", "en",
+                     "--count", "exact", "wireless bluetooth headphones"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["total_count"] >= len(env["results"]) > 0
+    assert all("url" in r for r in env["results"])
