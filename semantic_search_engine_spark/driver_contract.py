@@ -193,6 +193,52 @@ FROM documents
 """
 
 
+def q_bm25_topk_engine_wand(spark, sf_dir):
+    """THE ENGINE ITSELF vs the SQL oracle: build the inverted index
+    (varbyte blocks, doc-bucket salting, checkpoint stages) over the
+    driver's documents table, then answer via block-max WAND — and the
+    result must equal the declarative BM25 SQL run by DuckDB.
+
+    The warehouse is cached under /tmp keyed by sf_dir; reruns resume via
+    stage fingerprints (which also exercises E13 inside the gate).
+    """
+    import hashlib as _hl
+    import os as _os
+
+    from .config import EngineConfig
+    from .plans.build_index import IndexBuilder
+    from .plans.query import QueryEngine
+    from .sources.store import HadoopTableStore
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.concat(F.lit("https://example.org/doc/"),
+                             F.col("doc_id").cast("string")).alias("url"),
+                    F.lit(None).cast("timestamp").alias("warc_ts"),
+                    F.lit(None).cast("binary").alias("html"),
+                    F.col("text"), F.col("lang")))
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=8,
+                       shuffle_partitions=8, block_size=32)
+    wh = _os.path.join(
+        "/tmp", "sse_contract_wh_"
+        + _hl.sha256(sf_dir.encode()).hexdigest()[:10])
+    store = HadoopTableStore(spark, wh)
+    IndexBuilder(spark, store, cfg).build(docs, input_version=sf_dir)
+    qe = QueryEngine(spark, store, cfg)
+    top = qe.wand_top_k_df(" ".join(BM25_QUERY_TERMS), k=10)
+    meta = store.read("doc_meta").select("doc_id", "url")
+    return (top.withColumnRenamed("doc_id", "engine_doc_id")
+            .join(meta.withColumnRenamed("doc_id", "engine_doc_id"),
+                  "engine_doc_id")
+            .select(F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+                    .alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
+# identical BM25 SQL as SQL_BM25_TOPK: the engine must reproduce the
+# declarative oracle's set of (doc_id, rounded score) for the top-10.
+SQL_BM25_TOPK_ENGINE = SQL_BM25_TOPK
+
+
 # ---------------------------------------------------------------------------
 # Relational operators (Q2–Q12, S-series) over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -312,6 +358,70 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """LEFT SEMI / LEFT ANTI joins: customers with vs without orders."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = (c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+            .withColumn("kind", F.lit("with_orders")))
+    anti = (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+            .withColumn("kind", F.lit("without_orders")))
+    return (semi.unionByName(anti).groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+SQL_SEMI_ANTI = """
+SELECT kind, count(*) AS n_customers FROM (
+  SELECT c_custkey, 'with_orders' AS kind FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  UNION ALL
+  SELECT c_custkey, 'without_orders' FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+) GROUP BY kind
+"""
+
+
+def q_having_filter(spark, sf_dir):
+    """GROUP BY ... HAVING: parts appearing on many lineitems."""
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .filter(F.col("n_lines") >= 8))
+
+
+SQL_HAVING = """
+SELECT l_partkey, count(*) AS n_lines,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem GROUP BY l_partkey HAVING count(*) >= 8
+"""
+
+
+def q_exists_subquery(spark, sf_dir):
+    """Correlated-EXISTS shape: suppliers whose nation has customers with
+    an above-average account balance (expressed as joins in Spark)."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("ab"))
+    rich_nations = (c.crossJoin(F.broadcast(avg_bal))
+                    .filter(F.col("c_acctbal") > F.col("ab"))
+                    .select("c_nationkey").distinct())
+    s = _t(spark, sf_dir, "supplier")
+    return (s.join(F.broadcast(rich_nations),
+                   s["s_nationkey"] == rich_nations["c_nationkey"],
+                   "left_semi")
+            .select("s_suppkey", "s_nationkey"))
+
+
+SQL_EXISTS_SUBQUERY = """
+SELECT s_suppkey, s_nationkey FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_nationkey = s.s_nationkey
+    AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+)
 """
 
 
@@ -1060,6 +1170,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_all_scores": (q_bm25_all_scores, SQL_BM25_ALL),
     "bm25_filtered_count": (q_bm25_filtered_count, SQL_BM25_FILTERED_COUNT),
     "doc_id_assignment": (q_doc_id_assignment, SQL_DOC_ID_ASSIGNMENT),
+    "bm25_topk_engine_wand": (q_bm25_topk_engine_wand, SQL_BM25_TOPK_ENGINE),
     # relational operators
     "agg_pushdown": (q_agg_pushdown, SQL_AGG_PUSHDOWN),
     "topk_orderby_limit": (q_topk_orderby_limit, SQL_TOPK),
@@ -1069,6 +1180,9 @@ REGISTRY: dict[str, tuple] = {
     "array_contains": (q_array_contains, SQL_ARRAY_CONTAINS),
     "join_agg_broadcast": (q_join_agg_broadcast, SQL_JOIN_AGG),
     "merge_latest": (q_merge_latest, SQL_MERGE_LATEST),
+    "semi_anti_join": (q_semi_anti_join, SQL_SEMI_ANTI),
+    "having_filter": (q_having_filter, SQL_HAVING),
+    "exists_subquery": (q_exists_subquery, SQL_EXISTS_SUBQUERY),
     # ingest parsers
     "parse_price": (q_parse_price, SQL_PARSE_PRICE),
     "parse_reviewcount": (q_parse_reviewcount, SQL_PARSE_REVIEWCOUNT),

@@ -20,6 +20,41 @@ _MASK7 = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
+def encode_varbyte_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return per-value byte lengths.
+
+    The lengths let a caller slice the concatenated stream into arbitrary
+    sub-ranges (per-block payloads) without re-encoding — the core of the
+    batch block encoder.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+    nbits[nbits == 0] = 1
+    out = np.zeros(int(nbits.sum()), dtype=np.uint8)
+    pos = np.cumsum(nbits) - nbits
+    shifted = v.copy()
+    active = np.ones(v.shape, dtype=bool)
+    level = 0
+    while active.any():
+        idx = pos[active] + level
+        chunk = (shifted[active] & _MASK7).astype(np.uint8)
+        more = level + 1 < nbits[active]
+        out[idx] = chunk | np.where(more, _CONT, np.uint8(0))
+        shifted[active] >>= np.uint64(7)
+        active = active & (nbits > level + 1)
+        level += 1
+    return out.tobytes(), nbits
+
+
 def encode_varbyte(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array. Vectorized over byte positions."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
@@ -129,3 +164,74 @@ def decode_block(doc_ids_vb: bytes, tfs_vb: bytes, dls_vb: bytes):
     return (delta_decode(decode_varbyte(doc_ids_vb)),
             decode_varbyte(tfs_vb),
             decode_varbyte(dls_vb))
+
+
+def encode_blocks_multi(
+    group_starts: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+):
+    """Encode MANY groups' sorted postings into block rows in one
+    vectorized pass (bit-identical to per-group :func:`encode_blocks`).
+
+    ``group_starts``: sorted start offsets of each (term, partition) group
+    within the flat arrays. All heavy work — delta, varbyte, block maxima,
+    per-block tf sums — is whole-array numpy; the only Python loop is one
+    cheap byte-slice per output block.
+
+    Returns ``(block_group_idx, rows)`` where rows is a list of tuples
+    ``(block_id, n_postings, first_doc_id, last_doc_id, doc_ids_vb,
+    tfs_vb, dls_vb, block_max_tf_norm, cf_block)`` and block_group_idx[i]
+    is the index into ``group_starts`` of the group that produced row i.
+    """
+    n = int(doc_ids.size)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), []
+    ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    gs = np.ascontiguousarray(group_starts, dtype=np.int64)
+
+    # index of each value within its group
+    gidx_of_value = np.searchsorted(gs, np.arange(n), side="right") - 1
+    idx_in_group = np.arange(n) - gs[gidx_of_value]
+    # block boundaries: group start or block_size multiple within group
+    is_start = (idx_in_group % block_size) == 0
+    starts = np.flatnonzero(is_start)
+    ends = np.append(starts[1:], n)
+    block_ids = (idx_in_group[starts] // block_size).astype(np.int64)
+    block_group = gidx_of_value[starts]
+
+    # per-block delta encoding: gaps everywhere, absolute at block starts
+    deltas = ids.copy()
+    deltas[1:] -= ids[:-1]
+    deltas[starts] = ids[starts]
+
+    ids_bytes, ids_len = encode_varbyte_with_lengths(deltas)
+    tfs_bytes, tfs_len = encode_varbyte_with_lengths(tfs)
+    dls_bytes, dls_len = encode_varbyte_with_lengths(dls)
+    ids_off = np.concatenate(([0], np.cumsum(ids_len)))
+    tfs_off = np.concatenate(([0], np.cumsum(tfs_len)))
+    dls_off = np.concatenate(([0], np.cumsum(dls_len)))
+
+    norm = tf_norm(tfs, dls, avgdl, k1, b) if avgdl > 0 \
+        else np.zeros(n, dtype=np.float64)
+    bmax = np.maximum.reduceat(norm, starts)
+    cf = np.add.reduceat(tfs.astype(np.int64), starts)
+
+    rows = []
+    for i in range(len(starts)):
+        s, e = int(starts[i]), int(ends[i])
+        rows.append((
+            int(block_ids[i]), e - s, int(ids[s]), int(ids[e - 1]),
+            ids_bytes[ids_off[s]:ids_off[e]],
+            tfs_bytes[tfs_off[s]:tfs_off[e]],
+            dls_bytes[dls_off[s]:dls_off[e]],
+            float(bmax[i]), int(cf[i]),
+        ))
+    return block_group, rows

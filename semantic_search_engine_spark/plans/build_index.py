@@ -59,83 +59,92 @@ POSTINGS_SCHEMA = (
 def make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
     """Streaming encoder over a (term, partition_id, doc_id)-sorted stream.
 
-    Runs as mapInPandas: groups may span Arrow batches, so a small carry
-    buffer holds the current group's tail. Full blocks are flushed eagerly —
-    peak memory is O(block_size) regardless of posting-list length, which is
-    what makes head terms safe at web scale.
+    Runs as mapInPandas. Per Arrow batch, ALL groups are encoded in one
+    vectorized pass (``encode_blocks_multi`` — whole-array delta/varbyte/
+    reduceat; per-group Python loops would pay ~30 µs per tiny tail-term
+    group). Groups may span batches: only the batch's last group keeps a
+    carry (< block_size postings) plus a block-id base, so peak extra
+    memory is O(block_size) regardless of posting-list length — head terms
+    stay safe at web scale.
     """
+    from ..functions.varbyte import encode_blocks_multi
+
+    cols = ["term", "partition_id", "block_id", "n_postings",
+            "first_doc_id", "last_doc_id", "doc_ids_vb", "tfs_vb",
+            "dls_vb", "block_max_tf_norm", "cf_block"]
 
     def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cur_key = None          # (term, partition_id)
-        cur_block_id = 0
-        buf_ids: list[np.ndarray] = []
-        buf_tfs: list[np.ndarray] = []
-        buf_dls: list[np.ndarray] = []
-        buf_n = 0
+        cur_key: tuple | None = None   # key of the carried (last) group
+        block_base = 0                 # blocks already emitted for cur_key
+        carry_ids = np.zeros(0, dtype=np.int64)
+        carry_tfs = np.zeros(0, dtype=np.int64)
+        carry_dls = np.zeros(0, dtype=np.int64)
 
-        def flush(out_rows: list, final: bool) -> None:
-            nonlocal cur_block_id, buf_ids, buf_tfs, buf_dls, buf_n
-            if buf_n == 0:
-                return
-            ids = np.concatenate(buf_ids).astype(np.uint64)
-            tfs = np.concatenate(buf_tfs).astype(np.uint64)
-            dls = np.concatenate(buf_dls).astype(np.uint64)
-            n_full = (len(ids) // block_size) * block_size
-            cut = len(ids) if final else n_full
-            if cut:
-                for blk in encode_blocks(ids[:cut], tfs[:cut], dls[:cut],
-                                         avgdl, k1, b, block_size):
-                    cf = int(tfs[blk["block_id"] * block_size:
-                                 blk["block_id"] * block_size
-                                 + blk["n_postings"]].sum())
-                    out_rows.append((
-                        cur_key[0], cur_key[1],
-                        cur_block_id + blk["block_id"], blk["n_postings"],
-                        blk["first_doc_id"], blk["last_doc_id"],
-                        blk["doc_ids_vb"], blk["tfs_vb"], blk["dls_vb"],
-                        blk["block_max_tf_norm"], cf))
-                cur_block_id += (cut + block_size - 1) // block_size if final \
-                    else cut // block_size
-            rem_ids, rem_tfs, rem_dls = ids[cut:], tfs[cut:], dls[cut:]
-            buf_ids = [rem_ids] if rem_ids.size else []
-            buf_tfs = [rem_tfs] if rem_tfs.size else []
-            buf_dls = [rem_dls] if rem_dls.size else []
-            buf_n = int(rem_ids.size)
-
-        cols = ["term", "partition_id", "block_id", "n_postings",
-                "first_doc_id", "last_doc_id", "doc_ids_vb", "tfs_vb",
-                "dls_vb", "block_max_tf_norm", "cf_block"]
+        def emit(keys, gs, ids, tfs, dls, bases, out_rows):
+            """Encode complete data for the given groups; bases[i] = block
+            id offset of group i."""
+            bg, rows = encode_blocks_multi(gs, ids, tfs, dls,
+                                           avgdl, k1, b, block_size)
+            for gi, row in zip(bg, rows):
+                term, pid = keys[gi]
+                out_rows.append((term, pid, row[0] + bases[gi]) + row[1:])
 
         for pdf in batches:
-            out_rows: list = []
+            if len(pdf) == 0:
+                continue
             terms = pdf["term"].to_numpy()
             pids = pdf["partition_id"].to_numpy()
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             tfs = pdf["tf"].to_numpy(dtype=np.int64)
             dls = pdf["dl"].to_numpy(dtype=np.int64)
-            if len(pdf) == 0:
-                continue
-            # group-change boundaries within this batch
+            out_rows: list = []
+
             change = np.ones(len(pdf), dtype=bool)
             change[1:] = (terms[1:] != terms[:-1]) | (pids[1:] != pids[:-1])
             starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(pdf))
-            for s, e in zip(starts, ends):
-                key = (terms[s], int(pids[s]))
-                if key != cur_key:
-                    flush(out_rows, final=True)
-                    cur_key, cur_block_id = key, 0
-                buf_ids.append(ids[s:e].astype(np.uint64))
-                buf_tfs.append(tfs[s:e].astype(np.uint64))
-                buf_dls.append(dls[s:e].astype(np.uint64))
-                buf_n += e - s
-                if buf_n >= block_size:
-                    flush(out_rows, final=False)
+            keys = [(terms[s], int(pids[s])) for s in starts]
+
+            first_key = keys[0]
+            if cur_key is not None and first_key != cur_key:
+                # carried group ended exactly at the batch boundary
+                if carry_ids.size:
+                    emit([cur_key], np.array([0]), carry_ids, carry_tfs,
+                         carry_dls, [block_base], out_rows)
+                cur_key, block_base = None, 0
+                carry_ids = carry_tfs = carry_dls = np.zeros(0, np.int64)
+
+            bases = [0] * len(keys)
+            if cur_key is not None:
+                # prepend the carry to its continuing group
+                ids = np.concatenate([carry_ids, ids])
+                tfs = np.concatenate([carry_tfs, tfs])
+                dls = np.concatenate([carry_dls, dls])
+                starts = np.concatenate(
+                    ([0], starts[1:] + carry_ids.size))
+                bases[0] = block_base
+
+            # split off the last group's incomplete tail as the new carry
+            last_s = int(starts[-1])
+            last_len = len(ids) - last_s
+            n_full = (last_len // block_size) * block_size
+            cut = last_s + n_full
+            cur_key = keys[-1]
+            block_base = bases[-1] + n_full // block_size
+            carry_ids = ids[cut:].copy()
+            carry_tfs = tfs[cut:].copy()
+            carry_dls = dls[cut:].copy()
+            if cut:
+                sel = starts < cut
+                emit(keys[:int(sel.sum())], starts[sel],
+                     ids[:cut], tfs[:cut], dls[:cut],
+                     bases, out_rows)
             if out_rows:
                 yield pd.DataFrame(out_rows, columns=cols)
-        final_rows: list = []
-        flush(final_rows, final=True)
-        if final_rows:
+
+        if cur_key is not None and carry_ids.size:
+            final_rows: list = []
+            emit([cur_key], np.array([0]), carry_ids, carry_tfs, carry_dls,
+                 [block_base], final_rows)
             yield pd.DataFrame(final_rows, columns=cols)
 
     return encode_stream

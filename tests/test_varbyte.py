@@ -63,3 +63,59 @@ def test_empty_inputs():
     assert encode_varbyte(np.zeros(0, dtype=np.uint64)) == b""
     assert decode_varbyte(b"").size == 0
     assert delta_encode(np.zeros(0, dtype=np.uint64)).size == 0
+
+
+def test_multi_group_batch_encoder_matches_per_group():
+    """encode_blocks_multi + the streaming wrapper must be bit-identical to
+    the original per-group encode_blocks, across random batch splits."""
+    import numpy as np
+    import pandas as pd
+    from semantic_search_engine_spark.functions.varbyte import (
+        encode_blocks, encode_blocks_multi)
+    from semantic_search_engine_spark.plans.build_index import (
+        make_block_encoder)
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    avgdl, k1, b, bs = 83.5, 1.2, 0.75, 8
+
+    # build a sorted (term, pid, doc_id) stream with varied group sizes
+    groups = []
+    for t in range(6):
+        for pid in range(3):
+            n = int(rng.integers(1, 40))
+            ids = np.sort(rng.choice(10_000, size=n, replace=False))
+            tfs = rng.integers(1, 9, size=n)
+            dls = rng.integers(10, 300, size=n)
+            groups.append((f"t{t:02d}", pid, ids, tfs, dls))
+
+    expected = []
+    for term, pid, ids, tfs, dls in groups:
+        for blk in encode_blocks(ids.astype(np.uint64), tfs.astype(np.uint64),
+                                 dls.astype(np.uint64), avgdl, k1, b, bs):
+            lo = blk["block_id"] * bs
+            cf = int(tfs[lo:lo + blk["n_postings"]].sum())
+            expected.append((term, pid, blk["block_id"], blk["n_postings"],
+                             blk["first_doc_id"], blk["last_doc_id"],
+                             blk["doc_ids_vb"], blk["tfs_vb"],
+                             blk["dls_vb"], blk["block_max_tf_norm"], cf))
+
+    flat = {
+        "term": np.concatenate([[g[0]] * len(g[2]) for g in groups]),
+        "partition_id": np.concatenate([[g[1]] * len(g[2]) for g in groups]),
+        "doc_id": np.concatenate([g[2] for g in groups]),
+        "tf": np.concatenate([g[3] for g in groups]),
+        "dl": np.concatenate([g[4] for g in groups]),
+    }
+    n = len(flat["doc_id"])
+    for trial in range(6):
+        cuts = np.sort(rng.choice(np.arange(1, n), size=min(9, n - 1),
+                                  replace=False))
+        bounds = [0, *cuts.tolist(), n]
+        batches = [pd.DataFrame({k: v[a:b2] for k, v in flat.items()})
+                   for a, b2 in zip(bounds[:-1], bounds[1:])]
+        enc = make_block_encoder(avgdl, k1, b, bs)
+        got = []
+        for pdf in enc(iter(batches)):
+            got.extend(tuple(r) for r in pdf.itertuples(index=False))
+        assert sorted(got, key=lambda r: (r[0], r[1], r[2])) == \
+            sorted(expected, key=lambda r: (r[0], r[1], r[2])), trial
