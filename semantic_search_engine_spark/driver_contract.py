@@ -218,8 +218,9 @@ def q_bm25_topk_engine_wand(spark, sf_dir):
                     F.col("text"), F.col("lang")))
     cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=8,
                        shuffle_partitions=8, block_size=32)
+    from .lineage import ENGINE_FORMAT_VERSION
     wh = _os.path.join(
-        "/tmp", "sse_contract_wh_"
+        "/tmp", f"sse_contract_wh_v{ENGINE_FORMAT_VERSION}_"
         + _hl.sha256(sf_dir.encode()).hexdigest()[:10])
     store = HadoopTableStore(spark, wh)
     IndexBuilder(spark, store, cfg).build(docs, input_version=sf_dir)

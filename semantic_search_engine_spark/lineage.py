@@ -26,9 +26,14 @@ from .sources.store import TableStore
 
 LINEAGE_TABLE = "lineage"
 
+#: Bump when an on-disk format or stage semantic changes incompatibly —
+#: committed outputs from older code then stop fingerprint-matching, so a
+#: resume against a stale warehouse rebuilds instead of mixing formats.
+ENGINE_FORMAT_VERSION = "2"
+
 
 def stage_fingerprint(stage: str, config_fp: str, input_fps: list[str],
-                      code_version: str = "1") -> str:
+                      code_version: str = ENGINE_FORMAT_VERSION) -> str:
     blob = json.dumps([stage, config_fp, sorted(input_fps), code_version])
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
