@@ -9,10 +9,11 @@ block decode (Arrow) → JVM-side BM25 expression → groupBy(doc_id) sum →
 doc_meta join → filters → TakeOrderedAndProject top-k.
 
 Two physical paths:
-  * exhaustive — scores every posting; used when structured filters are
-    present and as the correctness baseline.
-  * block-max WAND (plans/wand.py) — skips blocks that cannot reach the
-    current top-k threshold; the fast path for bare top-k queries.
+  * block-max WAND (plans/wand.py) — the fast path for top-k, bare or with
+    structured filters (the filter survivor set cogroups with the posting
+    blocks per doc bucket and WAND skips non-survivors before scoring).
+  * exhaustive — scores every posting; used when an exact pre-limit count
+    or a score threshold is requested, and as the correctness baseline.
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.varbyte import decode_block
 from ..sources.store import TableStore
 from ..textproc import tokenize
-from .wand import WAND_OUT_SCHEMA, make_wand_group_fn
+from .wand import WAND_OUT_SCHEMA, make_wand_cogroup_fn, make_wand_group_fn
 
 DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
 
@@ -211,7 +212,8 @@ class QueryEngine:
         of per-bucket top-k sets contains the global top-k.
         """
         cfg = self.cfg
-        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        k = cfg.default_k if k is None \
+            else min(k, cfg.max_k + cfg.max_offset)
         qterms = sorted(set(tokenize(query, cfg.max_token_len)))
         idfs = self.term_idfs(qterms)
         avgdl = self.corpus_stats()["avg_doc_len"]
@@ -223,6 +225,48 @@ class QueryEngine:
         fn = make_wand_group_fn(idfs, k, float(cfg.k1), float(cfg.b), avgdl)
         local = blocks.groupBy("partition_id").applyInPandas(
             fn, schema=WAND_OUT_SCHEMA)
+        return (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .select("doc_id", "score"))
+
+    # ------------------------------------------------------------------
+    def wand_filtered_top_k_df(
+        self,
+        query: str,
+        k: int | None = None,
+        lang: str | None = None,
+        warc_ts_min=None,
+        warc_ts_max=None,
+    ) -> DataFrame:
+        """Filtered WAND (E10+E11): structured filters pushed INTO the fast
+        path. The doc_meta filter survivors for each doc bucket cogroup
+        with that bucket's posting blocks (both tables are keyed by
+        ``partition_id``), and WAND skips non-surviving docs before
+        scoring. Exact — filtering only shrinks the candidate set.
+        """
+        cfg = self.cfg
+        k = cfg.default_k if k is None \
+            else min(k, cfg.max_k + cfg.max_offset)
+        qterms = sorted(set(tokenize(query, cfg.max_token_len)))
+        idfs = self.term_idfs(qterms)
+        avgdl = self.corpus_stats()["avg_doc_len"]
+        if not idfs or avgdl <= 0:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        blocks = self._postings_for_terms(sorted(idfs)).select(
+            "term", "partition_id", "block_id", "last_doc_id",
+            "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
+        meta = self.store.read(f"doc_meta{self._sfx()}")
+        if lang is not None:
+            meta = meta.filter(F.col("lang") == F.lit(lang))
+        if warc_ts_min is not None:
+            meta = meta.filter(F.col("warc_ts") >= F.lit(warc_ts_min))
+        if warc_ts_max is not None:
+            meta = meta.filter(F.col("warc_ts") <= F.lit(warc_ts_max))
+        allowed = meta.select("partition_id", "doc_id")
+        fn = make_wand_cogroup_fn(idfs, k, float(cfg.k1), float(cfg.b),
+                                  avgdl)
+        local = (blocks.groupBy("partition_id")
+                 .cogroup(allowed.groupBy("partition_id"))
+                 .applyInPandas(fn, schema=WAND_OUT_SCHEMA))
         return (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
                 .select("doc_id", "score"))
 
@@ -289,6 +333,29 @@ class QueryEngine:
         k = cfg.default_k if k is None else min(k, cfg.max_k)
         offset = min(max(offset, 0), cfg.max_offset)
 
+        if count_mode == "none" and min_score <= 0.0:
+            # fast path: filtered block-max WAND; totalCount = page size
+            # (the reference's own title-path shortcut,
+            # SearchService.java:110-111)
+            top = self.wand_filtered_top_k_df(
+                query, k=k + offset, lang=lang,
+                warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max)
+            meta = self.store.read(f"doc_meta{self._sfx()}").select(
+                "doc_id", "url", "warc_ts", "lang", "doc_len")
+            rows = (top.join(meta, "doc_id")
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .collect())[offset:]
+            elapsed_ms = int((time.time() - t0) * 1000)
+            self._log_search(query, len(rows), elapsed_ms)
+            return {
+                "results": [r.asDict() for r in rows],
+                "total_count": len(rows),
+                "limit": k,
+                "offset": offset,
+                "query": query,
+                "execution_time_ms": elapsed_ms,
+            }
+
         cand = self.scores_df(query)
         if min_score > 0.0:
             cand = cand.filter(F.col("score") >= F.lit(min_score))
@@ -327,6 +394,9 @@ class QueryEngine:
         the two must be rank-identical)."""
         if mode == "wand":
             rows = self.wand_top_k_df(query, k=k).collect()
-            return [(int(r["doc_id"]), float(r["score"])) for r in rows]
-        r = self.search(query, k=k, count_mode="none")
-        return [(h["doc_id"], h["score"]) for h in r["results"]]
+        else:
+            # genuinely exhaustive: score every candidate, then top-k
+            rows = (self.scores_df(query)
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                    .collect())
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]

@@ -142,10 +142,15 @@ def wand_top_k(
     k1: float,
     b: float,
     avgdl: float,
+    allowed: "np.ndarray | None" = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact block-max WAND top-k over one doc-id-sorted posting slice.
 
     ``term_blocks``: term → blocks sorted by doc id. ``weights``: term → idf.
+    ``allowed``: optional sorted int64 doc-id array — the structured-filter
+    survivor set for this doc bucket (Q3–Q6 pushed into the fast path);
+    docs outside it are skipped before scoring, which only shrinks the
+    candidate set and therefore preserves pruning exactness.
     Returns ``(hits, stats)``: hits as ``(doc_id, score)`` in
     ``(score DESC, doc_id ASC)`` order; stats reports pruning counters.
     """
@@ -191,7 +196,10 @@ def wand_top_k(
             # over *every* cursor standing on pivot_doc.
             at_pivot = [c for c in cursors if c.cur_doc == pivot_doc]
             block_ub = sum(c.block_ub() for c in at_pivot)
-            if len(heap) >= k and block_ub <= theta:
+            filtered_out = allowed is not None and not (
+                (i := int(np.searchsorted(allowed, pivot_doc))) < len(allowed)
+                and int(allowed[i]) == pivot_doc)
+            if filtered_out or (len(heap) >= k and block_ub <= theta):
                 skipped_evals += 1
             else:
                 # at_pivot is (cur_doc, term_rank)-sorted ⇒ oracle order
@@ -242,6 +250,38 @@ def group_blocks_by_term(pdf) -> dict[str, list[dict]]:
 
 
 WAND_OUT_SCHEMA = "partition_id int, doc_id long, score double"
+
+
+def make_wand_cogroup_fn(weights: dict[str, float], k: int, k1: float,
+                         b: float, avgdl: float):
+    """Cogrouped ``applyInPandas`` body for FILTERED WAND: left = one doc
+    bucket's posting blocks, right = the same bucket's structured-filter
+    survivor doc ids (from doc_meta). Buckets whose filter side is empty
+    yield nothing; the filter set rides the same partition_id key, so no
+    extra shuffle of postings happens.
+    """
+    import pandas as pd
+
+    def run_bucket(blocks_pdf: "pd.DataFrame",
+                   allowed_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(blocks_pdf) == 0 or len(allowed_pdf) == 0:
+            return pd.DataFrame(
+                {"partition_id": pd.Series([], dtype="int32"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")})
+        blocks_pdf = blocks_pdf.sort_values(
+            ["term", "partition_id", "block_id"], kind="mergesort")
+        allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
+        hits, _ = wand_top_k(group_blocks_by_term(blocks_pdf), weights, k,
+                             k1, b, avgdl, allowed=allowed)
+        pid = int(blocks_pdf["partition_id"].iloc[0])
+        return pd.DataFrame({
+            "partition_id": pd.Series([pid] * len(hits), dtype="int32"),
+            "doc_id": pd.Series([d for d, _ in hits], dtype="int64"),
+            "score": pd.Series([s for _, s in hits], dtype="float64"),
+        })
+
+    return run_bucket
 
 
 def make_wand_group_fn(weights: dict[str, float], k: int, k1: float,

@@ -175,3 +175,50 @@ def test_spark_wand_equals_exhaustive_path(spark, wand_built):
         assert [d for d, _ in wand] == [d for d, _ in exh], q
         for (wd, ws), (ed, es) in zip(wand, exh):
             assert math.isclose(ws, es, abs_tol=1e-9), (q, wd)
+
+
+def test_spark_filtered_wand_matches_oracle(spark, wand_built, tiny_rows):
+    """E10+E11: structured filters pushed into the WAND cogroup path must
+    reproduce the oracle's filtered ranking exactly."""
+    import datetime as dt
+    from semantic_search_engine_spark.oracle import OracleIndex
+    from semantic_search_engine_spark.plans.query import QueryEngine
+
+    store, cfg = wand_built
+    oracle = OracleIndex.build(tiny_rows, cfg)
+    qe = QueryEngine(spark, store, cfg)
+
+    for q, kwargs in [
+        ("wireless bluetooth headphones", dict(lang="en")),
+        ("zipfhead0 zipfhead1", dict(lang="de")),
+        ("zipfhead0 zipfhead1",
+         dict(warc_ts_min=dt.datetime(2025, 1, 1, 1, 0))),
+        ("zipfhead0", dict(lang="en",
+                           warc_ts_max=dt.datetime(2025, 1, 1, 2, 0))),
+    ]:
+        got = qe.wand_filtered_top_k_df(q, k=10, **kwargs).collect()
+        exp = oracle.search(q, k=10, **kwargs)["results"]
+        assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp], \
+            (q, kwargs)
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e["score"], abs_tol=1e-6)
+
+
+def test_search_fast_path_filtered_pagination(spark, wand_built, tiny_rows):
+    """search() count_mode='none' routes through filtered WAND; pagination
+    and result envelope must match the oracle page-for-page."""
+    from semantic_search_engine_spark.oracle import OracleIndex
+    from semantic_search_engine_spark.plans.query import QueryEngine
+
+    store, cfg = wand_built
+    oracle = OracleIndex.build(tiny_rows, cfg)
+    qe = QueryEngine(spark, store, cfg)
+    for offset in (0, 5):
+        s = qe.search("zipfhead0 zipfhead1", k=10, offset=offset,
+                      lang="en", count_mode="none")
+        o = oracle.search("zipfhead0 zipfhead1", k=10, offset=offset,
+                          lang="en")
+        assert [h["doc_id"] for h in s["results"]] == \
+            [h["doc_id"] for h in o["results"]], offset
+        assert {"url", "warc_ts", "lang", "doc_len"} <= \
+            set(s["results"][0].keys())
