@@ -202,73 +202,78 @@ class QueryEngine:
         return scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
 
     # ------------------------------------------------------------------
-    def wand_top_k_df(self, query: str, k: int | None = None) -> DataFrame:
-        """Block-max WAND top-k (E10) — the fast path for bare top-k.
-
-        One job: pruned postings scan → per-doc-bucket WAND
-        (``applyInPandas`` groups on ``partition_id``, each a doc-id-sorted
-        slice of every query term's postings) → merge of ≤ P·k local hits
-        with ``orderBy(score DESC, doc_id ASC).limit(k)``. Exact — the union
-        of per-bucket top-k sets contains the global top-k.
-        """
-        cfg = self.cfg
-        k = cfg.default_k if k is None \
-            else min(k, cfg.max_k + cfg.max_offset)
-        qterms = sorted(set(tokenize(query, cfg.max_token_len)))
-        idfs = self.term_idfs(qterms)
-        avgdl = self.corpus_stats()["avg_doc_len"]
-        if not idfs or avgdl <= 0:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        blocks = self._postings_for_terms(sorted(idfs)).select(
-            "term", "partition_id", "block_id", "last_doc_id",
-            "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
-        fn = make_wand_group_fn(idfs, k, float(cfg.k1), float(cfg.b), avgdl)
-        local = blocks.groupBy("partition_id").applyInPandas(
-            fn, schema=WAND_OUT_SCHEMA)
-        return (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-                .select("doc_id", "score"))
-
-    # ------------------------------------------------------------------
-    def wand_filtered_top_k_df(
-        self,
-        query: str,
-        k: int | None = None,
-        lang: str | None = None,
-        warc_ts_min=None,
-        warc_ts_max=None,
-    ) -> DataFrame:
-        """Filtered WAND (E10+E11): structured filters pushed INTO the fast
-        path. The doc_meta filter survivors for each doc bucket cogroup
-        with that bucket's posting blocks (both tables are keyed by
-        ``partition_id``), and WAND skips non-surviving docs before
-        scoring. Exact — filtering only shrinks the candidate set.
-        """
-        cfg = self.cfg
-        k = cfg.default_k if k is None \
-            else min(k, cfg.max_k + cfg.max_offset)
-        qterms = sorted(set(tokenize(query, cfg.max_token_len)))
-        idfs = self.term_idfs(qterms)
-        avgdl = self.corpus_stats()["avg_doc_len"]
-        if not idfs or avgdl <= 0:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        blocks = self._postings_for_terms(sorted(idfs)).select(
-            "term", "partition_id", "block_id", "last_doc_id",
-            "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
-        meta = self.store.read(f"doc_meta{self._sfx()}")
+    def _apply_meta_filters(self, meta: DataFrame, lang, warc_ts_min,
+                            warc_ts_max) -> DataFrame:
+        """Conditional structured filters (the Catalyst-friendly form of
+        the reference's ``(? IS NULL OR pred)`` trick,
+        ``ProductRepository.java:75-79``) — single definition for every
+        path."""
         if lang is not None:
             meta = meta.filter(F.col("lang") == F.lit(lang))
         if warc_ts_min is not None:
             meta = meta.filter(F.col("warc_ts") >= F.lit(warc_ts_min))
         if warc_ts_max is not None:
             meta = meta.filter(F.col("warc_ts") <= F.lit(warc_ts_max))
-        allowed = meta.select("partition_id", "doc_id")
-        fn = make_wand_cogroup_fn(idfs, k, float(cfg.k1), float(cfg.b),
-                                  avgdl)
-        local = (blocks.groupBy("partition_id")
-                 .cogroup(allowed.groupBy("partition_id"))
-                 .applyInPandas(fn, schema=WAND_OUT_SCHEMA))
+        return meta
+
+    def wand_top_k_df(self, query: str, k: int | None = None,
+                      lang: str | None = None, warc_ts_min=None,
+                      warc_ts_max=None) -> DataFrame:
+        """Block-max WAND top-k (E10), optionally filtered (E11) — the fast
+        query path.
+
+        One job: pruned postings scan → per-doc-bucket WAND
+        (``applyInPandas`` groups on ``partition_id``, each a doc-id-sorted
+        slice of every query term's postings) → merge of ≤ P·k local hits
+        with ``orderBy(score DESC, doc_id ASC).limit(k)``. Exact — the
+        union of per-bucket top-k sets contains the global top-k.
+
+        With structured filters, the doc_meta survivor set cogroups with
+        the blocks per doc bucket (both keyed by ``partition_id``) and WAND
+        skips non-survivors before scoring — still exact, since filtering
+        only shrinks the candidate set. Bare queries never touch doc_meta.
+
+        ``k`` is clamped to ``max_k + max_offset`` (internal pagination
+        bound); the public ``search``/``top_k`` enforce the page-size cap.
+        """
+        cfg = self.cfg
+        k = cfg.default_k if k is None \
+            else min(k, cfg.max_k + cfg.max_offset)
+        qterms = sorted(set(tokenize(query, cfg.max_token_len)))
+        idfs = self.term_idfs(qterms)
+        avgdl = self.corpus_stats()["avg_doc_len"]
+        if not idfs or avgdl <= 0 or k <= 0:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        blocks = self._postings_for_terms(sorted(idfs)).select(
+            "term", "partition_id", "block_id", "last_doc_id",
+            "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
+        filtered = (lang is not None or warc_ts_min is not None
+                    or warc_ts_max is not None)
+        if filtered:
+            allowed = self._apply_meta_filters(
+                self.store.read(f"doc_meta{self._sfx()}"), lang,
+                warc_ts_min, warc_ts_max).select("partition_id", "doc_id")
+            fn = make_wand_cogroup_fn(idfs, k, float(cfg.k1), float(cfg.b),
+                                      avgdl)
+            local = (blocks.groupBy("partition_id")
+                     .cogroup(allowed.groupBy("partition_id"))
+                     .applyInPandas(fn, schema=WAND_OUT_SCHEMA))
+        else:
+            fn = make_wand_group_fn(idfs, k, float(cfg.k1), float(cfg.b),
+                                    avgdl)
+            local = blocks.groupBy("partition_id").applyInPandas(
+                fn, schema=WAND_OUT_SCHEMA)
         return (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
                 .select("doc_id", "score"))
+
+    def wand_filtered_top_k_df(self, query: str, k: int | None = None,
+                               lang: str | None = None, warc_ts_min=None,
+                               warc_ts_max=None) -> DataFrame:
+        """Alias of :meth:`wand_top_k_df` with filters (kept for clarity at
+        call sites)."""
+        return self.wand_top_k_df(query, k=k, lang=lang,
+                                  warc_ts_min=warc_ts_min,
+                                  warc_ts_max=warc_ts_max)
 
     # ------------------------------------------------------------------
     def search_df(
@@ -295,13 +300,8 @@ class QueryEngine:
             cand = cand.filter(F.col("score") >= F.lit(min_score))
         meta = self.store.read(f"doc_meta{self._sfx()}").select(
             "doc_id", "url", "warc_ts", "lang", "doc_len")
-        out = cand.join(meta, "doc_id")
-        if lang is not None:
-            out = out.filter(F.col("lang") == F.lit(lang))
-        if warc_ts_min is not None:
-            out = out.filter(F.col("warc_ts") >= F.lit(warc_ts_min))
-        if warc_ts_max is not None:
-            out = out.filter(F.col("warc_ts") <= F.lit(warc_ts_max))
+        out = self._apply_meta_filters(cand.join(meta, "doc_id"), lang,
+                                       warc_ts_min, warc_ts_max)
         # TakeOrderedAndProject: per-partition heap of k+offset, then merge
         page = (out.orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k + offset))
@@ -342,7 +342,7 @@ class QueryEngine:
                 warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max)
             meta = self.store.read(f"doc_meta{self._sfx()}").select(
                 "doc_id", "url", "warc_ts", "lang", "doc_len")
-            rows = (top.join(meta, "doc_id")
+            rows = (F.broadcast(top).join(meta, "doc_id")
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .collect())[offset:]
             elapsed_ms = int((time.time() - t0) * 1000)
@@ -361,13 +361,8 @@ class QueryEngine:
             cand = cand.filter(F.col("score") >= F.lit(min_score))
         meta = self.store.read(f"doc_meta{self._sfx()}").select(
             "doc_id", "url", "warc_ts", "lang", "doc_len")
-        out = cand.join(meta, "doc_id")
-        if lang is not None:
-            out = out.filter(F.col("lang") == F.lit(lang))
-        if warc_ts_min is not None:
-            out = out.filter(F.col("warc_ts") >= F.lit(warc_ts_min))
-        if warc_ts_max is not None:
-            out = out.filter(F.col("warc_ts") <= F.lit(warc_ts_max))
+        out = self._apply_meta_filters(cand.join(meta, "doc_id"), lang,
+                                       warc_ts_min, warc_ts_max)
 
         out = out.cache()
         try:
@@ -392,6 +387,7 @@ class QueryEngine:
         """Bare top-k. ``mode="wand"`` (default) runs block-max WAND;
         ``mode="exhaustive"`` scores every candidate (correctness baseline —
         the two must be rank-identical)."""
+        k = min(k, self.cfg.max_k)  # page-size cap, both modes alike
         if mode == "wand":
             rows = self.wand_top_k_df(query, k=k).collect()
         else:

@@ -155,18 +155,20 @@ def wand_top_k(
     ``(score DESC, doc_id ASC)`` order; stats reports pruning counters.
     """
     cursors = []
-    for rank, term in enumerate(sorted(term_blocks)):
-        blocks = term_blocks[term]
-        if blocks and term in weights and avgdl > 0:
-            c = BlockCursor(blocks, weights[term], k1, b, avgdl,
-                            term_rank=rank)
-            if c.cur_doc != EXHAUSTED:
-                cursors.append(c)
+    if k > 0:  # k<=0: empty result, not an empty-heap indexing error
+        for rank, term in enumerate(sorted(term_blocks)):
+            blocks = term_blocks[term]
+            if blocks and term in weights and avgdl > 0:
+                c = BlockCursor(blocks, weights[term], k1, b, avgdl,
+                                term_rank=rank)
+                if c.cur_doc != EXHAUSTED:
+                    cursors.append(c)
     all_cursors = list(cursors)
 
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
     evaluated = 0
     skipped_evals = 0
+    filtered_out = 0
 
     while cursors:
         # secondary key term_rank: docs tie across cursors, and at_pivot
@@ -196,10 +198,12 @@ def wand_top_k(
             # over *every* cursor standing on pivot_doc.
             at_pivot = [c for c in cursors if c.cur_doc == pivot_doc]
             block_ub = sum(c.block_ub() for c in at_pivot)
-            filtered_out = allowed is not None and not (
+            excluded = allowed is not None and not (
                 (i := int(np.searchsorted(allowed, pivot_doc))) < len(allowed)
                 and int(allowed[i]) == pivot_doc)
-            if filtered_out or (len(heap) >= k and block_ub <= theta):
+            if excluded:
+                filtered_out += 1
+            elif len(heap) >= k and block_ub <= theta:
                 skipped_evals += 1
             else:
                 # at_pivot is (cur_doc, term_rank)-sorted ⇒ oracle order
@@ -225,7 +229,8 @@ def wand_top_k(
     hits = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
     stats = {
         "evaluated_docs": evaluated,
-        "skipped_evals": skipped_evals,
+        "skipped_evals": skipped_evals,      # block-max UB prunes only
+        "filtered_out": filtered_out,        # structured-filter exclusions
         "decoded_blocks": sum(c.decoded_blocks for c in all_cursors),
         "total_blocks": sum(len(v) for v in term_blocks.values()),
     }
@@ -252,6 +257,28 @@ def group_blocks_by_term(pdf) -> dict[str, list[dict]]:
 WAND_OUT_SCHEMA = "partition_id int, doc_id long, score double"
 
 
+def _run_bucket(blocks_pdf, allowed, weights, k, k1, b, avgdl):
+    """Shared applyInPandas body: one doc bucket's blocks (+ optional
+    sorted allowed-doc array) → local top-k frame in WAND_OUT_SCHEMA."""
+    import pandas as pd
+
+    if len(blocks_pdf) == 0:
+        return pd.DataFrame(
+            {"partition_id": pd.Series([], dtype="int32"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")})
+    blocks_pdf = blocks_pdf.sort_values(
+        ["term", "partition_id", "block_id"], kind="mergesort")
+    hits, _ = wand_top_k(group_blocks_by_term(blocks_pdf), weights, k,
+                         k1, b, avgdl, allowed=allowed)
+    pid = int(blocks_pdf["partition_id"].iloc[0])
+    return pd.DataFrame({
+        "partition_id": pd.Series([pid] * len(hits), dtype="int32"),
+        "doc_id": pd.Series([d for d, _ in hits], dtype="int64"),
+        "score": pd.Series([s for _, s in hits], dtype="float64"),
+    })
+
+
 def make_wand_cogroup_fn(weights: dict[str, float], k: int, k1: float,
                          b: float, avgdl: float):
     """Cogrouped ``applyInPandas`` body for FILTERED WAND: left = one doc
@@ -260,26 +287,13 @@ def make_wand_cogroup_fn(weights: dict[str, float], k: int, k1: float,
     yield nothing; the filter set rides the same partition_id key, so no
     extra shuffle of postings happens.
     """
-    import pandas as pd
 
-    def run_bucket(blocks_pdf: "pd.DataFrame",
-                   allowed_pdf: "pd.DataFrame") -> "pd.DataFrame":
-        if len(blocks_pdf) == 0 or len(allowed_pdf) == 0:
-            return pd.DataFrame(
-                {"partition_id": pd.Series([], dtype="int32"),
-                 "doc_id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")})
-        blocks_pdf = blocks_pdf.sort_values(
-            ["term", "partition_id", "block_id"], kind="mergesort")
+    def run_bucket(blocks_pdf, allowed_pdf):
+        if len(allowed_pdf) == 0:
+            return _run_bucket(blocks_pdf.iloc[:0], None, weights, k,
+                               k1, b, avgdl)
         allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
-        hits, _ = wand_top_k(group_blocks_by_term(blocks_pdf), weights, k,
-                             k1, b, avgdl, allowed=allowed)
-        pid = int(blocks_pdf["partition_id"].iloc[0])
-        return pd.DataFrame({
-            "partition_id": pd.Series([pid] * len(hits), dtype="int32"),
-            "doc_id": pd.Series([d for d, _ in hits], dtype="int64"),
-            "score": pd.Series([s for _, s in hits], dtype="float64"),
-        })
+        return _run_bucket(blocks_pdf, allowed, weights, k, k1, b, avgdl)
 
     return run_bucket
 
@@ -291,23 +305,8 @@ def make_wand_group_fn(weights: dict[str, float], k: int, k1: float,
     Output schema: :data:`WAND_OUT_SCHEMA`. The closure ships only the tiny
     (|query terms|) weight dict to executors — broadcast-sized state.
     """
-    import pandas as pd
 
-    def run_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        if len(pdf) == 0:
-            return pd.DataFrame(
-                {"partition_id": pd.Series([], dtype="int32"),
-                 "doc_id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")})
-        pdf = pdf.sort_values(["term", "partition_id", "block_id"],
-                              kind="mergesort")
-        hits, _ = wand_top_k(group_blocks_by_term(pdf), weights, k,
-                             k1, b, avgdl)
-        pid = int(pdf["partition_id"].iloc[0])
-        return pd.DataFrame({
-            "partition_id": pd.Series([pid] * len(hits), dtype="int32"),
-            "doc_id": pd.Series([d for d, _ in hits], dtype="int64"),
-            "score": pd.Series([s for _, s in hits], dtype="float64"),
-        })
+    def run_bucket(pdf):
+        return _run_bucket(pdf, None, weights, k, k1, b, avgdl)
 
     return run_bucket

@@ -222,3 +222,28 @@ def test_search_fast_path_filtered_pagination(spark, wand_built, tiny_rows):
             [h["doc_id"] for h in o["results"]], offset
         assert {"url", "warc_ts", "lang", "doc_len"} <= \
             set(s["results"][0].keys())
+
+
+def test_k_zero_and_bare_fast_path(spark, wand_built):
+    """Regression (code review): k=0 must return an empty envelope, not an
+    IndexError inside the WAND heap; bare fast-path queries must not touch
+    doc_meta (no cogroup when no filters)."""
+    from semantic_search_engine_spark.plans.query import QueryEngine
+
+    store, cfg = wand_built
+    qe = QueryEngine(spark, store, cfg)
+    got, stats = __import__(
+        "semantic_search_engine_spark.plans.wand", fromlist=["wand_top_k"]
+    ).wand_top_k({}, {}, 0, 1.2, 0.75, 100.0)
+    assert got == []
+    r = qe.search("zipfhead0", k=0, count_mode="none")
+    assert r["results"] == [] and r["total_count"] == 0
+    # bare query plan must not reference doc_meta (no full-table cogroup)
+    plan = qe.wand_top_k_df("zipfhead0", k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "doc_meta" not in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+    # filtered query does cogroup
+    plan_f = qe.wand_top_k_df("zipfhead0", k=5, lang="en") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan_f
