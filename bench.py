@@ -125,6 +125,15 @@ def main() -> None:
     qe.search("wireless bluetooth headphones", k=10, lang="en",
               count_mode="exact")
     queries["q_filtered_exact_count"] = round(time.time() - t0, 3)
+    # WAND-vs-exhaustive on the stopword-heavy query: the pruning payoff
+    t0 = time.time()
+    qe.top_k("zipfhead0 zipfhead1", k=10, mode="exhaustive")
+    queries["q_zipf_exhaustive"] = round(time.time() - t0, 3)
+    # filtered fast path (cogrouped WAND)
+    t0 = time.time()
+    qe.search("wireless bluetooth headphones", k=10, lang="en",
+              count_mode="none")
+    queries["q_filtered_wand"] = round(time.time() - t0, 3)
 
     total = build_sec + sum(qtimes) + queries["q_filtered_exact_count"]
     out = {

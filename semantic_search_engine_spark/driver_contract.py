@@ -1085,6 +1085,55 @@ GROUP BY user_id
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (no native Spark operator): for every purchase event,
+    the most recent prior-or-same-time view by the same user.
+
+    Implementation: tag + union + window ``last(..., ignorenulls)`` over
+    (user_id) ordered by (ts, tag, event_id) — views sort before purchases
+    at equal ts, giving inclusive `view.ts <= purchase.ts` semantics with a
+    deterministic tie-break (max event_id among equal-ts views).
+    """
+    e = _t(spark, sf_dir, "events")
+    views = (e.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", "event_id")
+             .withColumn("tag", F.lit(0)))
+    buys = (e.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", "event_id")
+            .withColumn("tag", F.lit(1)))
+    u = views.unionByName(buys)
+    w = (Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marked = u.withColumn(
+        "last_view_id",
+        F.last(F.when(F.col("tag") == 0, F.col("event_id")),
+               ignorenulls=True).over(w))
+    return (marked.filter(F.col("tag") == 1)
+            .select(F.col("event_id").alias("purchase_id"),
+                    "user_id", "last_view_id"))
+
+
+SQL_ASOF_JOIN = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS tag FROM events
+  WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 FROM events
+  WHERE event_type = 'purchase'
+),
+marked AS (
+  SELECT user_id, ts, event_id, tag,
+         last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_view_id
+  FROM u
+)
+SELECT event_id AS purchase_id, user_id, last_view_id
+FROM marked WHERE tag = 1
+"""
+
+
 def q_window_running_sum(spark, sf_dir):
     """Running revenue per customer (window aggregate beyond row_number)."""
     w = (Window.partitionBy("o_custkey")
@@ -1211,6 +1260,7 @@ REGISTRY: dict[str, tuple] = {
     # event-stream analytics + relational completeness
     "events_tumbling_window": (q_events_tumbling_window, SQL_EVENTS_TUMBLING),
     "events_session_gap": (q_events_session_gap, SQL_EVENTS_SESSION_GAP),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "window_running_sum": (q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
     "set_ops": (q_set_ops, SQL_SET_OPS),
