@@ -1,0 +1,191 @@
+"""Corpus deduplication operators — exact and MinHash-LSH near-dup.
+
+Training-data-pipeline staples over the ``documents`` table, expressed
+entirely in JVM-side ``pyspark.sql.functions`` (no Python UDFs — shingling
+is ``transform`` over token arrays, hashing is ``md5``/``xxhash64``,
+min-hash is a ``groupBy().agg(min(...))``). All decisions are
+deterministic: survivors are the minimum doc_id of each duplicate cluster.
+
+Scale notes:
+* exact dedup is one hash-shuffle on a 16-byte fingerprint;
+* LSH banding turns the O(n²) near-dup search into per-band bucket joins —
+  candidate volume is Σ bucket² per band, controlled by n_hashes/bands;
+* clustering uses label propagation on the candidate graph (min-label to
+  each neighbor), iterated a fixed number of rounds — each round is one
+  join + groupBy, no driver-side graph state. Chains longer than
+  2^rounds hops are rare in near-dup graphs (components are cliques-ish);
+  the iteration count is a config, and convergence can be checked by
+  comparing label sums between rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..textproc import TOKEN_PATTERN_SQL
+
+_TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN_SQL}', 0)"
+
+
+def text_fingerprint(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, fingerprint): md5 of whitespace-normalized lowercase text."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(key, F.md5(norm.cast("binary")).alias("fingerprint"))
+
+
+def exact_dedup(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Keep the minimum-key row of every identical-text group.
+
+    Returns (key, fingerprint, keep_key, is_survivor) for every input row —
+    callers filter ``is_survivor`` or join back for the drop list.
+    """
+    fp = text_fingerprint(docs, key)
+    keep = fp.groupBy("fingerprint").agg(F.min(key).alias("keep_key"))
+    return (fp.join(keep, "fingerprint")
+            .withColumn("is_survivor", F.col(key) == F.col("keep_key")))
+
+
+def shingle_minhash_signatures(docs: DataFrame, key: str = "doc_id",
+                               shingle_size: int = 3,
+                               n_hashes: int = 8) -> DataFrame:
+    """(key, mh_0..mh_{n-1}): MinHash over w-shingles, JVM-only.
+
+    Each hash function is ``xxhash64(shingle || salt_i)``; min over the
+    doc's shingle set approximates a uniform permutation minimum.
+    """
+    toks = F.expr(_TOKENS)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_size,
+                                        F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1)
+                   for j in range(shingle_size)]))
+    exploded = (docs
+                .filter(F.size(toks) >= shingle_size)
+                .select(key, F.explode(shingles).alias("sh")))
+    aggs = [F.min(F.xxhash64(F.concat(F.col("sh"), F.lit(f":{i}"))))
+            .alias(f"mh_{i}") for i in range(n_hashes)]
+    return exploded.groupBy(key).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, key: str = "doc_id",
+                        n_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """Distinct candidate pairs (key_a < key_b) sharing any LSH band.
+
+    Bands are contiguous slices of the signature; a band's bucket id is the
+    md5 of its concatenated minhashes. Each band contributes one
+    self-equi-join on (band_id, bucket) — Catalyst plans a hash join per
+    band; candidate volume is bounded by bucket sizes, not n².
+    """
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(bi).alias("band_id"),
+            F.md5(F.concat_ws("|", *cols).cast("binary")).alias("bucket")))
+    banded = (signatures
+              .select(key, F.explode(F.array(*band_cols)).alias("b"))
+              .select(key, F.col("b.band_id").alias("band_id"),
+                      F.col("b.bucket").alias("bucket")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+            .select(F.col(f"a.{key}").alias("key_a"),
+                    F.col(f"b.{key}").alias("key_b"))
+            .distinct())
+
+
+def verify_jaccard(docs: DataFrame, pairs: DataFrame, key: str = "doc_id",
+                   shingle_size: int = 3,
+                   threshold: float = 0.7) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs >= t.
+
+    The shingle explode joins only against candidate keys (semi-join
+    pushdown), so verification cost is proportional to candidate volume.
+    """
+    toks = F.expr(_TOKENS)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_size,
+                                        F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1)
+                   for j in range(shingle_size)]))
+    keys = (pairs.select(F.col("key_a").alias(key))
+            .union(pairs.select("key_b")).distinct())
+    sh = (docs.join(keys, key, "left_semi")
+          .select(key, F.explode(F.array_distinct(shingles)).alias("sh")))
+    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    # shared-shingle counts via a pair-scoped join on the shingle value
+    sh_a = sh.select(F.col(key).alias("key_a"), "sh")
+    sh_b = sh.select(F.col(key).alias("key_b"), "sh")
+    inter = (pairs.join(sh_a, "key_a").join(sh_b, ["key_b", "sh"])
+             .groupBy("key_a", "key_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    na = sizes.select(F.col(key).alias("key_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(key).alias("key_b"), F.col("n").alias("n_b"))
+    return (pairs.join(inter, ["key_a", "key_b"], "left")
+            .na.fill({"n_inter": 0})
+            .join(na, "key_a").join(nb, "key_b")
+            .withColumn("jaccard",
+                        F.col("n_inter")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("key_a", "key_b", "jaccard"))
+
+
+def cluster_pairs(pairs: DataFrame, n_rounds: int = 5) -> DataFrame:
+    """Connected components by min-label propagation over verified pairs.
+
+    Returns (key, cluster) where cluster is the minimum key reachable
+    within ``n_rounds`` doublings — for near-dup graphs (dense clusters)
+    this converges in 2-3 rounds; each round is one shuffle.
+    """
+    # Iterative algorithm: materialize each round and TRUNCATE LINEAGE —
+    # otherwise round r re-executes the whole upstream (candidate gen +
+    # verification) r times and the plan grows exponentially. At cluster
+    # scale use spark.sparkContext.setCheckpointDir + .checkpoint() for
+    # fault-tolerant truncation; localCheckpoint is the single-node form.
+    edges = (pairs.select(F.col("key_a").alias("u"),
+                          F.col("key_b").alias("v"))
+             .union(pairs.select("key_b", "key_a"))
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("u").alias("key"))
+              .distinct()
+              .withColumn("cluster", F.col("key"))
+              .localCheckpoint(eager=True))
+    for _ in range(n_rounds):
+        neighbor_min = (edges
+                        .join(labels.withColumnRenamed("key", "v"), "v")
+                        .groupBy("u")
+                        .agg(F.min("cluster").alias("nmin")))
+        labels = (labels
+                  .join(neighbor_min.withColumnRenamed("u", "key"),
+                        "key", "left")
+                  .withColumn("cluster",
+                              F.least("cluster",
+                                      F.coalesce("nmin", "cluster")))
+                  .drop("nmin")
+                  .localCheckpoint(eager=True))
+    return labels
+
+
+def near_dedup(docs: DataFrame, key: str = "doc_id",
+               shingle_size: int = 3, n_hashes: int = 8, bands: int = 4,
+               threshold: float = 0.7, n_rounds: int = 5) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
+    pairs → exact-Jaccard verify → cluster → survivor = min key.
+
+    Returns (key, cluster, is_survivor) for every clustered document;
+    documents with no near-duplicate don't appear (they all survive).
+    """
+    sig = shingle_minhash_signatures(docs, key, shingle_size, n_hashes)
+    cand = lsh_candidate_pairs(sig, key, n_hashes, bands)
+    verified = verify_jaccard(docs, cand, key, shingle_size, threshold)
+    clusters = cluster_pairs(verified, n_rounds)
+    return clusters.withColumn("is_survivor",
+                               F.col("key") == F.col("cluster"))

@@ -1,0 +1,129 @@
+"""Engine-level dedup + ANN operators over the driver testdata tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_search_engine_spark.operators.ann import (
+    IVFIndex,
+    brute_force_top_k,
+)
+from semantic_search_engine_spark.operators.dedup import (
+    cluster_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    near_dedup,
+    shingle_minhash_signatures,
+    verify_jaccard,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Driver documents plus planted exact and near duplicates."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .filter(F.col("doc_id") < 200)
+    rows = base.select("doc_id", "text").collect()
+    extra = []
+    # exact dups of docs 3 and 7 (new ids 10_003 / 10_007)
+    for d in (3, 7):
+        extra.append((10_000 + d, next(r["text"] for r in rows
+                                       if r["doc_id"] == d)))
+    # near dup of doc 11: append two words to its text
+    t11 = next(r["text"] for r in rows if r["doc_id"] == 11)
+    extra.append((20_011, t11 + " tail word"))
+    extra_df = spark.createDataFrame(extra, "doc_id long, text string")
+    return base.select("doc_id", "text").unionByName(extra_df)
+
+
+def test_exact_dedup_keeps_min_id(spark, docs_with_dups):
+    out = exact_dedup(docs_with_dups)
+    # the planted exact dups lose to the original (smaller id)
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert r[10_003]["is_survivor"] is False
+    assert r[10_003]["keep_key"] == 3
+    assert r[10_007]["keep_key"] == 7
+    assert r[3]["is_survivor"] is True
+    # the near dup is NOT an exact dup
+    assert r[20_011]["is_survivor"] is True
+    n_drop = out.filter(~F.col("is_survivor")).count()
+    assert n_drop == 2
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs_with_dups):
+    sig = shingle_minhash_signatures(docs_with_dups, n_hashes=8)
+    cand = lsh_candidate_pairs(sig, n_hashes=8, bands=4)
+    pairs = {(r["key_a"], r["key_b"]) for r in cand.collect()}
+    assert (3, 10_003) in pairs          # exact dup: identical signature
+    assert (11, 20_011) in pairs         # near dup: shares most shingles
+    verified = verify_jaccard(docs_with_dups, cand, threshold=0.5)
+    v = {(r["key_a"], r["key_b"]): r["jaccard"] for r in verified.collect()}
+    assert v[(3, 10_003)] == 1.0
+    assert 0.5 <= v[(11, 20_011)] < 1.0
+
+
+def test_near_dedup_end_to_end(spark, docs_with_dups):
+    out = near_dedup(docs_with_dups, threshold=0.5)
+    r = {x["key"]: x for x in out.collect()}
+    assert r[10_003]["cluster"] == 3 and r[10_003]["is_survivor"] is False
+    assert r[20_011]["cluster"] == 11 and not r[20_011]["is_survivor"]
+    assert r[3]["is_survivor"] and r[11]["is_survivor"]
+
+
+def test_cluster_pairs_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "key_a long, key_b long")
+    labels = {r["key"]: r["cluster"]
+              for r in cluster_pairs(pairs, n_rounds=4).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def probe(embeddings):
+    row = embeddings.filter(F.col("vec_id") == 5).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def ivf_idx(spark, embeddings):
+    return IVFIndex.build(spark, embeddings, n_lists=8, n_iters=2)
+
+
+def test_ivf_full_probe_is_exact(spark, embeddings, probe, ivf_idx):
+    idx = ivf_idx
+    exact = brute_force_top_k(embeddings, probe, k=10).collect()
+    approx = idx.search(probe, k=10, n_probe=8).collect()
+    assert [r["vec_id"] for r in approx] == [r["vec_id"] for r in exact]
+
+
+def test_ivf_partial_probe_recall(spark, embeddings, probe, ivf_idx):
+    idx = ivf_idx
+    rec = idx.recall_at_k(embeddings, probe, k=10, n_probe=4)
+    assert rec >= 0.5, rec  # random 64-d vectors: half the lists ≥ half hits
+    # probing more lists can't lower recall
+    rec_all = idx.recall_at_k(embeddings, probe, k=10, n_probe=8)
+    assert rec_all == 1.0
+
+
+def test_ivf_deterministic(spark, embeddings):
+    a = IVFIndex.build(spark, embeddings, n_lists=4, n_iters=1, seed=7)
+    b = IVFIndex.build(spark, embeddings, n_lists=4, n_iters=1, seed=7)
+    assert np.array_equal(a.centroids, b.centroids)
+    pa = [(r["vec_id"], r["list_id"]) for r in
+          a.assignments.select("vec_id", "list_id").orderBy("vec_id")
+          .collect()]
+    pb = [(r["vec_id"], r["list_id"]) for r in
+          b.assignments.select("vec_id", "list_id").orderBy("vec_id")
+          .collect()]
+    assert pa == pb
