@@ -4,24 +4,33 @@ Two tiers (the task's similarity-search ladder):
 
 * :func:`brute_force_top_k` — exact cosine top-k via JVM array expressions
   (``zip_with`` + ``aggregate``); the correctness baseline, O(n) per query.
-* :class:`IVFIndex` — inverted-file ANN: k-means-style centroids
-  (deterministic seeded init, fixed Lloyd iterations), vectors assigned to
-  their nearest centroid list, queries probe only the ``n_probe`` nearest
-  lists. The Spark shape: centroids are a broadcast-sized driver array,
-  assignment is one job over the corpus, a query is a pruned scan of the
-  probed lists. ``n_probe = n_lists`` degrades to exact search (tested).
+* :class:`IVFIndex` — inverted-file ANN, *spherical* k-means: vectors are
+  L2-normalized up front, so Euclidean clustering/probing orders exactly
+  like cosine (|a−b|² = 2−2·cos on the unit sphere) and the reported score
+  is the true cosine of the original vectors. Centroids are deterministic
+  (seeded init, fixed Lloyd iterations); queries probe only the
+  ``n_probe`` nearest lists. ``n_probe = n_lists`` degrades to exact
+  search (tested).
 
-Scale: at 10^9+ vectors the assignment job shuffles (vec_id, list_id)
-pairs only; the vectors stay partitioned by list for locality
-(``repartition(n_lists, "list_id")`` on write) so a query's probed-list
-scan is partition-pruned.
+Scale: assignment uses whole-stage-codegen column expressions while
+``n_lists × dim`` stays small, and switches to an Arrow-batched numpy
+``argmin`` (centroids shipped once per worker in the closure) beyond that —
+a 1024-list × 768-dim index would otherwise put ~800k literal nodes into
+one Catalyst projection. Final assignments are repartitioned by list id so
+a query's probed-list scan is partition-pruned.
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: above this many centroid components, assignment switches from column
+#: expressions to the Arrow/numpy path
+_EXPR_ASSIGN_MAX_COMPONENTS = 4096
 
 
 def _dot(a, b):
@@ -35,9 +44,13 @@ def _norm(a):
 
 
 def cosine_col(vec_col: str, probe: list[float]):
-    """Cosine(vec_col, literal probe) as a pure JVM column expression."""
+    """Cosine(vec_col, literal probe) as a pure JVM column expression.
+
+    The probe's norm is a Python-side constant — only the row vector's dot
+    and norm are computed per row."""
     p = F.array(*[F.lit(float(x)) for x in probe])
-    return _dot(F.col(vec_col), p) / (_norm(F.col(vec_col)) * _norm(p))
+    pnorm = math.sqrt(sum(float(x) * float(x) for x in probe)) or 1.0
+    return _dot(F.col(vec_col), p) / (_norm(F.col(vec_col)) * F.lit(pnorm))
 
 
 def brute_force_top_k(embeddings: DataFrame, probe: list[float], k: int = 10,
@@ -50,68 +63,105 @@ def brute_force_top_k(embeddings: DataFrame, probe: list[float], k: int = 10,
             .orderBy(F.desc("cosine"), F.asc(key)).limit(k))
 
 
-class IVFIndex:
-    """Inverted-file ANN index. Deterministic: seeded centroid init (the
-    ``n_lists`` rows with smallest ``xxhash64(key, seed)``), fixed Lloyd
-    iteration count, ties in assignment broken by list id."""
+def _unit(v: np.ndarray) -> np.ndarray:
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
 
-    def __init__(self, spark: SparkSession, centroids: np.ndarray,
-                 assignments: DataFrame, key: str, vec_col: str):
-        self.spark = spark
-        self.centroids = centroids            # (n_lists, dim) float64
-        self.assignments = assignments        # (key, list_id, v)
+
+class IVFIndex:
+    """Spherical inverted-file ANN index. Deterministic: seeded centroid
+    init (the ``n_lists`` rows with smallest ``xxhash64(key, seed)``),
+    fixed Lloyd iteration count, ties broken by list id / key."""
+
+    def __init__(self, centroids: np.ndarray, assignments: DataFrame,
+                 key: str, vec_col: str):
+        self.centroids = centroids            # (n_lists, dim), unit rows
+        self.assignments = assignments        # (key, v, vn, list_id)
         self.key = key
         self.vec_col = vec_col
 
     # ------------------------------------------------------------------
     @classmethod
-    def build(cls, spark: SparkSession, embeddings: DataFrame,
-              n_lists: int = 16, n_iters: int = 3, seed: int = 42,
-              key: str = "vec_id", vec_col: str = "embedding") -> "IVFIndex":
+    def build(cls, embeddings: DataFrame, n_lists: int = 16,
+              n_iters: int = 3, seed: int = 42, key: str = "vec_id",
+              vec_col: str = "embedding") -> "IVFIndex":
+        vnorm = _norm(F.col("v"))
         e = (embeddings
              .select(key, F.col(vec_col).cast("array<double>").alias("v"))
+             .withColumn(
+                 "vn",
+                 F.when(vnorm > 0,
+                        F.transform("v", lambda x: x / vnorm))
+                 .otherwise(F.col("v")))
              .cache())
         # deterministic init: smallest seeded hash of the key
         init = (e.withColumn("h", F.xxhash64(F.col(key), F.lit(seed)))
-                .orderBy("h").limit(n_lists).select("v").collect())
-        centroids = np.array([r["v"] for r in init], dtype=np.float64)
+                .orderBy("h", key).limit(n_lists).select("vn").collect())
+        centroids = np.array([_unit(np.array(r["vn"], dtype=np.float64))
+                              for r in init])
 
         for _ in range(n_iters):
             assigned = cls._assign(e, centroids)
             rows = (assigned.groupBy("list_id")
-                    .agg(*[F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
+                    .agg(*[F.avg(F.element_at("vn", i + 1)).alias(f"c{i}")
                            for i in range(centroids.shape[1])])
                     .collect())
             nxt = centroids.copy()  # empty lists keep their old centroid
             for r in rows:
-                nxt[int(r["list_id"])] = [
-                    r[f"c{i}"] for i in range(centroids.shape[1])]
+                mean = np.array([r[f"c{i}"]
+                                 for i in range(centroids.shape[1])])
+                nxt[int(r["list_id"])] = _unit(mean)  # spherical k-means
             centroids = nxt
 
-        assignments = cls._assign(e, centroids) \
-            .repartition(max(len(centroids), 1), "list_id")
-        return cls(spark, centroids, assignments, key, vec_col)
+        assignments = (cls._assign(e, centroids)
+                       .repartition(max(n_lists, 1), "list_id")
+                       .localCheckpoint(eager=True))
+        e.unpersist()
+        return cls(centroids, assignments, key, vec_col)
 
     # ------------------------------------------------------------------
     @staticmethod
     def _assign(e: DataFrame, centroids: np.ndarray) -> DataFrame:
-        """argmin_j ||v - c_j||² via the expanded form -2·v·c_j + |c_j|²
-        (|v|² is constant per row). Centroid literals are broadcast-sized
-        column expressions — no UDF, whole-stage codegen applies."""
-        scores = []
-        for j, c in enumerate(centroids):
-            cl = F.array(*[F.lit(float(x)) for x in c])
-            d = -2.0 * _dot(F.col("v"), cl) + float(np.dot(c, c))
-            scores.append(F.struct(d.alias("d"),
-                                   F.lit(j).cast("int").alias("j")))
-        best = F.array_min(F.array(*scores))
-        return e.withColumn("list_id", best["j"])
+        """argmin_j |vn − c_j|² over unit vectors ≡ argmax cosine.
+
+        Small indexes: column expressions (−2·vn·c_j + |c_j|²; |vn|² is
+        constant), whole-stage codegen. Large indexes: Arrow-batched numpy
+        argmin with the centroid matrix shipped once per worker.
+        """
+        if centroids.size <= _EXPR_ASSIGN_MAX_COMPONENTS:
+            scores = []
+            for j, c in enumerate(centroids):
+                cl = F.array(*[F.lit(float(x)) for x in c])
+                d = -2.0 * _dot(F.col("vn"), cl) + float(np.dot(c, c))
+                scores.append(F.struct(d.alias("d"),
+                                       F.lit(j).cast("int").alias("j")))
+            best = F.array_min(F.array(*scores))
+            return e.withColumn("list_id", best["j"])
+
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        cmat = centroids.astype(np.float64)
+        # fresh StructType: StructType.add would MUTATE e's schema in place
+        schema = StructType(list(e.schema.fields)
+                            + [StructField("list_id", IntegerType())])
+
+        def assign_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vn = np.array(pdf["vn"].tolist(), dtype=np.float64)
+                sims = vn @ cmat.T                      # (rows, n_lists)
+                pdf = pdf.assign(list_id=np.argmax(sims, axis=1)
+                                 .astype(np.int32))
+                yield pdf
+
+        return e.mapInPandas(assign_batches, schema=schema)
 
     # ------------------------------------------------------------------
     def search(self, probe: list[float], k: int = 10,
                n_probe: int = 4) -> DataFrame:
         """Top-k within the n_probe nearest lists: (key, cosine)."""
-        p = np.asarray(probe, dtype=np.float64)
+        p = _unit(np.asarray(probe, dtype=np.float64))
         d2 = ((self.centroids - p) ** 2).sum(axis=1)
         probe_lists = [int(j) for j in np.argsort(d2, kind="stable")
                        [:n_probe]]

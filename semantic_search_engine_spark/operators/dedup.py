@@ -10,12 +10,9 @@ Scale notes:
 * exact dedup is one hash-shuffle on a 16-byte fingerprint;
 * LSH banding turns the O(n²) near-dup search into per-band bucket joins —
   candidate volume is Σ bucket² per band, controlled by n_hashes/bands;
-* clustering uses label propagation on the candidate graph (min-label to
-  each neighbor), iterated a fixed number of rounds — each round is one
-  join + groupBy, no driver-side graph state. Chains longer than
-  2^rounds hops are rare in near-dup graphs (components are cliques-ish);
-  the iteration count is a config, and convergence can be checked by
-  comparing label sums between rounds.
+* clustering combines one-hop min-label propagation with pointer jumping
+  (label-of-label), so components of diameter d converge in O(log d)
+  rounds; every round materializes with truncated lineage.
 """
 
 from __future__ import annotations
@@ -28,10 +25,26 @@ from ..textproc import TOKEN_PATTERN_SQL
 _TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN_SQL}', 0)"
 
 
+def _shingle_expr(shingle_size: int):
+    """w-shingles of the tokenized text column — the ONE definition shared
+    by signature generation and exact verification (they must shingle
+    identically or Jaccard is measured over different sets)."""
+    toks = F.expr(_TOKENS)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_size,
+                                        F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1)
+                   for j in range(shingle_size)]))
+
+
 def text_fingerprint(docs: DataFrame, key: str = "doc_id") -> DataFrame:
-    """(key, fingerprint): md5 of whitespace-normalized lowercase text."""
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    return docs.select(key, F.md5(norm.cast("binary")).alias("fingerprint"))
+    """(key, fingerprint): md5 of trimmed, whitespace-collapsed lowercase
+    text. NULL text maps to a sentinel (all no-content docs are mutual
+    duplicates, and no row is silently dropped by a NULL join key)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = F.md5(F.coalesce(norm, F.lit("\x00<null-text>")).cast("binary"))
+    return docs.select(key, fp.alias("fingerprint"))
 
 
 def exact_dedup(docs: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -55,15 +68,10 @@ def shingle_minhash_signatures(docs: DataFrame, key: str = "doc_id",
     doc's shingle set approximates a uniform permutation minimum.
     """
     toks = F.expr(_TOKENS)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_size,
-                                        F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1)
-                   for j in range(shingle_size)]))
     exploded = (docs
                 .filter(F.size(toks) >= shingle_size)
-                .select(key, F.explode(shingles).alias("sh")))
+                .select(key, F.explode(_shingle_expr(shingle_size))
+                        .alias("sh")))
     aggs = [F.min(F.xxhash64(F.concat(F.col("sh"), F.lit(f":{i}"))))
             .alias(f"mh_{i}") for i in range(n_hashes)]
     return exploded.groupBy(key).agg(*aggs)
@@ -78,6 +86,13 @@ def lsh_candidate_pairs(signatures: DataFrame, key: str = "doc_id",
     self-equi-join on (band_id, bucket) — Catalyst plans a hash join per
     band; candidate volume is bounded by bucket sizes, not n².
     """
+    if bands < 1 or n_hashes % bands != 0:
+        # bands > n_hashes would give every doc the md5("") bucket → a full
+        # O(n²) candidate explosion; non-divisible splits silently waste
+        # trailing hashes. Fail loudly instead.
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be a positive multiple of bands "
+            f"({bands})")
     rows_per_band = n_hashes // bands
     band_cols = []
     for bi in range(bands):
@@ -108,17 +123,11 @@ def verify_jaccard(docs: DataFrame, pairs: DataFrame, key: str = "doc_id",
     The shingle explode joins only against candidate keys (semi-join
     pushdown), so verification cost is proportional to candidate volume.
     """
-    toks = F.expr(_TOKENS)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_size,
-                                        F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1)
-                   for j in range(shingle_size)]))
     keys = (pairs.select(F.col("key_a").alias(key))
             .union(pairs.select("key_b")).distinct())
     sh = (docs.join(keys, key, "left_semi")
-          .select(key, F.explode(F.array_distinct(shingles)).alias("sh")))
+          .select(key, F.explode(
+              F.array_distinct(_shingle_expr(shingle_size))).alias("sh")))
     sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
     # shared-shingle counts via a pair-scoped join on the shingle value
     sh_a = sh.select(F.col(key).alias("key_a"), "sh")
@@ -139,17 +148,18 @@ def verify_jaccard(docs: DataFrame, pairs: DataFrame, key: str = "doc_id",
 
 
 def cluster_pairs(pairs: DataFrame, n_rounds: int = 5) -> DataFrame:
-    """Connected components by min-label propagation over verified pairs.
+    """Connected components: min-label propagation + pointer jumping.
 
-    Returns (key, cluster) where cluster is the minimum key reachable
-    within ``n_rounds`` doublings — for near-dup graphs (dense clusters)
-    this converges in 2-3 rounds; each round is one shuffle.
+    Each round first takes the min label over one edge hop, then jumps
+    pointers (label := label of current label), so label distances halve —
+    a component of diameter d converges in O(log d) rounds. Every round is
+    materialized with TRUNCATED LINEAGE (otherwise round r re-executes the
+    whole upstream candidate/verify plan r times). At cluster scale use
+    ``sparkContext.setCheckpointDir`` + ``.checkpoint()`` for the
+    fault-tolerant form; ``localCheckpoint`` is the single-node equivalent.
+
+    Returns (key, cluster) with cluster = the component's minimum key.
     """
-    # Iterative algorithm: materialize each round and TRUNCATE LINEAGE —
-    # otherwise round r re-executes the whole upstream (candidate gen +
-    # verification) r times and the plan grows exponentially. At cluster
-    # scale use spark.sparkContext.setCheckpointDir + .checkpoint() for
-    # fault-tolerant truncation; localCheckpoint is the single-node form.
     edges = (pairs.select(F.col("key_a").alias("u"),
                           F.col("key_b").alias("v"))
              .union(pairs.select("key_b", "key_a"))
@@ -159,6 +169,7 @@ def cluster_pairs(pairs: DataFrame, n_rounds: int = 5) -> DataFrame:
               .withColumn("cluster", F.col("key"))
               .localCheckpoint(eager=True))
     for _ in range(n_rounds):
+        # hop: min label among neighbors
         neighbor_min = (edges
                         .join(labels.withColumnRenamed("key", "v"), "v")
                         .groupBy("u")
@@ -169,7 +180,15 @@ def cluster_pairs(pairs: DataFrame, n_rounds: int = 5) -> DataFrame:
                   .withColumn("cluster",
                               F.least("cluster",
                                       F.coalesce("nmin", "cluster")))
-                  .drop("nmin")
+                  .drop("nmin"))
+        # jump: follow the label's own label (path halving)
+        parent = labels.select(F.col("key").alias("cluster"),
+                               F.col("cluster").alias("grand"))
+        labels = (labels.join(parent, "cluster", "left")
+                  .withColumn("cluster",
+                              F.least("cluster",
+                                      F.coalesce("grand", "cluster")))
+                  .drop("grand")
                   .localCheckpoint(eager=True))
     return labels
 

@@ -80,6 +80,35 @@ def test_cluster_pairs_transitive(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_cluster_pairs_long_chain_converges_logarithmically(spark):
+    """Pointer jumping: a 21-node path needs O(log d) rounds, not 21."""
+    chain = [(i, i + 1) for i in range(20)]
+    pairs = spark.createDataFrame(chain, "key_a long, key_b long")
+    labels = {r["key"]: r["cluster"]
+              for r in cluster_pairs(pairs, n_rounds=5).collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == 21
+
+
+def test_lsh_band_misconfig_raises(spark, docs_with_dups):
+    import pytest as _pytest
+    sig = shingle_minhash_signatures(docs_with_dups, n_hashes=8)
+    with _pytest.raises(ValueError, match="multiple of bands"):
+        lsh_candidate_pairs(sig, n_hashes=8, bands=16)
+
+
+def test_exact_dedup_null_and_whitespace(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello  world"), (2, "  hello world \n"), (3, None),
+         (4, None), (5, "different")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert len(out) == 5                      # no rows silently dropped
+    assert out[2]["keep_key"] == 1            # whitespace-insensitive
+    assert out[4]["keep_key"] == 3            # NULL texts group together
+    assert out[5]["is_survivor"] is True
+
+
 # ---------------------------------------------------------------------------
 # ANN
 # ---------------------------------------------------------------------------
@@ -97,7 +126,7 @@ def probe(embeddings):
 
 @pytest.fixture(scope="module")
 def ivf_idx(spark, embeddings):
-    return IVFIndex.build(spark, embeddings, n_lists=8, n_iters=2)
+    return IVFIndex.build(embeddings, n_lists=8, n_iters=2)
 
 
 def test_ivf_full_probe_is_exact(spark, embeddings, probe, ivf_idx):
@@ -117,8 +146,8 @@ def test_ivf_partial_probe_recall(spark, embeddings, probe, ivf_idx):
 
 
 def test_ivf_deterministic(spark, embeddings):
-    a = IVFIndex.build(spark, embeddings, n_lists=4, n_iters=1, seed=7)
-    b = IVFIndex.build(spark, embeddings, n_lists=4, n_iters=1, seed=7)
+    a = IVFIndex.build(embeddings, n_lists=4, n_iters=1, seed=7)
+    b = IVFIndex.build(embeddings, n_lists=4, n_iters=1, seed=7)
     assert np.array_equal(a.centroids, b.centroids)
     pa = [(r["vec_id"], r["list_id"]) for r in
           a.assignments.select("vec_id", "list_id").orderBy("vec_id")
@@ -126,4 +155,22 @@ def test_ivf_deterministic(spark, embeddings):
     pb = [(r["vec_id"], r["list_id"]) for r in
           b.assignments.select("vec_id", "list_id").orderBy("vec_id")
           .collect()]
+    assert pa == pb
+
+
+def test_ivf_numpy_assignment_path_matches_expressions(spark, embeddings):
+    """The Arrow/numpy assignment (large-index path) must agree with the
+    column-expression path exactly."""
+    import semantic_search_engine_spark.operators.ann as ann_mod
+    orig = ann_mod._EXPR_ASSIGN_MAX_COMPONENTS
+    try:
+        ann_mod._EXPR_ASSIGN_MAX_COMPONENTS = 1  # force numpy path
+        a = ann_mod.IVFIndex.build(embeddings, n_lists=4, n_iters=1, seed=3)
+    finally:
+        ann_mod._EXPR_ASSIGN_MAX_COMPONENTS = orig
+    b = ann_mod.IVFIndex.build(embeddings, n_lists=4, n_iters=1, seed=3)
+    pa = sorted((r["vec_id"], r["list_id"]) for r in
+                a.assignments.select("vec_id", "list_id").collect())
+    pb = sorted((r["vec_id"], r["list_id"]) for r in
+                b.assignments.select("vec_id", "list_id").collect())
     assert pa == pb
