@@ -129,38 +129,39 @@ class QueryEngine:
         object.__setattr__(self, "_corpus_stats_cache", out)
         return out
 
-    def term_idfs(self, qterms: list[str]) -> dict[str, float]:
-        """Broadcast-sized lookup: df for the handful of query terms.
+    def term_lookup(self, qterms: list[str]) -> tuple[dict, list[int]]:
+        """One job: (term → idf, term buckets) for the query terms.
 
-        Pruned like the postings scan: partition pruning on term_bucket,
-        then term IN (...) pushdown (at 10^12-doc vocab sizes term_stats is
-        itself a big table)."""
+        term_stats rows carry their ``term_bucket``, so the same scan that
+        fetches df values also yields the bucket list that prunes the
+        postings scan — no separate bucket-hash job. The scan itself is
+        pushed down on ``term IN (...)`` (row-group skipping: term_stats is
+        written sorted by term within each bucket partition).
+        """
         if not qterms:
-            return {}
+            return {}, []
         n = self.corpus_stats()["n_docs"]
         stats = self.store.read(f"term_stats{self._sfx()}")
-        if "term_bucket" in stats.columns:
-            stats = stats.filter(
-                F.col("term_bucket").isin(self._buckets_for(qterms)))
+        cols = ["term", "df"] + (
+            ["term_bucket"] if "term_bucket" in stats.columns else [])
         rows = (stats.filter(F.col("term").isin(qterms))
-                .select("term", "df").collect())
-        return {r["term"]: bm25_idf(n, int(r["df"])) for r in rows}
+                .select(*cols).collect())
+        idfs = {r["term"]: bm25_idf(n, int(r["df"])) for r in rows}
+        buckets = sorted({int(r["term_bucket"]) for r in rows}) \
+            if "term_bucket" in cols else None
+        return idfs, buckets
 
-    def _buckets_for(self, qterms: list[str]) -> list[int]:
-        from ..functions.udfs import term_bucket_expr
-        return sorted({
-            r["b"] for r in self.spark.createDataFrame(
-                [(t,) for t in qterms], "term string")
-            .select(term_bucket_expr("term", self.cfg.n_term_buckets)
-                    .alias("b")).collect()
-        })
+    def term_idfs(self, qterms: list[str]) -> dict[str, float]:
+        return self.term_lookup(qterms)[0]
 
-    def _postings_for_terms(self, qterms: list[str]) -> DataFrame:
+    def _postings_for_terms(self, qterms: list[str],
+                            buckets: list[int] | None = None) -> DataFrame:
         """Postings scan pruned two ways: partition pruning on term_bucket,
         then parquet row-group skipping + pushdown on term IN (...)."""
-        return (self.store.read(f"postings{self._sfx()}")
-                .filter(F.col("term_bucket").isin(self._buckets_for(qterms)))
-                .filter(F.col("term").isin(qterms)))
+        scan = self.store.read(f"postings{self._sfx()}")
+        if buckets is not None:
+            scan = scan.filter(F.col("term_bucket").isin(buckets))
+        return scan.filter(F.col("term").isin(qterms))
 
     # ------------------------------------------------------------------
     def scores_df(self, query: str) -> DataFrame:
@@ -172,14 +173,14 @@ class QueryEngine:
         """
         cfg = self.cfg
         qterms = sorted(set(tokenize(query, cfg.max_token_len)))
-        idfs = self.term_idfs(qterms)
+        idfs, buckets = self.term_lookup(qterms)
         stats = self.corpus_stats()
         avgdl = stats["avg_doc_len"]
         if not idfs or avgdl <= 0:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double")
 
-        decoded = (self._postings_for_terms(sorted(idfs))
+        decoded = (self._postings_for_terms(sorted(idfs), buckets)
                    .select("term", "doc_ids_vb", "tfs_vb", "dls_vb",
                            "n_postings")
                    .mapInPandas(decode_postings, schema=DECODED_SCHEMA))
@@ -240,11 +241,11 @@ class QueryEngine:
         k = cfg.default_k if k is None \
             else min(k, cfg.max_k + cfg.max_offset)
         qterms = sorted(set(tokenize(query, cfg.max_token_len)))
-        idfs = self.term_idfs(qterms)
+        idfs, buckets = self.term_lookup(qterms)
         avgdl = self.corpus_stats()["avg_doc_len"]
         if not idfs or avgdl <= 0 or k <= 0:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        blocks = self._postings_for_terms(sorted(idfs)).select(
+        blocks = self._postings_for_terms(sorted(idfs), buckets).select(
             "term", "partition_id", "block_id", "last_doc_id",
             "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
         filtered = (lang is not None or warc_ts_min is not None
