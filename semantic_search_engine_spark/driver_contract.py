@@ -700,6 +700,35 @@ FROM documents
 """
 
 
+# GPT-2-style pre-tokenizer pattern (public), lowercase variant: English
+# contractions, letter runs, digit runs, punctuation runs — each with an
+# optional leading space (the BPE word-boundary convention).
+BPE_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+")
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting next to whitespace counting — the two
+    standard corpus-size estimators for training-data budgeting."""
+    d = _t(spark, sf_dir, "documents")
+    bpe = f"regexp_extract_all(lower(text), \"{BPE_PATTERN}\", 0)"
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
+        F.expr(f"size(filter({bpe}, x -> x not rlike '^\\\\s+$'))")
+        .alias("bpe_tokens"))
+
+
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len(list_filter(
+            regexp_extract_all(lower(text), '{BPE_PATTERN.replace("'", "''")}'),
+            x -> NOT regexp_matches(x, '^\\s+$'))) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_embedding_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs vec_id=0 (ANN baseline; E-similarity).
 
@@ -1247,6 +1276,7 @@ REGISTRY: dict[str, tuple] = {
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
     "quality_score": (q_quality_score, SQL_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP),

@@ -169,6 +169,28 @@ class IVFIndex:
         return (cand.select(self.key, cosine_col("v", probe).alias("cosine"))
                 .orderBy(F.desc("cosine"), F.asc(self.key)).limit(k))
 
+    def near_dup_pairs(self, threshold: float = 0.9) -> DataFrame:
+        """Embedding-cosine near-dup candidates at scale: pairs are only
+        compared WITHIN an IVF list (the ANN analogue of LSH banding), so
+        cost is Σ |list|² instead of n². Near-duplicates have cosine ≈ 1
+        and land in the same spherical cluster with high probability;
+        recall can be raised by building a second index with a different
+        seed and unioning the pair sets.
+
+        Returns (key_a, key_b, cosine) with key_a < key_b, cosine >= t.
+        """
+        ka, kb = f"{self.key}_a", f"{self.key}_b"
+        a = self.assignments.select(
+            F.col(self.key).alias(ka), F.col("vn").alias("vna"), "list_id")
+        b = self.assignments.select(
+            F.col(self.key).alias(kb), F.col("vn").alias("vnb"), "list_id")
+        cos = F.aggregate(F.zip_with("vna", "vnb", lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        return (a.join(b, ["list_id"])
+                .filter(F.col(ka) < F.col(kb))
+                .select(ka, kb, cos.alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
+
     def recall_at_k(self, embeddings: DataFrame, probe: list[float],
                     k: int = 10, n_probe: int = 4) -> float:
         exact = {r[self.key] for r in brute_force_top_k(

@@ -174,3 +174,20 @@ def test_ivf_numpy_assignment_path_matches_expressions(spark, embeddings):
     pb = sorted((r["vec_id"], r["list_id"]) for r in
                 b.assignments.select("vec_id", "list_id").collect())
     assert pa == pb
+
+
+def test_ivf_near_dup_pairs(spark, embeddings, ivf_idx):
+    """Planted near-identical vectors must surface as within-list pairs."""
+    from pyspark.sql import functions as F
+    base = embeddings.limit(0)
+    rows = embeddings.filter(F.col("vec_id").isin([1, 2])).collect()
+    dups = [(9001 + i, [x * 1.0001 for x in r["embedding"]], r["label"])
+            for i, r in enumerate(rows)]
+    aug = embeddings.unionByName(
+        spark.createDataFrame(dups, embeddings.schema))
+    from semantic_search_engine_spark.operators.ann import IVFIndex
+    idx = IVFIndex.build(aug, n_lists=8, n_iters=2)
+    pairs = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+             for r in idx.near_dup_pairs(threshold=0.999).collect()}
+    assert (1, 9001) in pairs and (2, 9002) in pairs
+    assert all(c > 0.999 for c in pairs.values())
