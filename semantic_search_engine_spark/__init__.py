@@ -14,11 +14,16 @@ Layout:
     corpus.py     — seeded synthetic webtext corpus generator (FIXTURES.md)
     oracle.py     — single-node reference implementation (correctness anchor)
     functions/    — pandas UDFs + varbyte/delta posting codec
-    operators/    — normalization parsers, top-k/pagination, dedup, textstats
+    operators/    — dedup (exact + MinHash-LSH pipeline) and ANN
+                    (brute-force cosine + spherical IVF)
     sources/      — TableStore abstraction (parquet+manifest snapshots;
-                    Iceberg-ready interface)
-    plans/        — index build pipeline + query engine
-    streaming/    — structured-streaming ingest (documents → doc_meta deltas)
+                    Iceberg-ready interface) + multimodal binary columns
+    plans/        — index build pipeline + query engine (exhaustive and
+                    block-max WAND paths)
+    streaming/    — query-log analytics (watermarked windows, stateful
+                    counters)
+    lineage.py    — checkpoint-resumable stage graph + per-partition lineage
+    driver_contract.py — 47 paired Spark/DuckDB correctness queries
 """
 
 __version__ = "0.1.0"
