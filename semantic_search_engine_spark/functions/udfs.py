@@ -110,11 +110,9 @@ def term_bucket_expr(term_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(term_col)), F.lit(n_buckets)).cast("int")
 
 
-def term_bucket_py(term: str, n_buckets: int, spark) -> int:
-    """Driver-side term bucket (asks the JVM once; used to prune scans)."""
-    return spark.range(1).select(
-        term_bucket_expr_lit(term, n_buckets).alias("b")).collect()[0]["b"]
-
-
-def term_bucket_expr_lit(term: str, n_buckets: int):
+def term_bucket_lit(term: str, n_buckets: int):
+    """Bucket of a literal term as a constant-foldable expression —
+    Catalyst folds xxhash64(lit) at plan time, so `term_bucket IN (...)`
+    filters built from these reach partition pruning without any
+    driver-side job."""
     return F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).cast("int")

@@ -38,13 +38,25 @@ class OracleIndex:
     @classmethod
     def build(cls, rows, cfg: EngineConfig = DEFAULT_CONFIG) -> "OracleIndex":
         """rows: iterable of dicts with url/warc_ts/html/text/lang."""
+        import hashlib as _hl
+
         idx = cls(cfg=cfg)
         acc: dict[str, list[tuple[int, int]]] = defaultdict(list)
+        # deterministic duplicate-url winner — SAME rule as the Spark build
+        # (build_index._doc_features_df): latest warc_ts (None sorts last),
+        # then greatest extracted-text sha256
+        best: dict[str, tuple] = {}
         for r in rows:
             text = resolve_text(r.get("text"), r.get("html"),
                                 cfg.prefer_provided_text)
             if r.get("url") is None or text is None:
                 continue  # validity filter (data_ingestion.py:100-103 analogue)
+            ts = r.get("warc_ts")
+            sha = _hl.sha256(text.encode("utf-8")).hexdigest()
+            rank = (ts is not None, ts or _dt.datetime.min, sha)
+            if r["url"] not in best or rank > best[r["url"]][0]:
+                best[r["url"]] = (rank, r, text)
+        for _rank, r, text in best.values():
             did = doc_id_for_url(r["url"])
             toks = tokenize(text, cfg.max_token_len)
             idx.doc_len[did] = len(toks)

@@ -182,53 +182,79 @@ class IndexBuilder:
         sfx = "" if field == "text" else f"_{field}"
 
         # -- stage 1: doc_features ------------------------------------------
-        def build_doc_features() -> DataFrame:
-            extract = make_resolve_extract_udf(cfg.prefer_provided_text,
-                                               cfg.max_token_len)
-            term_freqs = make_term_freqs_udf(cfg.max_token_len)
-            # Small-input guard: the extract UDF is the most expensive stage
-            # and its parallelism is bounded by the scan's split count. A
-            # real web corpus arrives as thousands of files (no-op here); a
-            # single small parquet file would otherwise serialize extraction.
-            src = documents
-            if src.rdd.getNumPartitions() < cfg.shuffle_partitions:
-                src = src.repartition(cfg.shuffle_partitions)
-            ex = (
-                src
-                .filter(F.col("url").isNotNull())
-                .withColumn("ex", extract("text", "html"))
-                .select("url", "warc_ts", "lang",
-                        F.col("ex.title").alias("title"),
-                        F.col("ex.text").alias("text"),
-                        F.col("ex.extracted_sha256").alias("extracted_sha256"))
-                .filter(F.col("text").isNotNull())       # validity filter
-                # unique-key contract (reference UNIQUE asin). The explicit
-                # repartition(n, url) provides the hash distribution the
-                # dedup needs (one shuffle total) at a *fixed* width: AQE
-                # would otherwise coalesce this exchange by byte size and
-                # serialize the tokenize UDF + parquet write behind it.
-                .repartition(cfg.shuffle_partitions, "url")
-                .dropDuplicates(["url"])
-                .withColumn("doc_id", doc_id_expr("url"))
-                .withColumn("partition_id",
-                            doc_bucket_expr("doc_id", cfg.n_doc_buckets))
-            )
-            indexed_col = "text" if field == "text" else "title"
-            ex = ex.withColumn("tf_map", term_freqs(F.col(indexed_col)))
-            # doc_len as a JVM aggregate over the map — no extra Python
-            ex = ex.withColumn(
-                "doc_len",
-                F.coalesce(
-                    F.aggregate(F.map_values("tf_map"), F.lit(0),
-                                lambda acc, x: acc + x),
-                    F.lit(0)))
-            return ex.select("doc_id", "url", "warc_ts", "lang", "title",
-                             "text", "extracted_sha256", "doc_len", "tf_map",
-                             "partition_id")
-
         runner.run(f"doc_features{sfx}", f"doc_features{sfx}", [],
-                   build_doc_features, partition_by=None,
+                   lambda: self._doc_features_df(documents, field),
+                   partition_by=None,
                    partition_col="partition_id", extra_key=input_version)
+
+        self._run_downstream(runner, sfx)
+        self._persist_config(sfx)
+        runner.commit_lineage(self.spark)
+        return runner
+
+    # ------------------------------------------------------------------
+    def _doc_features_df(self, documents: DataFrame,
+                         field: str) -> DataFrame:
+        """The shared ingest transform (build stage 1 AND upsert path):
+        extract → validity filter → deterministic per-url winner →
+        stable ids → tf map → doc_len."""
+        cfg = self.cfg
+        extract = make_resolve_extract_udf(cfg.prefer_provided_text,
+                                           cfg.max_token_len)
+        term_freqs = make_term_freqs_udf(cfg.max_token_len)
+        # Small-input guard: the extract UDF is the most expensive stage
+        # and its parallelism is bounded by the scan's split count. A
+        # real web corpus arrives as thousands of files (no-op here); a
+        # single small parquet file would otherwise serialize extraction.
+        src = documents
+        if src.rdd.getNumPartitions() < cfg.shuffle_partitions:
+            src = src.repartition(cfg.shuffle_partitions)
+        from pyspark.sql.window import Window
+        # Deterministic duplicate-url winner (recrawls are normal in web
+        # corpora): latest warc_ts, then greatest extracted-text sha — a
+        # total order on content, so rebuilds are bit-reproducible. Same
+        # rule in oracle.OracleIndex.build. The explicit repartition(n,
+        # url) provides the window's hash distribution at a *fixed* width
+        # (AQE would otherwise coalesce this exchange by byte size and
+        # serialize the tokenize UDF + parquet write behind it).
+        w = Window.partitionBy("url").orderBy(
+            F.desc_nulls_last("warc_ts"), F.desc("extracted_sha256"))
+        ex = (
+            src
+            .filter(F.col("url").isNotNull())
+            .withColumn("ex", extract("text", "html"))
+            .select("url", "warc_ts", "lang",
+                    F.col("ex.title").alias("title"),
+                    F.col("ex.text").alias("text"),
+                    F.col("ex.extracted_sha256").alias("extracted_sha256"))
+            .filter(F.col("text").isNotNull())       # validity filter
+            .repartition(cfg.shuffle_partitions, "url")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+            .withColumn("doc_id", doc_id_expr("url"))
+            .withColumn("partition_id",
+                        doc_bucket_expr("doc_id", cfg.n_doc_buckets))
+        )
+        indexed_col = "text" if field == "text" else "title"
+        ex = ex.withColumn("tf_map", term_freqs(F.col(indexed_col)))
+        # doc_len as a JVM aggregate over the map — no extra Python
+        ex = ex.withColumn(
+            "doc_len",
+            F.coalesce(
+                F.aggregate(F.map_values("tf_map"), F.lit(0),
+                            lambda acc, x: acc + x),
+                F.lit(0)))
+        return ex.select("doc_id", "url", "warc_ts", "lang", "title",
+                         "text", "extracted_sha256", "doc_len", "tf_map",
+                         "partition_id")
+
+    # ------------------------------------------------------------------
+    def _run_downstream(self, runner: StageRunner, sfx: str) -> None:
+        """Stages 2-5: everything derived from doc_features. Shared by
+        build() and ingest_updates() — fingerprints chain on the
+        doc_features data_uuid, so they skip when it is unchanged and
+        rebuild after a merge."""
+        cfg = self.cfg
 
         # -- stage 2: doc_meta (column-pruned; parquet never reads tf_map) --
         runner.run(
@@ -302,48 +328,38 @@ class IndexBuilder:
             partition_by=["term_bucket"],
             sort_within_partitions=["term"])
 
-        # persist the build config so query engines bind to the layout that
-        # was actually built (bucket counts, BM25 params) — the analogue of
-        # index DDL parameters living with the index, not the client
+    def _persist_config(self, sfx: str) -> None:
+        """Persist the build config so query engines bind to the layout
+        that was actually built (bucket counts, BM25 params) — the
+        analogue of index DDL parameters living with the index, not the
+        client."""
         import dataclasses
         import json as _json
         self.store.write(
             f"engine_config{sfx}",
             self.spark.createDataFrame(
-                [(_json.dumps(dataclasses.asdict(cfg), sort_keys=True),)],
+                [(_json.dumps(dataclasses.asdict(self.cfg),
+                              sort_keys=True),)],
                 "config_json string"))
 
+    # ------------------------------------------------------------------
+    def ingest_updates(self, updates: DataFrame, field: str = "text",
+                       run_id: str | None = None) -> StageRunner:
+        """MERGE-style upsert into doc_features (ON CONFLICT analogue,
+        ``data_ingestion.py:224-243``), then rebuild the derived stages.
+
+        The merge carries the stage fingerprint forward with a fresh data
+        identity, so the merged table is the new truth: a later
+        ``build()`` with the unchanged source/config SKIPS doc_features
+        (the merge survives), while downstream stages see the new
+        data_uuid here and rebuild immediately.
+        """
+        cfg = self.cfg
+        sfx = "" if field == "text" else f"_{field}"
+        ex = self._doc_features_df(updates, field)
+        self.store.merge_by_key(f"doc_features{sfx}", ex, key="url")
+        runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
+                             run_id=run_id)
+        self._run_downstream(runner, sfx)
         runner.commit_lineage(self.spark)
         return runner
-
-    # ------------------------------------------------------------------
-    def ingest_updates(self, updates: DataFrame) -> None:
-        """MERGE-style upsert of changed documents into doc_features, then
-        rebuild downstream stages (their fingerprints change because the
-        input snapshot changed). ON CONFLICT analogue
-        (``data_ingestion.py:224-243``)."""
-        cfg = self.cfg
-        extract = make_resolve_extract_udf(cfg.prefer_provided_text,
-                                           cfg.max_token_len)
-        term_freqs = make_term_freqs_udf(cfg.max_token_len)
-        ex = (
-            updates.filter(F.col("url").isNotNull())
-            .withColumn("ex", extract("text", "html"))
-            .select("url", "warc_ts", "lang",
-                    F.col("ex.title").alias("title"),
-                    F.col("ex.text").alias("text"),
-                    F.col("ex.extracted_sha256").alias("extracted_sha256"))
-            .filter(F.col("text").isNotNull())
-            .dropDuplicates(["url"])
-            .withColumn("doc_id", doc_id_expr("url"))
-            .withColumn("partition_id",
-                        doc_bucket_expr("doc_id", cfg.n_doc_buckets))
-            .withColumn("tf_map", term_freqs(F.col("text")))
-            .withColumn("doc_len",
-                        F.coalesce(F.aggregate(F.map_values("tf_map"),
-                                               F.lit(0),
-                                               lambda a, x: a + x), F.lit(0)))
-            .select("doc_id", "url", "warc_ts", "lang", "title", "text",
-                    "extracted_sha256", "doc_len", "tf_map", "partition_id")
-        )
-        self.store.merge_by_key("doc_features", ex, key="url")

@@ -102,16 +102,37 @@ class QueryEngine:
         os.replace(tmp, os.path.join(
             self.query_log_dir, f"log-{uuid.uuid4().hex}.json"))
 
+    #: config fields that MUST match the build — BM25 params bake into
+    #: block_max_tf_norm (a mismatched k1/b makes WAND prune true winners
+    #: silently) and layout params drive partition pruning
+    _CRITICAL_CFG = ("k1", "b", "block_size", "n_doc_buckets",
+                     "n_term_buckets", "doc_id_bits", "max_token_len",
+                     "prefer_provided_text")
+
     def __post_init__(self) -> None:
+        persisted = self._load_persisted_cfg()
         if self.cfg is None:
-            self.cfg = self._load_persisted_cfg()
+            self.cfg = persisted
+            return
+        if persisted is not DEFAULT_CONFIG:
+            bad = [f for f in self._CRITICAL_CFG
+                   if getattr(self.cfg, f) != getattr(persisted, f)]
+            if bad:
+                raise ValueError(
+                    f"QueryEngine config mismatches the built index on "
+                    f"{bad}; pass cfg=None to bind to the persisted build "
+                    f"config, or rebuild the index")
 
     def _load_persisted_cfg(self) -> EngineConfig:
         import json as _json
         table = f"engine_config{self._sfx()}"
         if self.store.exists(table):
             row = self.store.read(table).collect()[0]
-            return EngineConfig(**_json.loads(row["config_json"]))
+            d = _json.loads(row["config_json"])
+            # tolerate configs persisted by newer/older engine versions
+            import dataclasses
+            known = {f.name for f in dataclasses.fields(EngineConfig)}
+            return EngineConfig(**{k: v for k, v in d.items() if k in known})
         return DEFAULT_CONFIG
 
     def _sfx(self) -> str:
@@ -144,15 +165,19 @@ class QueryEngine:
         stats = self.store.read(f"term_stats{self._sfx()}")
         cols = ["term", "df"] + (
             ["term_bucket"] if "term_bucket" in stats.columns else [])
+        if "term_bucket" in cols:
+            # constant-foldable bucket predicates → partition pruning on
+            # the term_stats scan itself, no extra job
+            from ..functions.udfs import term_bucket_lit
+            stats = stats.filter(F.col("term_bucket").isin(
+                *[term_bucket_lit(t, self.cfg.n_term_buckets)
+                  for t in qterms]))
         rows = (stats.filter(F.col("term").isin(qterms))
                 .select(*cols).collect())
         idfs = {r["term"]: bm25_idf(n, int(r["df"])) for r in rows}
         buckets = sorted({int(r["term_bucket"]) for r in rows}) \
             if "term_bucket" in cols else None
         return idfs, buckets
-
-    def term_idfs(self, qterms: list[str]) -> dict[str, float]:
-        return self.term_lookup(qterms)[0]
 
     def _postings_for_terms(self, qterms: list[str],
                             buckets: list[int] | None = None) -> DataFrame:
@@ -200,7 +225,19 @@ class QueryEngine:
                                       + F.lit(b) * F.col("dl")
                                       / F.lit(avgdl)))))
         )
-        return scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+        # Deterministic float accumulation: a plain groupBy().sum() adds
+        # partial aggregates in arrival order, which can differ from the
+        # oracle by 1 ulp and flip a near-tie rank. Per doc there are at
+        # most |query terms| contributions — collect, canonicalize by term,
+        # fold in sorted-term order (the oracle's exact order).
+        return (scored.groupBy("doc_id")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("term", "contrib")))
+                    .alias("_cs"))
+                .select("doc_id",
+                        F.aggregate("_cs", F.lit(0.0),
+                                    lambda acc, x: acc + x["contrib"])
+                        .alias("score")))
 
     # ------------------------------------------------------------------
     def _apply_meta_filters(self, meta: DataFrame, lang, warc_ts_min,
@@ -276,6 +313,18 @@ class QueryEngine:
                                   warc_ts_min=warc_ts_min,
                                   warc_ts_max=warc_ts_max)
 
+    def _scored_filtered(self, query: str, min_score: float, lang,
+                         warc_ts_min, warc_ts_max) -> DataFrame:
+        """Exhaustive candidates joined to doc_meta with all structured
+        filters applied — shared by search_df and search()."""
+        cand = self.scores_df(query)
+        if min_score > 0.0:
+            cand = cand.filter(F.col("score") >= F.lit(min_score))
+        meta = self.store.read(f"doc_meta{self._sfx()}").select(
+            "doc_id", "url", "warc_ts", "lang", "doc_len")
+        return self._apply_meta_filters(cand.join(meta, "doc_id"), lang,
+                                        warc_ts_min, warc_ts_max)
+
     # ------------------------------------------------------------------
     def search_df(
         self,
@@ -296,13 +345,8 @@ class QueryEngine:
         cfg = self.cfg
         k = cfg.default_k if k is None else min(k, cfg.max_k)
         offset = min(max(offset, 0), cfg.max_offset)
-        cand = self.scores_df(query)
-        if min_score > 0.0:
-            cand = cand.filter(F.col("score") >= F.lit(min_score))
-        meta = self.store.read(f"doc_meta{self._sfx()}").select(
-            "doc_id", "url", "warc_ts", "lang", "doc_len")
-        out = self._apply_meta_filters(cand.join(meta, "doc_id"), lang,
-                                       warc_ts_min, warc_ts_max)
+        out = self._scored_filtered(query, min_score, lang,
+                                    warc_ts_min, warc_ts_max)
         # TakeOrderedAndProject: per-partition heap of k+offset, then merge
         page = (out.orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k + offset))
@@ -357,13 +401,8 @@ class QueryEngine:
                 "execution_time_ms": elapsed_ms,
             }
 
-        cand = self.scores_df(query)
-        if min_score > 0.0:
-            cand = cand.filter(F.col("score") >= F.lit(min_score))
-        meta = self.store.read(f"doc_meta{self._sfx()}").select(
-            "doc_id", "url", "warc_ts", "lang", "doc_len")
-        out = self._apply_meta_filters(cand.join(meta, "doc_id"), lang,
-                                       warc_ts_min, warc_ts_max)
+        out = self._scored_filtered(query, min_score, lang,
+                                    warc_ts_min, warc_ts_max)
 
         out = out.cache()
         try:

@@ -130,15 +130,25 @@ class HadoopTableStore(TableStore):
     def merge_by_key(self, table: str, updates: DataFrame, key: str) -> dict:
         """Copy-on-write upsert — the ``INSERT ... ON CONFLICT DO UPDATE``
         analogue (``data_ingestion.py:224-243``); Iceberg path uses
-        ``MERGE INTO`` instead."""
+        ``MERGE INTO`` instead.
+
+        The previous commit's meta (incl. the stage ``fingerprint``) is
+        carried forward with a FRESH ``data_uuid``: the merged table is the
+        post-upsert truth, so a later rerun of the producing stage with an
+        unchanged config/source must SKIP (preserving the merge), while
+        consumers see a new data identity and rebuild.
+        """
         if not self.exists(table):
             return self.write(table, updates)
+        prev_meta = dict(self.table_meta(table) or {})
+        prev_meta.pop("data_uuid", None)  # write() mints a fresh one
+        prev_meta["merged_on"] = key
         current = self.read(table)
         merged = current.join(updates.select(key), on=key,
                               how="left_anti").unionByName(updates)
         # merged must be materialized before the commit flips the pointer;
         # Spark writes eagerly inside write(), reading the *old* snapshot.
-        return self.write(table, merged, meta={"merged_on": key})
+        return self.write(table, merged, meta=prev_meta)
 
 
 class IcebergCatalogStore(TableStore):
