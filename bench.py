@@ -152,7 +152,7 @@ def main() -> None:
     spark.stop()
 
 
-def _machine_baseline() -> dict:
+def _machine_baseline(levels: list[int]) -> dict:
     """Hardware scaling ceiling for THIS workload, with zero Spark: the
     identical extract+tokenize functions under plain multiprocessing. On a
     shared-memory box, N vs 4N local cores share one memory subsystem —
@@ -164,7 +164,9 @@ def _machine_baseline() -> dict:
 
     pages = [r["html"] for r in generate_rows(2000) if r["html"]]
     out = {}
-    for nproc in (1, 2, 8, 32):
+    # pool sizes track the configured scaling levels (ADVICE r1: a custom
+    # SPARK_GRAFT_SCALING_CPUS list must not KeyError after the Spark runs)
+    for nproc in sorted({1, *levels}):
         with mp.Pool(nproc) as pool:
             t0 = time.time()
             pool.map(_extract_work, pages, chunksize=25)
@@ -216,7 +218,7 @@ def scaling_main() -> None:
                   f"{r['docs_per_sec']} docs/sec", file=sys.stderr)
             runs[cpus] = r
         cycle_runs.append(runs)
-    b1, b2 = _machine_baseline(), _machine_baseline()
+    b1, b2 = _machine_baseline(levels), _machine_baseline(levels)
     baseline = {n: max(b1[n], b2[n]) for n in b1}
     print(f"machine baseline (docs/sec, no Spark): {baseline}",
           file=sys.stderr)

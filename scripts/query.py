@@ -50,17 +50,17 @@ def main(argv=None) -> int:
                      query_log_dir=args.log_dir)
 
     for q in args.queries:
-        if (args.mode == "wand" and args.lang is None
-                and args.min_score == 0.0 and args.offset == 0
-                and args.count == "none"):
-            hits = qe.top_k(q, k=args.k, mode="wand")
+        if (args.lang is None and args.min_score == 0.0
+                and args.offset == 0 and args.count == "none"):
+            # simple case: bare top-k honoring --mode (wand OR exhaustive)
+            hits = qe.top_k(q, k=args.k, mode=args.mode)
             out = {"results": [{"doc_id": d, "score": s} for d, s in hits],
                    "total_count": len(hits), "limit": args.k, "offset": 0,
                    "query": q}
         else:
             out = qe.search(q, k=args.k, offset=args.offset,
                             min_score=args.min_score, lang=args.lang,
-                            count_mode=args.count)
+                            count_mode=args.count, mode=args.mode)
         print(json.dumps(out, default=str))
     if not preexisting:
         spark.stop()

@@ -62,7 +62,7 @@ def q_corpus_stats(spark, sf_dir):
 
 SQL_CORPUS_STATS = f"""
 SELECT count(*) AS n_docs, round(avg(doc_len), 4) AS avg_doc_len,
-       sum(doc_len) AS total_tokens
+       CAST(sum(doc_len) AS BIGINT) AS total_tokens
 FROM ({SQL_DOCLEN})
 """
 
@@ -543,6 +543,52 @@ FROM part
 """
 
 
+def q_parse_category(spark, sf_dir):
+    """P3 (data_ingestion.py:131-148): delimited category string -> array.
+
+    Reference semantics: normalize '|' and '>' delimiters to ',', split,
+    trim each segment, drop empties, truncate to the first 5. The array is
+    built as a real array<string> column; for the driver's value-hash the
+    result is projected to a canonical join + size (scalar columns hash
+    identically across Spark/DuckDB, arrays do not round-trip stably
+    through the harness).
+    """
+    p = _t(spark, sf_dir, "part").withColumn(
+        "raw", F.concat(F.col("p_brand"), F.lit(" | "), F.col("p_type"),
+                        F.lit(" > a ,b,, c , d , e")))
+    parts = F.split(F.regexp_replace(F.col("raw"), r"[|>]", ","), ",")
+    cats = F.slice(
+        F.filter(F.transform(parts, lambda c: F.trim(c)),
+                 lambda c: c != F.lit("")),
+        1, 5)
+    return p.select(
+        "p_partkey",
+        F.array_join(cats, "||").alias("categories_joined"),
+        F.size(cats).alias("n_categories"))
+
+
+SQL_PARSE_CATEGORY = """
+SELECT p_partkey,
+       array_to_string(cats, '||') AS categories_joined,
+       CAST(len(cats) AS INTEGER) AS n_categories
+FROM (
+  SELECT p_partkey,
+         list_slice(
+           list_filter(
+             list_transform(
+               string_split(regexp_replace(raw, '[|>]', ',', 'g'), ','),
+               c -> trim(c)),
+             c -> c <> ''),
+           1, 5) AS cats
+  FROM (
+    SELECT p_partkey,
+           concat(p_brand, ' | ', p_type, ' > a ,b,, c , d , e') AS raw
+    FROM part
+  )
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline extras: dedup, text analysis, similarity
 # ---------------------------------------------------------------------------
@@ -795,8 +841,8 @@ def q_simhash(spark, sf_dir):
 
 SQL_SIMHASH = f"""
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-         AS simhash16
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+            AS BIGINT) AS simhash16
 FROM (
   SELECT doc_id, bit,
          sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -1265,6 +1311,7 @@ REGISTRY: dict[str, tuple] = {
     # ingest parsers
     "parse_price": (q_parse_price, SQL_PARSE_PRICE),
     "parse_reviewcount": (q_parse_reviewcount, SQL_PARSE_REVIEWCOUNT),
+    "parse_category": (q_parse_category, SQL_PARSE_CATEGORY),
     "rating_clamp": (q_rating_clamp, SQL_RATING_CLAMP),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "null_normalization": (q_null_normalization, SQL_NULL_NORMALIZATION),

@@ -63,7 +63,7 @@ def make_resolve_extract_udf(prefer_provided: bool = True,
     return resolve_extract
 
 
-def make_term_freqs_udf(max_token_len: int = 64):
+def make_term_freqs_udf(max_token_len: int = 64, min_token_len: int = 1):
     """text -> map<term, tf>. One tokenization pass per document.
 
     Emitting the per-doc tf map directly (instead of exploding raw tokens
@@ -75,8 +75,8 @@ def make_term_freqs_udf(max_token_len: int = 64):
     @pandas_udf("map<string,int>")
     def term_freqs(text: pd.Series) -> pd.Series:
         return pd.Series(
-            [dict(Counter(tokenize(t, max_token_len))) if t else {}
-             for t in text])
+            [dict(Counter(tokenize(t, max_token_len, min_token_len)))
+             if t else {} for t in text])
 
     return term_freqs
 

@@ -201,7 +201,8 @@ class IndexBuilder:
         cfg = self.cfg
         extract = make_resolve_extract_udf(cfg.prefer_provided_text,
                                            cfg.max_token_len)
-        term_freqs = make_term_freqs_udf(cfg.max_token_len)
+        term_freqs = make_term_freqs_udf(cfg.max_token_len,
+                                         cfg.min_token_len)
         # Small-input guard: the extract UDF is the most expensive stage
         # and its parallelism is bounded by the scan's split count. A
         # real web corpus arrives as thousands of files (no-op here); a

@@ -107,7 +107,7 @@ class QueryEngine:
     #: silently) and layout params drive partition pruning
     _CRITICAL_CFG = ("k1", "b", "block_size", "n_doc_buckets",
                      "n_term_buckets", "doc_id_bits", "max_token_len",
-                     "prefer_provided_text")
+                     "min_token_len", "prefer_provided_text")
 
     def __post_init__(self) -> None:
         persisted = self._load_persisted_cfg()
@@ -197,7 +197,7 @@ class QueryEngine:
         broadcast join of a tiny idf literal frame.
         """
         cfg = self.cfg
-        qterms = sorted(set(tokenize(query, cfg.max_token_len)))
+        qterms = sorted(set(tokenize(query, cfg.max_token_len, cfg.min_token_len)))
         idfs, buckets = self.term_lookup(qterms)
         stats = self.corpus_stats()
         avgdl = stats["avg_doc_len"]
@@ -277,7 +277,7 @@ class QueryEngine:
         cfg = self.cfg
         k = cfg.default_k if k is None \
             else min(k, cfg.max_k + cfg.max_offset)
-        qterms = sorted(set(tokenize(query, cfg.max_token_len)))
+        qterms = sorted(set(tokenize(query, cfg.max_token_len, cfg.min_token_len)))
         idfs, buckets = self.term_lookup(qterms)
         avgdl = self.corpus_stats()["avg_doc_len"]
         if not idfs or avgdl <= 0 or k <= 0:
@@ -362,7 +362,7 @@ class QueryEngine:
     def search(self, query: str, k: int | None = None, offset: int = 0,
                min_score: float = 0.0, lang: str | None = None,
                warc_ts_min=None, warc_ts_max=None,
-               count_mode: str = "exact") -> dict:
+               count_mode: str = "exact", mode: str = "wand") -> dict:
         """Materialized result envelope — the analogue of the reference's
         ``SearchResponse`` (``model/SearchResponse.java:5-12`` +
         ``SearchService.java:63-78``: results, totalCount, limit, offset,
@@ -372,13 +372,17 @@ class QueryEngine:
         second COUNT statement, ``ProductRepository.java:95-117``); "none"
         mirrors its title-path shortcut (totalCount = page size,
         ``SearchService.java:110-111``) — the O(1) choice at web scale.
+
+        ``mode``: "wand" (default) allows the block-max WAND fast path;
+        "exhaustive" forces the score-every-candidate plan even when the
+        fast-path preconditions hold (timing/verification runs).
         """
         t0 = time.time()
         cfg = self.cfg
         k = cfg.default_k if k is None else min(k, cfg.max_k)
         offset = min(max(offset, 0), cfg.max_offset)
 
-        if count_mode == "none" and min_score <= 0.0:
+        if mode == "wand" and count_mode == "none" and min_score <= 0.0:
             # fast path: filtered block-max WAND; totalCount = page size
             # (the reference's own title-path shortcut,
             # SearchService.java:110-111)

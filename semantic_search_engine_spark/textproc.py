@@ -232,10 +232,12 @@ TOKEN_PATTERN_SQL = "[a-z0-9]+"
 MAX_TOKEN_LEN = 64
 
 
-def tokenize(text: str | None, max_token_len: int = MAX_TOKEN_LEN) -> list[str]:
+def tokenize(text: str | None, max_token_len: int = MAX_TOKEN_LEN,
+             min_token_len: int = 1) -> list[str]:
     if not text:
         return []
-    return [t for t in TOKEN_RE.findall(text.lower()) if len(t) <= max_token_len]
+    return [t for t in TOKEN_RE.findall(text.lower())
+            if min_token_len <= len(t) <= max_token_len]
 
 
 # ---------------------------------------------------------------------------

@@ -191,3 +191,30 @@ def test_search_writes_query_log(spark, small_built, tmp_path_factory):
     logs = spark.read.schema(QUERY_LOG_SCHEMA).json(log_dir)
     assert logs.count() == 2
     assert zero_result_queries(logs).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# min_token_len threads through build + query (ADVICE r1: dead knob)
+# ---------------------------------------------------------------------------
+
+def test_min_token_len_filters_short_tokens(spark, tmp_path_factory):
+    """min_token_len=2 must drop 1-char tokens from the index AND from the
+    query-side tokenizer (a 1-char query term scores nothing)."""
+    store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_mintok")))
+    rows = [(f"https://m.example/{i}", None, None,
+             f"a x queryable body number{i} b c", "en") for i in range(12)]
+    docs = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    cfg = EngineConfig(n_doc_buckets=2, n_term_buckets=2,
+                       shuffle_partitions=2, block_size=8, min_token_len=2)
+    IndexBuilder(spark, store, cfg).build(docs)
+
+    terms = [r["term"] for r in store.read("term_stats").collect()]
+    assert terms and all(len(t) >= 2 for t in terms)
+    assert "queryable" in terms
+
+    qe = QueryEngine(spark, store, cfg=None)  # binds persisted config
+    assert qe.cfg.min_token_len == 2
+    assert qe.top_k("a b c", k=5) == []          # all query terms dropped
+    assert len(qe.top_k("queryable", k=5)) == 5  # real term still works
