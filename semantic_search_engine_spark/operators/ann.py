@@ -174,8 +174,8 @@ class IVFIndex:
         compared WITHIN an IVF list (the ANN analogue of LSH banding), so
         cost is Σ |list|² instead of n². Near-duplicates have cosine ≈ 1
         and land in the same spherical cluster with high probability;
-        recall can be raised by building a second index with a different
-        seed and unioning the pair sets.
+        recall can be raised by unioning independently-seeded indexes —
+        :func:`multi_seed_near_dup_pairs` is that form.
 
         Returns (key_a, key_b, cosine) with key_a < key_b, cosine >= t.
         """
@@ -198,3 +198,31 @@ class IVFIndex:
         approx = {r[self.key] for r in self.search(probe, k,
                                                    n_probe).collect()}
         return len(exact & approx) / max(len(exact), 1)
+
+
+def multi_seed_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                              n_lists: int = 16, n_iters: int = 3,
+                              seeds: tuple[int, ...] = (42, 1337),
+                              key: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Recall lever for IVF-bucketed near-dup detection: union the
+    within-list pair sets of independently-seeded indexes.
+
+    A single spherical clustering can put a true near-dup pair on opposite
+    sides of a list boundary (the IVF analogue of an LSH band miss); a
+    second clustering with a different seed draws different boundaries, so
+    a pair missed by one is usually co-located by another — recall rises
+    like 1 - Π(miss rate per seed) while cost stays Σ_seeds Σ |list|².
+
+    Returns (key_a, key_b, cosine) deduplicated across seeds.
+    """
+    ka, kb = f"{key}_a", f"{key}_b"
+    out = None
+    for s in seeds:
+        idx = IVFIndex.build(embeddings, n_lists=n_lists, n_iters=n_iters,
+                             seed=s, key=key, vec_col=vec_col)
+        p = idx.near_dup_pairs(threshold)
+        out = p if out is None else out.unionByName(p)
+    # same pair found under two seeds carries the identical cosine (same
+    # normalized vectors) — groupBy dedups without recomputation
+    return out.groupBy(ka, kb).agg(F.max("cosine").alias("cosine"))

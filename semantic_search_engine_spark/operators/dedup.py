@@ -147,34 +147,55 @@ def verify_jaccard(docs: DataFrame, pairs: DataFrame, key: str = "doc_id",
             .select("key_a", "key_b", "jaccard"))
 
 
-def cluster_pairs(pairs: DataFrame, n_rounds: int = 5) -> DataFrame:
+def cluster_pairs(pairs: DataFrame, n_rounds: int | None = None,
+                  checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components: min-label propagation + pointer jumping.
 
     Each round first takes the min label over one edge hop, then jumps
     pointers (label := label of current label), so label distances halve —
     a component of diameter d converges in O(log d) rounds. Every round is
     materialized with TRUNCATED LINEAGE (otherwise round r re-executes the
-    whole upstream candidate/verify plan r times). At cluster scale use
-    ``sparkContext.setCheckpointDir`` + ``.checkpoint()`` for the
-    fault-tolerant form; ``localCheckpoint`` is the single-node equivalent.
+    whole upstream candidate/verify plan r times).
+
+    ``n_rounds=None`` (default) iterates to the FIXPOINT: the loop stops
+    the first round that changes no label, so any diameter converges and
+    no round runs past convergence. An explicit ``n_rounds`` caps the
+    rounds (components wider than 2^n_rounds hops may stay split).
+
+    ``checkpoint_dir``: when given, rounds are materialized with reliable
+    ``.checkpoint()`` into that directory (survives executor loss — the
+    cluster form); otherwise ``localCheckpoint`` (executor-local blocks,
+    the single-process form).
 
     Returns (key, cluster) with cluster = the component's minimum key.
     """
-    edges = (pairs.select(F.col("key_a").alias("u"),
-                          F.col("key_b").alias("v"))
-             .union(pairs.select("key_b", "key_a"))
-             .localCheckpoint(eager=True))
-    labels = (edges.select(F.col("u").alias("key"))
-              .distinct()
-              .withColumn("cluster", F.col("key"))
-              .localCheckpoint(eager=True))
-    for _ in range(n_rounds):
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    # 50 halving rounds cover diameter 2^50 — a pure runaway guard
+    max_rounds = 50 if n_rounds is None else n_rounds
+    edges = _materialize(
+        pairs.select(F.col("key_a").alias("u"), F.col("key_b").alias("v"))
+        .union(pairs.select("key_b", "key_a")))
+    labels = _materialize(
+        edges.select(F.col("u").alias("key"))
+        .distinct()
+        .withColumn("cluster", F.col("key")))
+    for _ in range(max_rounds):
+        prev = labels.withColumn("prev", F.col("cluster"))
         # hop: min label among neighbors
         neighbor_min = (edges
-                        .join(labels.withColumnRenamed("key", "v"), "v")
+                        .join(prev.withColumnRenamed("key", "v")
+                              .select("v", "cluster"), "v")
                         .groupBy("u")
                         .agg(F.min("cluster").alias("nmin")))
-        labels = (labels
+        hopped = (prev
                   .join(neighbor_min.withColumnRenamed("u", "key"),
                         "key", "left")
                   .withColumn("cluster",
@@ -182,20 +203,25 @@ def cluster_pairs(pairs: DataFrame, n_rounds: int = 5) -> DataFrame:
                                       F.coalesce("nmin", "cluster")))
                   .drop("nmin"))
         # jump: follow the label's own label (path halving)
-        parent = labels.select(F.col("key").alias("cluster"),
+        parent = hopped.select(F.col("key").alias("cluster"),
                                F.col("cluster").alias("grand"))
-        labels = (labels.join(parent, "cluster", "left")
-                  .withColumn("cluster",
-                              F.least("cluster",
-                                      F.coalesce("grand", "cluster")))
-                  .drop("grand")
-                  .localCheckpoint(eager=True))
+        stepped = _materialize(
+            hopped.join(parent, "cluster", "left")
+            .withColumn("cluster",
+                        F.least("cluster", F.coalesce("grand", "cluster")))
+            .drop("grand"))
+        labels = stepped.drop("prev")
+        # fixpoint early-exit: one filter over the just-materialized round
+        # (labels only ever decrease, so "changed" == "decreased")
+        if stepped.filter(F.col("cluster") < F.col("prev")).isEmpty():
+            break
     return labels
 
 
 def near_dedup(docs: DataFrame, key: str = "doc_id",
                shingle_size: int = 3, n_hashes: int = 8, bands: int = 4,
-               threshold: float = 0.7, n_rounds: int = 5) -> DataFrame:
+               threshold: float = 0.7, n_rounds: int | None = None,
+               checkpoint_dir: str | None = None) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
     pairs → exact-Jaccard verify → cluster → survivor = min key.
 
@@ -205,6 +231,6 @@ def near_dedup(docs: DataFrame, key: str = "doc_id",
     sig = shingle_minhash_signatures(docs, key, shingle_size, n_hashes)
     cand = lsh_candidate_pairs(sig, key, n_hashes, bands)
     verified = verify_jaccard(docs, cand, key, shingle_size, threshold)
-    clusters = cluster_pairs(verified, n_rounds)
+    clusters = cluster_pairs(verified, n_rounds, checkpoint_dir)
     return clusters.withColumn("is_survivor",
                                F.col("key") == F.col("cluster"))

@@ -185,7 +185,8 @@ class IndexBuilder:
         runner.run(f"doc_features{sfx}", f"doc_features{sfx}", [],
                    lambda: self._doc_features_df(documents, field),
                    partition_by=None,
-                   partition_col="partition_id", extra_key=input_version)
+                   partition_col="partition_id",
+                   n_partitions=cfg.n_doc_buckets, extra_key=input_version)
 
         self._run_downstream(runner, sfx)
         self._persist_config(sfx)
@@ -263,7 +264,7 @@ class IndexBuilder:
             lambda: self.store.read(f"doc_features{sfx}").select(
                 "doc_id", "url", "warc_ts", "lang", "doc_len",
                 "extracted_sha256", "partition_id"),
-            partition_col="partition_id")
+            partition_col="partition_id", n_partitions=cfg.n_doc_buckets)
 
         # -- stage 3: corpus_stats (E6 — pure aggregation) -------------------
         runner.run(
@@ -313,7 +314,8 @@ class IndexBuilder:
                    build_postings,
                    partition_by=["term_bucket"],
                    sort_within_partitions=["term", "partition_id", "block_id"],
-                   partition_col="partition_id")
+                   partition_col="partition_id",
+                   n_partitions=cfg.n_doc_buckets)
 
         # -- stage 5: term_stats (second-level merge of per-bucket partials) -
         runner.run(

@@ -106,10 +106,20 @@ def extract_html_reference(html_bytes: bytes | None) -> tuple[str, str]:
 # ~10x the HTMLParser throughput on Common-Crawl-sized pages; the extract
 # UDF is the most expensive stage of the index build, so this is the
 # single biggest docs/sec lever. Spec differences vs HTMLParser are
-# confined to pathological markup (same-tag nesting inside skip blocks,
-# '>' inside quoted attribute values) — the differential test pins
-# byte-equality on the full corpus and all edge fixtures.
+# confined to pathological markup — the differential test pins
+# byte-equality on the full corpus and all edge fixtures, and pins the
+# two ACCEPTED divergences explicitly (test_accepted_divergences):
+#   * '</script>' hidden inside an HTML comment: the comment pass runs
+#     first here, so the comment-wrapped closer is removed and the block
+#     ends at the next real closer (close to HTML5's escaped-script-data
+#     handling); HTMLParser treats script content as CDATA and ends the
+#     block at the commented closer.
+#   * '>' inside a quoted attribute value: the tag-strip regex ends the
+#     tag at the first '>', leaking the attribute tail as text;
+#     HTMLParser parses the attribute correctly. Damage is a few stray
+#     tokens on rare markup — accepted for the ~10x throughput.
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.I | re.S)
+_TITLE_OPEN_RE = re.compile(r"<title[^>]*>", re.I)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 # Skip-content block removal runs at str.find (memchr) speed: a regex
 # lazy-dot scan costs ~15 ns/char, which dominates extraction on
@@ -118,8 +128,12 @@ _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 # preceded by `/` is self-closing and left to the tag strip; a block with
 # no valid closer extends to EOF (as the streaming parser's skip-depth
 # does); an opener with no `>` at all is literal text.
+# "title" is in the body-strip list (its text goes ONLY to the title
+# field, matching the streaming parser's in_title routing even for a
+# <title> outside <head>); it is NOT a _SKIP_CONTENT_TAGS member there
+# because the parser handles it via in_title instead of skip_depth.
 _SKIP_TAGS_FAST = ("script", "style", "head", "nav", "noscript",
-                   "template", "svg", "iframe")
+                   "template", "svg", "iframe", "title")
 
 
 def _find_valid(low: str, needle: str, start: int, n: int) -> int:
@@ -185,8 +199,17 @@ def extract_html(html_bytes: bytes | None) -> tuple[str, str]:
     if not html_bytes:
         return "", ""
     text = html_bytes.decode("utf-8", errors="replace")
-    m = _TITLE_RE.search(text)
-    raw_title = m.group(1) if m else ""
+    # ALL title elements concatenated (no separator), matching the
+    # streaming parser's in_title accumulation across duplicate <title>s;
+    # an unterminated final <title> captures to EOF like in_title does
+    parts, pos = [], 0
+    for m in _TITLE_RE.finditer(text):
+        parts.append(m.group(1))
+        pos = m.end()
+    tail = _TITLE_OPEN_RE.search(text, pos)
+    if tail:
+        parts.append(text[tail.end():])
+    raw_title = "".join(parts)
     body = _COMMENT_RE.sub(" ", text)
     body = _strip_skip_blocks(body)
     body = _DOCTYPE_RE.sub(" ", body)

@@ -218,3 +218,21 @@ def test_min_token_len_filters_short_tokens(spark, tmp_path_factory):
     assert qe.cfg.min_token_len == 2
     assert qe.top_k("a b c", k=5) == []          # all query terms dropped
     assert len(qe.top_k("queryable", k=5)) == 5  # real term still works
+
+
+def test_lineage_observed_counts_match_committed(spark, small_built):
+    """Lineage rows now come from df.observe on the write job (no
+    post-commit re-scan); the recorded per-partition counts must equal a
+    direct groupBy over the committed table."""
+    store, builder, _docs = small_built
+    lin = store.read("lineage")
+    for table in ("doc_features", "postings"):
+        got = {(r["partition_id"], r["rows"])
+               for r in lin.filter((F.col("output_table") == table)
+                                   & ~F.col("skipped"))
+               .select("partition_id", "rows").collect()}
+        want = {(r["partition_id"], r["n"])
+                for r in store.read(table).groupBy("partition_id")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got == want, table
+        assert sum(n for _, n in got) == store.read(table).count()

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from semantic_search_engine_spark.operators.ann import (
     IVFIndex,
     brute_force_top_k,
+    multi_seed_near_dup_pairs,
 )
 from semantic_search_engine_spark.operators.dedup import (
     cluster_pairs,
@@ -88,6 +89,30 @@ def test_cluster_pairs_long_chain_converges_logarithmically(spark):
               for r in cluster_pairs(pairs, n_rounds=5).collect()}
     assert set(labels.values()) == {0}
     assert len(labels) == 21
+
+
+def test_cluster_pairs_fixpoint_default_converges_any_diameter(spark):
+    """n_rounds=None iterates to the fixpoint: a 65-node chain (diameter 64
+    > 2^5) fully merges without an explicit round count, and the early exit
+    stops well before the 50-round runaway cap."""
+    chain = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(chain, "key_a long, key_b long")
+    labels = {r["key"]: r["cluster"] for r in cluster_pairs(pairs).collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == 65
+
+
+def test_cluster_pairs_reliable_checkpoint_dir(spark, tmp_path_factory):
+    """checkpoint_dir switches rounds to reliable .checkpoint() — results
+    identical and checkpoint files land in the given directory."""
+    import glob
+    ckpt = str(tmp_path_factory.mktemp("cc_ckpt"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "key_a long, key_b long")
+    labels = {r["key"]: r["cluster"]
+              for r in cluster_pairs(pairs, checkpoint_dir=ckpt).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert glob.glob(f"{ckpt}/**/rdd-*", recursive=True)
 
 
 def test_lsh_band_misconfig_raises(spark, docs_with_dups):
@@ -191,3 +216,29 @@ def test_ivf_near_dup_pairs(spark, embeddings, ivf_idx):
              for r in idx.near_dup_pairs(threshold=0.999).collect()}
     assert (1, 9001) in pairs and (2, 9002) in pairs
     assert all(c > 0.999 for c in pairs.values())
+
+
+def test_multi_seed_union_recovers_boundary_split_pair(spark):
+    """Second-seed IVF union (VERDICT r1 #5): a planted near-dup pair that
+    one clustering splits across a list boundary is recovered by unioning a
+    second seed's pair set. Seeds found empirically for this fixture: seed
+    4 splits the pair, seed 5 co-locates it."""
+    import math
+    rows = [(i, [math.cos(2 * math.pi * i / 24),
+                 math.sin(2 * math.pi * i / 24)]) for i in range(24)]
+    theta = 2 * math.pi * 3.5 / 24
+    rows += [(100, [math.cos(theta - 0.05), math.sin(theta - 0.05)]),
+             (101, [math.cos(theta + 0.05), math.sin(theta + 0.05)])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    single = IVFIndex.build(emb, n_lists=6, n_iters=2, seed=4)
+    missed = {(r["vec_id_a"], r["vec_id_b"])
+              for r in single.near_dup_pairs(0.99).collect()}
+    assert (100, 101) not in missed  # the single-seed boundary miss
+
+    unioned = multi_seed_near_dup_pairs(emb, threshold=0.99, n_lists=6,
+                                        n_iters=2, seeds=(4, 5))
+    got = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+           for r in unioned.collect()}
+    assert (100, 101) in got
+    assert got[(100, 101)] == pytest.approx(math.cos(0.1), abs=1e-9)

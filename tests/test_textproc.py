@@ -102,5 +102,34 @@ def test_fast_extractor_matches_reference_on_corpus():
         b"a<script",
         b"<style>.x{}</style><p>Z</p>",
         b"<!-- c --><p>k</p><!-- tail",
+        # adversarial title handling (ADVICE r1): duplicates, outside
+        # <head>, svg tooltip, unterminated-at-EOF, markup inside title
+        b"<title>A</title>x<title>B</title>",
+        b"<html><head><title>T1</title></head><title>T2</title>body</html>",
+        b"<svg><title>tooltip</title></svg>body",
+        b"<p>pre</p><title>unclosed rest",
+        b"<title>A</title> stuff <title>unclosed rest",
+        b"<title><b>Bold</b> title</title>body",
+        b"a<title",
     ]:
         assert extract_html(snippet) == extract_html_reference(snippet), snippet
+
+
+def test_accepted_divergences_are_pinned():
+    """The two divergences accepted for the ~10x fast path (documented at
+    the _SKIP_TAGS_FAST definition) stay exactly as documented — each
+    extractor's output is pinned so a silent behavior change fails here."""
+    from semantic_search_engine_spark.textproc import extract_html_reference
+
+    # 1. '</script>' hidden inside an HTML comment: fast strips comments
+    #    first (≈ HTML5 escaped script data); HTMLParser ends the CDATA
+    #    block at the commented closer.
+    s = b"<script>var x; <!-- </script> --> alert(1)</script>after"
+    assert extract_html(s) == ("", "after")
+    assert extract_html_reference(s) == ("", "--> alert(1) after")
+
+    # 2. '>' inside a quoted attribute value: fast's tag strip ends at the
+    #    first '>', leaking the attribute tail; HTMLParser parses it.
+    a = b'<p title="a>b">text</p>'
+    assert extract_html(a) == ("", 'b">text')
+    assert extract_html_reference(a) == ("", "text")
