@@ -120,6 +120,15 @@ def main() -> None:
         dt = time.time() - t0
         queries[f"q{i}_{pq.query.split()[0]}"] = round(dt, 3)
         qtimes.append(dt)
+    # all 9 corpus queries again as ONE batch job: the multi-query WAND
+    # path amortizes the per-job scheduling floor; per-query cost should
+    # land well under the per-job floor above
+    t0 = time.time()
+    batch = qe.batch_top_k([pq.query for pq in QUERY_CORPUS], k=10)
+    bdt = time.time() - t0
+    queries["q_batch_9"] = round(bdt, 3)
+    queries["q_batch_per_query"] = round(bdt / len(QUERY_CORPUS), 3)
+    assert len(batch) == len(QUERY_CORPUS)
     # one exact-count filtered search (the reference's two-statement pattern)
     t0 = time.time()
     qe.search("wireless bluetooth headphones", k=10, lang="en",

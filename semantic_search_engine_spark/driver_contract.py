@@ -193,15 +193,10 @@ FROM documents
 """
 
 
-def q_bm25_topk_engine_wand(spark, sf_dir):
-    """THE ENGINE ITSELF vs the SQL oracle: build the inverted index
-    (varbyte blocks, doc-bucket salting, checkpoint stages) over the
-    driver's documents table, then answer via block-max WAND — and the
-    result must equal the declarative BM25 SQL run by DuckDB.
-
-    The warehouse is cached under /tmp keyed by sf_dir; reruns resume via
-    stage fingerprints (which also exercises E13 inside the gate).
-    """
+def _engine_warehouse(spark, sf_dir):
+    """Build (or resume) the real inverted index over the driver's
+    documents table into a /tmp warehouse keyed by sf_dir + format
+    version; shared by both engine-gate entries."""
     import hashlib as _hl
     import os as _os
 
@@ -224,20 +219,90 @@ def q_bm25_topk_engine_wand(spark, sf_dir):
         + _hl.sha256(sf_dir.encode()).hexdigest()[:10])
     store = HadoopTableStore(spark, wh)
     IndexBuilder(spark, store, cfg).build(docs, input_version=sf_dir)
-    qe = QueryEngine(spark, store, cfg)
-    top = qe.wand_top_k_df(" ".join(BM25_QUERY_TERMS), k=10)
+    return store, QueryEngine(spark, store, cfg)
+
+
+def _engine_ids_back(store, top: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """Map engine doc ids (url-hash) back to the driver's doc_id ints."""
     meta = store.read("doc_meta").select("doc_id", "url")
     return (top.withColumnRenamed("doc_id", "engine_doc_id")
             .join(meta.withColumnRenamed("doc_id", "engine_doc_id"),
                   "engine_doc_id")
-            .select(F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+            .select(*extra_cols,
+                    F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
                     .alias("doc_id"),
                     F.round("score", 4).alias("score")))
+
+
+def q_bm25_topk_engine_wand(spark, sf_dir):
+    """THE ENGINE ITSELF vs the SQL oracle: build the inverted index
+    (varbyte blocks, doc-bucket salting, checkpoint stages) over the
+    driver's documents table, then answer via block-max WAND — and the
+    result must equal the declarative BM25 SQL run by DuckDB.
+
+    The warehouse is cached under /tmp keyed by sf_dir; reruns resume via
+    stage fingerprints (which also exercises E13 inside the gate).
+    """
+    store, qe = _engine_warehouse(spark, sf_dir)
+    top = qe.wand_top_k_df(" ".join(BM25_QUERY_TERMS), k=10)
+    return _engine_ids_back(store, top, [])
 
 
 # identical BM25 SQL as SQL_BM25_TOPK: the engine must reproduce the
 # declarative oracle's set of (doc_id, rounded score) for the top-10.
 SQL_BM25_TOPK_ENGINE = SQL_BM25_TOPK
+
+
+#: three queries for the batch gate: the standard gate query, a disjoint
+#: vocab query, and a partially-absent-term query
+BATCH_QUERIES = ["join spark window", "filter stream sort",
+                 "absentterm9z scan"]
+
+
+def q_bm25_batch_topk_engine(spark, sf_dir):
+    """Engine gate for the MULTI-QUERY batch WAND path: all three
+    ``BATCH_QUERIES`` answered in ONE Spark job
+    (``QueryEngine.batch_wand_top_k_df``); per-query results must equal
+    the per-query declarative BM25 SQL (QUALIFY top-10 per query_id).
+
+    Reuses the cached engine warehouse of ``bm25_topk_engine_wand``.
+    """
+    store, qe = _engine_warehouse(spark, sf_dir)
+    top = qe.batch_wand_top_k_df(BATCH_QUERIES, k=10)
+    return _engine_ids_back(store, top, ["query_id"])
+
+
+_BATCH_Q_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS query_id, unnest({sorted(set(q.split()))!r}) AS term"
+    for i, q in enumerate(BATCH_QUERIES))
+
+SQL_BM25_BATCH_TOPK_ENGINE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS ({_BATCH_Q_SQL}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                + {BM25_B} * dl.dl / stats.avgdl))) AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, round(raw_score, 4) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY raw_score DESC, doc_id) <= 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1296,6 +1361,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_filtered_count": (q_bm25_filtered_count, SQL_BM25_FILTERED_COUNT),
     "doc_id_assignment": (q_doc_id_assignment, SQL_DOC_ID_ASSIGNMENT),
     "bm25_topk_engine_wand": (q_bm25_topk_engine_wand, SQL_BM25_TOPK_ENGINE),
+    "bm25_batch_topk_engine": (q_bm25_batch_topk_engine,
+                               SQL_BM25_BATCH_TOPK_ENGINE),
     # relational operators
     "agg_pushdown": (q_agg_pushdown, SQL_AGG_PUSHDOWN),
     "topk_orderby_limit": (q_topk_orderby_limit, SQL_TOPK),

@@ -313,6 +313,75 @@ class QueryEngine:
                                   warc_ts_min=warc_ts_min,
                                   warc_ts_max=warc_ts_max)
 
+    def batch_wand_top_k_df(self, queries: list[str],
+                            k: int | None = None) -> DataFrame:
+        """Multi-query block-max WAND: N queries, ONE Spark job.
+
+        Returns (query_id, doc_id, score) — query_id is the position in
+        ``queries``. The per-query results are rank-identical to
+        :meth:`wand_top_k_df`; what changes is the cost model: the
+        scheduling floor (~0.5 s/job on the bench box), the pruned
+        postings scan, and the bucket shuffle are paid once for the whole
+        batch. This is the shape a batch retrieval pipeline uses — score
+        a query LOG against the index, not one query at a time.
+
+        Plan: union the term sets, one term_stats lookup job, one pruned
+        postings scan, per-bucket ``applyInPandas`` running exact WAND per
+        query over its own term subset, then a per-query window top-k over
+        ≤ P·k·N local rows.
+        """
+        from .wand import BATCH_WAND_OUT_SCHEMA, make_wand_batch_group_fn
+
+        cfg = self.cfg
+        k = cfg.default_k if k is None \
+            else min(k, cfg.max_k + cfg.max_offset)
+        empty = self.spark.createDataFrame(
+            [], "query_id int, doc_id long, score double")
+        per_q = [sorted(set(tokenize(q, cfg.max_token_len,
+                                     cfg.min_token_len)))
+                 for q in queries]
+        all_terms = sorted(set().union(*per_q)) if per_q else []
+        if not all_terms or k <= 0:
+            return empty
+        idfs, buckets = self.term_lookup(all_terms)
+        avgdl = self.corpus_stats()["avg_doc_len"]
+        query_weights = {qi: {t: idfs[t] for t in ts if t in idfs}
+                         for qi, ts in enumerate(per_q)}
+        query_weights = {qi: w for qi, w in query_weights.items() if w}
+        if not query_weights or avgdl <= 0:
+            return empty
+        live_terms = sorted(set().union(*query_weights.values()))
+        blocks = self._postings_for_terms(live_terms, buckets).select(
+            "term", "partition_id", "block_id", "last_doc_id",
+            "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
+        fn = make_wand_batch_group_fn(query_weights, k, float(cfg.k1),
+                                      float(cfg.b), avgdl)
+        local = blocks.groupBy("partition_id").applyInPandas(
+            fn, schema=BATCH_WAND_OUT_SCHEMA)
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("doc_id"))
+        return (local.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+                .select("query_id", "doc_id", "score"))
+
+    def batch_top_k(self, queries: list[str], k: int = 10
+                    ) -> dict[str, list[tuple[int, float]]]:
+        """Materialized form of :meth:`batch_wand_top_k_df`: query string →
+        ranked [(doc_id, score)]. Queries with no indexed terms map to []."""
+        k = min(k, self.cfg.max_k)
+        out: dict[str, list[tuple[int, float]]] = {q: [] for q in queries}
+        rows = self.batch_wand_top_k_df(queries, k=k).collect()
+        by_qid: dict[int, list] = {}
+        for r in rows:
+            by_qid.setdefault(int(r["query_id"]), []).append(
+                (int(r["doc_id"]), float(r["score"])))
+        for qi, hits in by_qid.items():
+            # row order after the window filter's exchange is not
+            # guaranteed — re-impose (score DESC, doc_id ASC)
+            out[queries[qi]] = sorted(hits, key=lambda h: (-h[1], h[0]))
+        return out
+
     def _scored_filtered(self, query: str, min_score: float, lang,
                          warc_ts_min, warc_ts_max) -> DataFrame:
         """Exhaustive candidates joined to doc_meta with all structured

@@ -310,3 +310,56 @@ def make_wand_group_fn(weights: dict[str, float], k: int, k1: float,
         return _run_bucket(pdf, None, weights, k, k1, b, avgdl)
 
     return run_bucket
+
+
+BATCH_WAND_OUT_SCHEMA = ("query_id int, partition_id int, doc_id long, "
+                         "score double")
+
+
+def make_wand_batch_group_fn(query_weights: dict[int, dict[str, float]],
+                             k: int, k1: float, b: float, avgdl: float):
+    """``applyInPandas`` body for MULTI-QUERY WAND: one doc bucket's blocks
+    (the union of every query's term postings) → per-query local top-k.
+
+    Amortizes the per-job scheduling floor across N queries: the postings
+    scan, the shuffle to bucket groups, and the group task launch are paid
+    ONCE for the whole batch instead of once per query (BENCH r1: an
+    absent-term query still cost ~0.45 s of pure job overhead). Inside a
+    bucket the blocks are grouped by term once; each query then runs the
+    standard exact block-max WAND over its own term subset, so per-query
+    results are identical to the single-query path (rank-identity pinned
+    by test).
+
+    The closure ships |Σ query terms| floats — still broadcast-sized.
+    """
+
+    def run_bucket(pdf):
+        import pandas as pd
+
+        qids: list[int] = []
+        pids: list[int] = []
+        docs: list[int] = []
+        scores: list[float] = []
+        if len(pdf):
+            pdf = pdf.sort_values(["term", "partition_id", "block_id"],
+                                  kind="mergesort")
+            by_term = group_blocks_by_term(pdf)
+            pid = int(pdf["partition_id"].iloc[0])
+            for qid, weights in query_weights.items():
+                sub = {t: by_term[t] for t in weights if t in by_term}
+                if not sub:
+                    continue
+                hits, _ = wand_top_k(sub, weights, k, k1, b, avgdl)
+                for d, s in hits:
+                    qids.append(qid)
+                    pids.append(pid)
+                    docs.append(d)
+                    scores.append(s)
+        return pd.DataFrame({
+            "query_id": pd.Series(qids, dtype="int32"),
+            "partition_id": pd.Series(pids, dtype="int32"),
+            "doc_id": pd.Series(docs, dtype="int64"),
+            "score": pd.Series(scores, dtype="float64"),
+        })
+
+    return run_bucket

@@ -247,3 +247,22 @@ def test_k_zero_and_bare_fast_path(spark, wand_built):
     plan_f = qe.wand_top_k_df("zipfhead0", k=5, lang="en") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan_f
+
+
+def test_batch_top_k_rank_identical_to_per_query(spark, wand_built):
+    """Multi-query batch WAND (one job for N queries) must be bit-identical
+    per query to the single-query path, including absent-term and
+    empty-string queries (which map to [])."""
+    from semantic_search_engine_spark.corpus import QUERY_CORPUS
+    from semantic_search_engine_spark.plans.query import QueryEngine
+
+    store, cfg = wand_built
+    qe = QueryEngine(spark, store, cfg)
+    queries = [pq.query for pq in QUERY_CORPUS] + ["absentterm9z", ""]
+    batch = qe.batch_top_k(queries, k=10)
+    assert set(batch) == set(queries)
+    assert batch["absentterm9z"] == []
+    assert batch[""] == []
+    for q in queries:
+        single = qe.top_k(q, k=10, mode="wand")
+        assert batch[q] == single, q  # exact float identity, not approx
