@@ -135,14 +135,28 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                   block_size: int) -> list[dict]:
     """Split one term's sorted postings into compressed block rows.
 
+    Tail compaction: a final partial block (< block_size postings) is
+    absorbed into the preceding full block, so block sizes are
+    ``block_size`` except the last, which is in ``[block_size,
+    2*block_size)`` (or the whole list when it is shorter than one
+    block). This halves the block-row count for the long tail of terms
+    with just over a block of postings per bucket and removes the
+    tiny-tail rows the per-bucket WAND scan would otherwise fetch.
+
     Returns dicts with keys matching the ``postings`` table schema:
     block_id, n_postings, first_doc_id, last_doc_id, doc_ids_vb, tfs_vb,
     dls_vb, block_max_tf_norm.
     """
     assert doc_ids.size == tfs.size == dls.size
+    n = int(doc_ids.size)
+    rem = n % block_size
+    # drop the last boundary when it would start a sub-block_size tail
+    bounds = list(range(0, n, block_size))
+    if rem and len(bounds) > 1:
+        bounds.pop()
     blocks = []
-    for bi, lo in enumerate(range(0, int(doc_ids.size), block_size)):
-        hi = min(lo + block_size, int(doc_ids.size))
+    for bi, lo in enumerate(bounds):
+        hi = bounds[bi + 1] if bi + 1 < len(bounds) else n
         ids = doc_ids[lo:hi]
         t, d = tfs[lo:hi], dls[lo:hi]
         bmax = float(tf_norm(t, d, avgdl, k1, b).max()) if avgdl > 0 else 0.0
@@ -202,6 +216,15 @@ def encode_blocks_multi(
     idx_in_group = np.arange(n) - gs[gidx_of_value]
     # block boundaries: group start or block_size multiple within group
     is_start = (idx_in_group % block_size) == 0
+    # tail compaction (same rule as encode_blocks): kill the boundary that
+    # would start a sub-block_size final tail, merging it into the
+    # preceding full block
+    glen = np.diff(np.append(gs, n))
+    glen_of_value = glen[gidx_of_value]
+    rem_of_value = glen_of_value % block_size
+    is_start &= ~((rem_of_value != 0)
+                  & (idx_in_group == glen_of_value - rem_of_value)
+                  & (idx_in_group > 0))
     starts = np.flatnonzero(is_start)
     ends = np.append(starts[1:], n)
     block_ids = (idx_in_group[starts] // block_size).astype(np.int64)

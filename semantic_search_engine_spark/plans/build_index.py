@@ -123,13 +123,23 @@ def make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
                     ([0], starts[1:] + carry_ids.size))
                 bases[0] = block_base
 
-            # split off the last group's incomplete tail as the new carry
+            # Split off the last group's tail as the new carry. The carry
+            # keeps the partial tail AND the last full block: tail
+            # compaction merges a sub-block_size tail into the preceding
+            # full block, and until the group ends we cannot know whether
+            # the currently-last full block is that absorber. Carry is
+            # therefore < 2*block_size postings — still O(block) memory.
             last_s = int(starts[-1])
             last_len = len(ids) - last_s
-            n_full = (last_len // block_size) * block_size
-            cut = last_s + n_full
+            if last_len < block_size:
+                n_emit = 0
+            else:
+                rem = last_len % block_size
+                n_emit = last_len - (rem + block_size if rem
+                                     else block_size)
+            cut = last_s + n_emit
             cur_key = keys[-1]
-            block_base = bases[-1] + n_full // block_size
+            block_base = bases[-1] + n_emit // block_size
             carry_ids = ids[cut:].copy()
             carry_tfs = tfs[cut:].copy()
             carry_dls = dls[cut:].copy()

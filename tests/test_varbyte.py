@@ -44,7 +44,10 @@ def test_encode_blocks_roundtrip_and_blockmax():
     dls = rng.integers(20, 2000, size=n).astype(np.uint64)
     avgdl, k1, b = 200.0, 1.2, 0.75
     blocks = encode_blocks(ids, tfs, dls, avgdl, k1, b, block_size=128)
-    assert len(blocks) == 8
+    # tail compaction: 1000 = 7*128 + 104 → the 104-posting tail merges
+    # into block 6 (232 postings), so 7 blocks, not 8
+    assert len(blocks) == 7
+    assert [b_["n_postings"] for b_ in blocks] == [128] * 6 + [232]
     out_ids, out_tfs, out_dls = [], [], []
     for blk in blocks:
         i, t, d = decode_block(blk["doc_ids_vb"], blk["tfs_vb"], blk["dls_vb"])
@@ -119,3 +122,24 @@ def test_multi_group_batch_encoder_matches_per_group():
             got.extend(tuple(r) for r in pdf.itertuples(index=False))
         assert sorted(got, key=lambda r: (r[0], r[1], r[2])) == \
             sorted(expected, key=lambda r: (r[0], r[1], r[2])), trial
+
+
+def test_tail_compaction_block_shapes():
+    """Block sizes are block_size except the last ∈ [block_size,
+    2*block_size), or a single short block when the list is smaller."""
+    from semantic_search_engine_spark.functions.varbyte import encode_blocks
+
+    avgdl, k1, b, bs = 100.0, 1.2, 0.75, 16
+    for n, want in [(5, [5]), (16, [16]), (17, [17]), (31, [31]),
+                    (32, [16, 16]), (33, [16, 17]), (48, [16, 16, 16]),
+                    (50, [16, 16, 18])]:
+        ids = np.arange(1, n + 1, dtype=np.uint64) * 3
+        tfs = np.ones(n, dtype=np.uint64)
+        dls = np.full(n, 100, dtype=np.uint64)
+        blocks = encode_blocks(ids, tfs, dls, avgdl, k1, b, bs)
+        assert [blk["n_postings"] for blk in blocks] == want, n
+        assert [blk["block_id"] for blk in blocks] == list(range(len(want)))
+        got = np.concatenate([decode_block(blk["doc_ids_vb"], blk["tfs_vb"],
+                                           blk["dls_vb"])[0]
+                              for blk in blocks])
+        assert np.array_equal(got, ids), n
