@@ -124,3 +124,114 @@ def test_stateful_running_counters_across_triggers(spark, log_dir):
             F.max("results_count").alias("peak")).collect()
     }
     assert latest == expected
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest: incremental crawl batches == one batch build (E13 ext.)
+# ---------------------------------------------------------------------------
+
+def _doc_rows_df(spark, rows):
+    from semantic_search_engine_spark.streaming.ingest import DOCUMENT_SCHEMA
+    return spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+         for r in rows], DOCUMENT_SCHEMA)
+
+
+def test_streaming_ingest_equals_single_batch_build(spark, tmp_path_factory):
+    """Two streamed crawl files (maxFilesPerTrigger=1 → two micro-batches,
+    first bootstraps via build, second merges via ingest_updates) must
+    produce the same index state and rankings as one batch build over the
+    union."""
+    from semantic_search_engine_spark.config import EngineConfig
+    from semantic_search_engine_spark.corpus import generate_rows
+    from semantic_search_engine_spark.plans.build_index import IndexBuilder
+    from semantic_search_engine_spark.plans.query import QueryEngine
+    from semantic_search_engine_spark.sources.store import HadoopTableStore
+    from semantic_search_engine_spark.streaming.ingest import streaming_ingest
+
+    cfg = EngineConfig(n_doc_buckets=4, n_term_buckets=4,
+                       shuffle_partitions=4, block_size=16)
+    rows = list(generate_rows(60))
+    drop = str(tmp_path_factory.mktemp("crawl_drop"))
+    # two disjoint crawl files landing in order
+    _doc_rows_df(spark, rows[:35]).coalesce(1).write.parquet(f"{drop}/f1")
+    _doc_rows_df(spark, rows[35:]).coalesce(1).write.parquet(f"{drop}/f2")
+    import glob as _g
+    import shutil as _sh
+    for i, src in enumerate(sorted(_g.glob(f"{drop}/f*/part-*.parquet"))):
+        _sh.move(src, f"{drop}/crawl-{i}.parquet")
+    _sh.rmtree(f"{drop}/f1"); _sh.rmtree(f"{drop}/f2")
+
+    s_store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_sing")))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_sing"))
+    q = streaming_ingest(spark, s_store, drop, ckpt, cfg,
+                         max_files_per_trigger=1)
+    q.awaitTermination()
+
+    b_store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_batch")))
+    IndexBuilder(spark, b_store, cfg).build(_doc_rows_df(spark, rows))
+
+    # identical corpus stats, term stats, and doc metadata
+    for t in ("corpus_stats", "term_stats", "doc_meta"):
+        cols = [c for c in s_store.read(t).columns
+                if c not in ("n_distinct_doc_ids",)]
+        sv = sorted(map(tuple, s_store.read(t).select(cols).collect()))
+        bv = sorted(map(tuple, b_store.read(t).select(cols).collect()))
+        assert sv == bv, t
+    # identical rankings through the full WAND path
+    qs = QueryEngine(spark, s_store, cfg)
+    qb = QueryEngine(spark, b_store, cfg)
+    for query in ["wireless bluetooth headphones", "zipfhead0 zipfhead1"]:
+        assert qs.top_k(query, k=10) == qb.top_k(query, k=10), query
+
+    # exactly-once: re-running the stream with the same checkpoint and no
+    # new files must not rewrite anything
+    uuid_before = (s_store.table_meta("doc_features") or {}).get("data_uuid")
+    q2 = streaming_ingest(spark, s_store, drop, ckpt, cfg,
+                          max_files_per_trigger=1)
+    q2.awaitTermination()
+    uuid_after = (s_store.table_meta("doc_features") or {}).get("data_uuid")
+    assert uuid_before == uuid_after
+
+
+def test_streaming_ingest_update_batch_wins(spark, tmp_path_factory):
+    """A later micro-batch re-crawling an existing url replaces it (MERGE
+    semantics through the stream, data_ingestion.py:224-243 analogue)."""
+    from semantic_search_engine_spark.config import EngineConfig
+    from semantic_search_engine_spark.corpus import generate_rows
+    from semantic_search_engine_spark.plans.query import QueryEngine
+    from semantic_search_engine_spark.sources.store import HadoopTableStore
+    from semantic_search_engine_spark.streaming.ingest import streaming_ingest
+
+    cfg = EngineConfig(n_doc_buckets=4, n_term_buckets=4,
+                       shuffle_partitions=4, block_size=16)
+    rows = list(generate_rows(30))
+    url = rows[3]["url"]
+    drop = str(tmp_path_factory.mktemp("crawl_drop2"))
+    _doc_rows_df(spark, rows).coalesce(1).write.parquet(f"{drop}/f1")
+    recrawl = [dict(rows[3], html=None,
+                    text="recrawled body with uniquetokenqz only")]
+    _doc_rows_df(spark, recrawl).coalesce(1).write.parquet(f"{drop}/f2")
+    import glob as _g
+    import shutil as _sh
+    for i, src in enumerate(sorted(_g.glob(f"{drop}/f*/part-*.parquet"))):
+        _sh.move(src, f"{drop}/crawl-{i}.parquet")
+    _sh.rmtree(f"{drop}/f1"); _sh.rmtree(f"{drop}/f2")
+
+    store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_upd")))
+    streaming_ingest(spark, store, drop,
+                     str(tmp_path_factory.mktemp("ckpt_upd")), cfg,
+                     max_files_per_trigger=1).awaitTermination()
+
+    from semantic_search_engine_spark.textproc import resolve_text
+    n_valid = len({r["url"] for r in rows
+                   if r["url"] is not None
+                   and resolve_text(r.get("text"), r.get("html"),
+                                    cfg.prefer_provided_text) is not None})
+    # replaced, not duplicated
+    assert store.read("doc_meta").count() == n_valid
+    qe = QueryEngine(spark, store, cfg)
+    hits = qe.top_k("uniquetokenqz", k=5)
+    assert len(hits) == 1
+    from semantic_search_engine_spark.textproc import doc_id_for_url
+    assert hits[0][0] == doc_id_for_url(url)
