@@ -947,6 +947,52 @@ WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
 """
 
 
+def q_simhash_banded_pairs(spark, sf_dir):
+    """Banded SimHash near-dup — the SCALE path for simhash_neardup_pairs.
+
+    Pigeonhole: hamming(a, b) <= 3 over a 16-bit signature means at least
+    one of 4 disjoint 4-bit bands is identical, so candidate pairs come
+    from equality buckets on (band_idx, band_value) — Σ bucket² work
+    instead of n² — then an exact hamming check filters false positives.
+    Recall is exactly 100% for the <= 3 radius (not probabilistic like
+    MinHash banding). The DuckDB oracle is deliberately the ALL-PAIRS
+    computation over every document: the match proves banding loses no
+    pair. At web scale the same shape runs on a 64-bit signature with
+    4x16-bit bands (bucket fan-out 2^16 per band).
+    """
+    sig = q_simhash(spark, sf_dir)
+    bands = (sig.select(
+        "doc_id", "simhash16",
+        F.explode(F.array(*[F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash16", i * 4).bitwiseAND(F.lit(15))
+            .alias("val")) for i in range(4)])).alias("bv"))
+        .select("doc_id", "simhash16",
+                F.col("bv.band").alias("band"), F.col("bv.val").alias("val")))
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b2, ["band", "val"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash16").alias("sa"),
+                    F.col("b.simhash16").alias("sb"))
+            .distinct())
+    return (cand
+            .select("doc_a", "doc_b",
+                    F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= 3))
+
+
+SQL_SIMHASH_BANDED = f"""
+WITH sig AS ({SQL_SIMHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash16, b.simhash16)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+"""
+
+
 def q_lsh_band_pairs(spark, sf_dir):
     """MinHash→LSH banding: 2 single-hash bands; docs sharing a band bucket
     become candidate pairs (the shingle→minhash→band→bucket-join shape)."""
@@ -1394,6 +1440,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP),
+    "simhash_banded_pairs": (q_simhash_banded_pairs, SQL_SIMHASH_BANDED),
     "lsh_band_pairs": (q_lsh_band_pairs, SQL_LSH_BAND_PAIRS),
     "shingle3_stats": (q_shingle3_stats, SQL_SHINGLE3),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs,
