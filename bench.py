@@ -361,7 +361,10 @@ def _write_bench_md(result: dict, levels: list[int]) -> None:
             "Query latencies: see the driver-recorded `BENCH_r{N}.json` "
             "(default `python bench.py` run, which includes the full query "
             "corpus: block-max WAND top-10 per query plus one "
-            "filtered+exact-count search).",
+            "filtered+exact-count search, and `q_batch_9`/"
+            "`q_batch_per_query` — the 9-query corpus answered as ONE "
+            "batch job via `QueryEngine.batch_top_k`, amortizing the "
+            "per-job scheduling floor ~6x below single-query latency).",
         ]
     lines += [""]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
