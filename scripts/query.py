@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     p.add_argument("--lang", default=None)
     p.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
     p.add_argument("--count", default="none", choices=["exact", "none"])
+    p.add_argument("--batch", action="store_true",
+                   help="answer ALL queries in one Spark job "
+                        "(multi-query WAND; bare top-k only — "
+                        "incompatible with filters/offset/count)")
     p.add_argument("--log-dir", default=None)
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
@@ -48,6 +52,24 @@ def main(argv=None) -> int:
     # cfg=None → bind to the config persisted by the index build
     qe = QueryEngine(spark, store, cfg=None, field=args.field,
                      query_log_dir=args.log_dir)
+
+    if args.batch:
+        if (args.lang is not None or args.min_score != 0.0
+                or args.offset != 0 or args.count != "none"
+                or args.mode != "wand"):
+            print("--batch supports bare WAND top-k only "
+                  "(no filters/offset/count/exhaustive)", file=sys.stderr)
+            return 2
+        results = qe.batch_top_k(args.queries, k=args.k)
+        for q in args.queries:
+            hits = results[q]
+            print(json.dumps(
+                {"results": [{"doc_id": d, "score": s} for d, s in hits],
+                 "total_count": len(hits), "limit": args.k, "offset": 0,
+                 "query": q}, default=str))
+        if not preexisting:
+            spark.stop()
+        return 0
 
     for q in args.queries:
         if (args.lang is None and args.min_score == 0.0

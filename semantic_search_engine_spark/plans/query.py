@@ -314,7 +314,9 @@ class QueryEngine:
                                   warc_ts_max=warc_ts_max)
 
     def batch_wand_top_k_df(self, queries: list[str],
-                            k: int | None = None) -> DataFrame:
+                            k: int | None = None,
+                            lang: str | None = None, warc_ts_min=None,
+                            warc_ts_max=None) -> DataFrame:
         """Multi-query block-max WAND: N queries, ONE Spark job.
 
         Returns (query_id, doc_id, score) — query_id is the position in
@@ -329,8 +331,16 @@ class QueryEngine:
         postings scan, per-bucket ``applyInPandas`` running exact WAND per
         query over its own term subset, then a per-query window top-k over
         ≤ P·k·N local rows.
+
+        Optional structured filters (``lang``/``warc_ts_*``) are shared by
+        the whole batch and cogroup the doc_meta survivor set per bucket,
+        exactly like the single-query filtered fast path.
         """
-        from .wand import BATCH_WAND_OUT_SCHEMA, make_wand_batch_group_fn
+        from .wand import (
+            BATCH_WAND_OUT_SCHEMA,
+            make_wand_batch_cogroup_fn,
+            make_wand_batch_group_fn,
+        )
 
         cfg = self.cfg
         k = cfg.default_k if k is None \
@@ -354,10 +364,23 @@ class QueryEngine:
         blocks = self._postings_for_terms(live_terms, buckets).select(
             "term", "partition_id", "block_id", "last_doc_id",
             "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
-        fn = make_wand_batch_group_fn(query_weights, k, float(cfg.k1),
-                                      float(cfg.b), avgdl)
-        local = blocks.groupBy("partition_id").applyInPandas(
-            fn, schema=BATCH_WAND_OUT_SCHEMA)
+        filtered = (lang is not None or warc_ts_min is not None
+                    or warc_ts_max is not None)
+        if filtered:
+            allowed = self._apply_meta_filters(
+                self.store.read(f"doc_meta{self._sfx()}"), lang,
+                warc_ts_min, warc_ts_max).select("partition_id", "doc_id")
+            fn = make_wand_batch_cogroup_fn(query_weights, k,
+                                            float(cfg.k1), float(cfg.b),
+                                            avgdl)
+            local = (blocks.groupBy("partition_id")
+                     .cogroup(allowed.groupBy("partition_id"))
+                     .applyInPandas(fn, schema=BATCH_WAND_OUT_SCHEMA))
+        else:
+            fn = make_wand_batch_group_fn(query_weights, k, float(cfg.k1),
+                                          float(cfg.b), avgdl)
+            local = blocks.groupBy("partition_id").applyInPandas(
+                fn, schema=BATCH_WAND_OUT_SCHEMA)
         from pyspark.sql.window import Window
         w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                    F.asc("doc_id"))

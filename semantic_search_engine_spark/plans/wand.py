@@ -334,32 +334,57 @@ def make_wand_batch_group_fn(query_weights: dict[int, dict[str, float]],
     """
 
     def run_bucket(pdf):
-        import pandas as pd
+        return _run_bucket_batch(pdf, None, query_weights, k, k1, b, avgdl)
 
-        qids: list[int] = []
-        pids: list[int] = []
-        docs: list[int] = []
-        scores: list[float] = []
-        if len(pdf):
-            pdf = pdf.sort_values(["term", "partition_id", "block_id"],
-                                  kind="mergesort")
-            by_term = group_blocks_by_term(pdf)
-            pid = int(pdf["partition_id"].iloc[0])
-            for qid, weights in query_weights.items():
-                sub = {t: by_term[t] for t in weights if t in by_term}
-                if not sub:
-                    continue
-                hits, _ = wand_top_k(sub, weights, k, k1, b, avgdl)
-                for d, s in hits:
-                    qids.append(qid)
-                    pids.append(pid)
-                    docs.append(d)
-                    scores.append(s)
-        return pd.DataFrame({
-            "query_id": pd.Series(qids, dtype="int32"),
-            "partition_id": pd.Series(pids, dtype="int32"),
-            "doc_id": pd.Series(docs, dtype="int64"),
-            "score": pd.Series(scores, dtype="float64"),
-        })
+    return run_bucket
+
+
+def _run_bucket_batch(pdf, allowed, query_weights, k, k1, b, avgdl):
+    """Shared body for the batch group/cogroup forms: one bucket's blocks
+    (+ optional sorted allowed-doc array) → per-query local top-k."""
+    import pandas as pd
+
+    qids: list[int] = []
+    pids: list[int] = []
+    docs: list[int] = []
+    scores: list[float] = []
+    if len(pdf):
+        pdf = pdf.sort_values(["term", "partition_id", "block_id"],
+                              kind="mergesort")
+        by_term = group_blocks_by_term(pdf)
+        pid = int(pdf["partition_id"].iloc[0])
+        for qid, weights in query_weights.items():
+            sub = {t: by_term[t] for t in weights if t in by_term}
+            if not sub:
+                continue
+            hits, _ = wand_top_k(sub, weights, k, k1, b, avgdl,
+                                 allowed=allowed)
+            for d, s in hits:
+                qids.append(qid)
+                pids.append(pid)
+                docs.append(d)
+                scores.append(s)
+    return pd.DataFrame({
+        "query_id": pd.Series(qids, dtype="int32"),
+        "partition_id": pd.Series(pids, dtype="int32"),
+        "doc_id": pd.Series(docs, dtype="int64"),
+        "score": pd.Series(scores, dtype="float64"),
+    })
+
+
+def make_wand_batch_cogroup_fn(query_weights: dict[int, dict[str, float]],
+                               k: int, k1: float, b: float, avgdl: float):
+    """Cogrouped batch form: left = one bucket's blocks, right = the same
+    bucket's structured-filter survivor doc ids (one filter, shared by the
+    whole batch — the offline-retrieval shape: same corpus slice, many
+    queries)."""
+
+    def run_bucket(blocks_pdf, allowed_pdf):
+        if len(allowed_pdf) == 0:
+            return _run_bucket_batch(blocks_pdf.iloc[:0], None,
+                                     query_weights, k, k1, b, avgdl)
+        allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
+        return _run_bucket_batch(blocks_pdf, allowed, query_weights,
+                                 k, k1, b, avgdl)
 
     return run_bucket

@@ -54,3 +54,32 @@ def test_build_then_query_roundtrip(spark, cli_env, capsys):
     env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert env["total_count"] >= len(env["results"]) > 0
     assert all("url" in r for r in env["results"])
+
+
+def test_batch_query_cli_matches_per_query(spark, cli_env, capsys):
+    """--batch answers all queries in one job with per-query envelopes
+    identical to the per-query invocations."""
+    wh, corpus = cli_env
+    from scripts.build_index import main as build_main
+    from scripts.query import main as query_main
+
+    build_main(["--input", corpus, "--warehouse", wh,
+                "--shuffle-partitions", "4", "--doc-buckets", "4",
+                "--term-buckets", "4", "--input-version", "v1"])
+    capsys.readouterr()
+
+    qs = ["wireless bluetooth headphones", "zipfhead0", "absentterm9z"]
+    rc = query_main(["--warehouse", wh, "--k", "5", "--batch", *qs])
+    assert rc == 0
+    batch_lines = [json.loads(l) for l in
+                   capsys.readouterr().out.strip().splitlines()]
+    rc = query_main(["--warehouse", wh, "--k", "5", *qs])
+    assert rc == 0
+    single_lines = [json.loads(l) for l in
+                    capsys.readouterr().out.strip().splitlines()]
+    assert batch_lines == single_lines
+    assert batch_lines[2]["results"] == []
+
+    # --batch rejects filters
+    rc = query_main(["--warehouse", wh, "--batch", "--lang", "en", "x"])
+    assert rc == 2

@@ -266,3 +266,25 @@ def test_batch_top_k_rank_identical_to_per_query(spark, wand_built):
     for q in queries:
         single = qe.top_k(q, k=10, mode="wand")
         assert batch[q] == single, q  # exact float identity, not approx
+
+
+def test_batch_filtered_matches_single_filtered(spark, wand_built):
+    """Batch WAND with a shared structured filter must equal the
+    single-query filtered fast path per query."""
+    from semantic_search_engine_spark.plans.query import QueryEngine
+
+    store, cfg = wand_built
+    qe = QueryEngine(spark, store, cfg)
+    queries = ["wireless bluetooth headphones", "zipfhead0 zipfhead1",
+               "absentterm9z"]
+    batch = qe.batch_wand_top_k_df(queries, k=10, lang="en").collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]), float(r["score"])))
+    for qi, q in enumerate(queries):
+        got = sorted(by_q.get(qi, []), key=lambda h: (-h[1], h[0]))
+        want = [(int(r["doc_id"]), float(r["score"]))
+                for r in qe.wand_filtered_top_k_df(q, k=10, lang="en")
+                .collect()]
+        assert got == want, q
