@@ -286,7 +286,7 @@ def _write_bench_md(result: dict, levels: list[int]) -> None:
         "against.",
         "",
         f"Corpus: {result['n_docs']} synthetic Common-Crawl-style docs "
-        f"(~26 KB HTML each, seeded, deterministic), sf={result['sf']}.",
+        f"(~45 KB HTML each, seeded, deterministic), sf={result['sf']}.",
         "",
         "## Engine: index-build throughput",
         "",

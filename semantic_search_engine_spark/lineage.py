@@ -26,6 +26,11 @@ from .sources.store import TableStore
 
 LINEAGE_TABLE = "lineage"
 
+#: per-bucket observe is O(rows × buckets) of conditional aggregates in
+#: the write job; above this bucket count the per-partition breakdown
+#: comes from a post-commit column-pruned groupBy instead
+_OBSERVE_MAX_BUCKETS = 128
+
 #: Bump when an on-disk format or stage semantic changes incompatibly —
 #: committed outputs from older code then stop fingerprint-matching, so a
 #: resume against a stale warehouse rebuilds instead of mixing formats.
@@ -76,7 +81,12 @@ class StageRunner:
         Row counts (total and, when ``partition_col`` + ``n_partitions``
         name a known bucket domain, per-partition) ride on the write job
         itself via ``df.observe`` — no post-commit re-scan of the output
-        (VERDICT r1 #6).
+        (VERDICT r1 #6). The per-bucket form costs one conditional
+        aggregate per bucket per row, so beyond
+        ``_OBSERVE_MAX_BUCKETS`` buckets the breakdown falls back to one
+        column-pruned post-commit groupBy instead (cheaper than
+        O(rows x buckets) inside the hot write job); the total row count
+        stays observed either way.
         """
         fp = stage_fingerprint(
             stage, self.config_fp + extra_key,
@@ -94,6 +104,7 @@ class StageRunner:
         aggs = [F.count(F.lit(1)).alias("rows")]
         observed_parts = (partition_col is not None
                           and n_partitions is not None
+                          and n_partitions <= _OBSERVE_MAX_BUCKETS
                           and partition_col in df.columns)
         if observed_parts:
             # bucket ids have the known domain [0, n) — one count_if per

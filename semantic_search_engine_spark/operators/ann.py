@@ -216,6 +216,8 @@ def multi_seed_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
 
     Returns (key_a, key_b, cosine) deduplicated across seeds.
     """
+    if not seeds:
+        raise ValueError("multi_seed_near_dup_pairs needs >= 1 seed")
     ka, kb = f"{key}_a", f"{key}_b"
     out = None
     for s in seeds:

@@ -58,7 +58,7 @@ class OracleIndex:
                 best[r["url"]] = (rank, r, text)
         for _rank, r, text in best.values():
             did = doc_id_for_url(r["url"])
-            toks = tokenize(text, cfg.max_token_len)
+            toks = tokenize(text, cfg.max_token_len, cfg.min_token_len)
             idx.doc_len[did] = len(toks)
             idx.doc_meta[did] = {
                 "url": r["url"], "warc_ts": r.get("warc_ts"),
@@ -107,7 +107,8 @@ class OracleIndex:
         k = cfg.default_k if k is None else min(k, cfg.max_k)
         offset = min(max(offset, 0), cfg.max_offset)
 
-        qterms = sorted(set(tokenize(query, cfg.max_token_len)))
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len)))
         scores: dict[int, float] = defaultdict(float)
         for t in qterms:  # fixed term order → deterministic float summation
             pl = self.postings.get(t)

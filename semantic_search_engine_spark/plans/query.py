@@ -31,7 +31,6 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.varbyte import decode_block
 from ..sources.store import TableStore
 from ..textproc import tokenize
-from .wand import WAND_OUT_SCHEMA, make_wand_cogroup_fn, make_wand_group_fn
 
 DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
 
@@ -274,35 +273,15 @@ class QueryEngine:
         ``k`` is clamped to ``max_k + max_offset`` (internal pagination
         bound); the public ``search``/``top_k`` enforce the page-size cap.
         """
-        cfg = self.cfg
-        k = cfg.default_k if k is None \
-            else min(k, cfg.max_k + cfg.max_offset)
-        qterms = sorted(set(tokenize(query, cfg.max_token_len, cfg.min_token_len)))
-        idfs, buckets = self.term_lookup(qterms)
-        avgdl = self.corpus_stats()["avg_doc_len"]
-        if not idfs or avgdl <= 0 or k <= 0:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        blocks = self._postings_for_terms(sorted(idfs), buckets).select(
-            "term", "partition_id", "block_id", "last_doc_id",
-            "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
-        filtered = (lang is not None or warc_ts_min is not None
-                    or warc_ts_max is not None)
-        if filtered:
-            allowed = self._apply_meta_filters(
-                self.store.read(f"doc_meta{self._sfx()}"), lang,
-                warc_ts_min, warc_ts_max).select("partition_id", "doc_id")
-            fn = make_wand_cogroup_fn(idfs, k, float(cfg.k1), float(cfg.b),
-                                      avgdl)
-            local = (blocks.groupBy("partition_id")
-                     .cogroup(allowed.groupBy("partition_id"))
-                     .applyInPandas(fn, schema=WAND_OUT_SCHEMA))
-        else:
-            fn = make_wand_group_fn(idfs, k, float(cfg.k1), float(cfg.b),
-                                    avgdl)
-            local = blocks.groupBy("partition_id").applyInPandas(
-                fn, schema=WAND_OUT_SCHEMA)
-        return (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-                .select("doc_id", "score"))
+        # Single query = the batch engine with one entry: identical
+        # per-bucket WAND, one shared code path (no scaffolding drift
+        # between the two — code-review r2 finding). The final orderBy
+        # runs over the already-windowed ≤ k rows.
+        return (self.batch_wand_top_k_df([query], k=k, lang=lang,
+                                         warc_ts_min=warc_ts_min,
+                                         warc_ts_max=warc_ts_max)
+                .select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
 
     def wand_filtered_top_k_df(self, query: str, k: int | None = None,
                                lang: str | None = None, warc_ts_min=None,

@@ -254,64 +254,6 @@ def group_blocks_by_term(pdf) -> dict[str, list[dict]]:
     return out
 
 
-WAND_OUT_SCHEMA = "partition_id int, doc_id long, score double"
-
-
-def _run_bucket(blocks_pdf, allowed, weights, k, k1, b, avgdl):
-    """Shared applyInPandas body: one doc bucket's blocks (+ optional
-    sorted allowed-doc array) → local top-k frame in WAND_OUT_SCHEMA."""
-    import pandas as pd
-
-    if len(blocks_pdf) == 0:
-        return pd.DataFrame(
-            {"partition_id": pd.Series([], dtype="int32"),
-             "doc_id": pd.Series([], dtype="int64"),
-             "score": pd.Series([], dtype="float64")})
-    blocks_pdf = blocks_pdf.sort_values(
-        ["term", "partition_id", "block_id"], kind="mergesort")
-    hits, _ = wand_top_k(group_blocks_by_term(blocks_pdf), weights, k,
-                         k1, b, avgdl, allowed=allowed)
-    pid = int(blocks_pdf["partition_id"].iloc[0])
-    return pd.DataFrame({
-        "partition_id": pd.Series([pid] * len(hits), dtype="int32"),
-        "doc_id": pd.Series([d for d, _ in hits], dtype="int64"),
-        "score": pd.Series([s for _, s in hits], dtype="float64"),
-    })
-
-
-def make_wand_cogroup_fn(weights: dict[str, float], k: int, k1: float,
-                         b: float, avgdl: float):
-    """Cogrouped ``applyInPandas`` body for FILTERED WAND: left = one doc
-    bucket's posting blocks, right = the same bucket's structured-filter
-    survivor doc ids (from doc_meta). Buckets whose filter side is empty
-    yield nothing; the filter set rides the same partition_id key, so no
-    extra shuffle of postings happens.
-    """
-
-    def run_bucket(blocks_pdf, allowed_pdf):
-        if len(allowed_pdf) == 0:
-            return _run_bucket(blocks_pdf.iloc[:0], None, weights, k,
-                               k1, b, avgdl)
-        allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
-        return _run_bucket(blocks_pdf, allowed, weights, k, k1, b, avgdl)
-
-    return run_bucket
-
-
-def make_wand_group_fn(weights: dict[str, float], k: int, k1: float,
-                       b: float, avgdl: float):
-    """``applyInPandas`` body: one doc-range bucket's blocks → local top-k.
-
-    Output schema: :data:`WAND_OUT_SCHEMA`. The closure ships only the tiny
-    (|query terms|) weight dict to executors — broadcast-sized state.
-    """
-
-    def run_bucket(pdf):
-        return _run_bucket(pdf, None, weights, k, k1, b, avgdl)
-
-    return run_bucket
-
-
 BATCH_WAND_OUT_SCHEMA = ("query_id int, partition_id int, doc_id long, "
                          "score double")
 

@@ -148,14 +148,17 @@ def _find_valid(low: str, needle: str, start: int, n: int) -> int:
     return j
 
 
-def _strip_skip_blocks(text: str) -> str:
+def _strip_skip_blocks(text: str,
+                       tags: tuple[str, ...] = None) -> str:
+    if tags is None:
+        tags = _SKIP_TAGS_FAST
     low = text.lower()
     n = len(text)
     out: list[str] = []
     i = 0
     while i < n:
         nxt, tag = -1, None
-        for t in _SKIP_TAGS_FAST:
+        for t in tags:
             j = _find_valid(low, "<" + t, i, n)
             if j != -1 and (nxt == -1 or j < nxt):
                 nxt, tag = j, t
@@ -199,19 +202,23 @@ def extract_html(html_bytes: bytes | None) -> tuple[str, str]:
     if not html_bytes:
         return "", ""
     text = html_bytes.decode("utf-8", errors="replace")
+    nocomment = _COMMENT_RE.sub(" ", text)
+    # Title source mirrors HTMLParser's event model: comments never fire
+    # tag events and ONLY script/style are CDATA (a commented-out or
+    # script-quoted <title> is not a title; one inside head/nav/svg IS).
+    title_src = _strip_skip_blocks(nocomment, ("script", "style"))
     # ALL title elements concatenated (no separator), matching the
     # streaming parser's in_title accumulation across duplicate <title>s;
     # an unterminated final <title> captures to EOF like in_title does
     parts, pos = [], 0
-    for m in _TITLE_RE.finditer(text):
+    for m in _TITLE_RE.finditer(title_src):
         parts.append(m.group(1))
         pos = m.end()
-    tail = _TITLE_OPEN_RE.search(text, pos)
+    tail = _TITLE_OPEN_RE.search(title_src, pos)
     if tail:
-        parts.append(text[tail.end():])
+        parts.append(title_src[tail.end():])
     raw_title = "".join(parts)
-    body = _COMMENT_RE.sub(" ", text)
-    body = _strip_skip_blocks(body)
+    body = _strip_skip_blocks(nocomment)
     body = _DOCTYPE_RE.sub(" ", body)
     body = _TAG_RE.sub(" ", body)
     body = html.unescape(body)

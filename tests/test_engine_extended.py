@@ -219,6 +219,17 @@ def test_min_token_len_filters_short_tokens(spark, tmp_path_factory):
     assert qe.top_k("a b c", k=5) == []          # all query terms dropped
     assert len(qe.top_k("queryable", k=5)) == 5  # real term still works
 
+    # the single-node oracle honors min_token_len too — rank identity must
+    # hold at non-default values (code-review r2 finding)
+    oracle = OracleIndex.build(
+        [dict(url=u, warc_ts=w, html=h, text=t, lang=lg)
+         for (u, w, h, t, lg) in rows], cfg)
+    got = qe.top_k("queryable number3", k=12)
+    want = oracle.top_k("queryable number3", k=12)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (_ed, es) in zip(got, want):
+        assert math.isclose(gs, es, abs_tol=1e-9), gd
+
 
 def test_lineage_observed_counts_match_committed(spark, small_built):
     """Lineage rows now come from df.observe on the write job (no

@@ -111,6 +111,12 @@ def test_fast_extractor_matches_reference_on_corpus():
         b"<title>A</title> stuff <title>unclosed rest",
         b"<title><b>Bold</b> title</title>body",
         b"a<title",
+        # title openers hidden in comments / script CDATA are NOT titles
+        b"<!-- <title> -->body text",
+        b"<title>Real</title><!-- <title>Ad</title> -->body",
+        b'<script>var s = "<title>";</script>body here',
+        b"<noscript><title>NT</title></noscript>after",
+        b"<style>.a{}</style><title>T</title>b",
     ]:
         assert extract_html(snippet) == extract_html_reference(snippet), snippet
 
