@@ -59,8 +59,8 @@ def decode_postings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
-def bm25_idf(n_docs: int, df: int) -> float:
-    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+# one definition, shared with the in-job idf computation
+from .wand import bm25_idf  # noqa: E402
 
 
 @dataclass
@@ -306,10 +306,15 @@ class QueryEngine:
         batch. This is the shape a batch retrieval pipeline uses — score
         a query LOG against the index, not one query at a time.
 
-        Plan: union the term sets, one term_stats lookup job, one pruned
-        postings scan, per-bucket ``applyInPandas`` running exact WAND per
-        query over its own term subset, then a per-query window top-k over
-        ≤ P·k·N local rows.
+        Plan — ONE job, no driver-side term lookup: the postings scan is
+        pruned by constant-folded ``term_bucket`` literals + ``term IN``
+        (both Catalyst-foldable from the query strings alone), each block
+        row picks up its term's global ``df`` via a broadcast join of the
+        identically-pruned term_stats scan, idf is computed inside the
+        per-bucket ``applyInPandas`` with the oracle's exact Python float
+        expression, and a per-query window top-k merges ≤ P·k·N local
+        rows. The only other job is the per-engine-instance corpus_stats
+        scalar read (cached).
 
         Optional structured filters (``lang``/``warc_ts_*``) are shared by
         the whole batch and cogroup the doc_meta survivor set per bucket,
@@ -332,32 +337,45 @@ class QueryEngine:
         all_terms = sorted(set().union(*per_q)) if per_q else []
         if not all_terms or k <= 0:
             return empty
-        idfs, buckets = self.term_lookup(all_terms)
-        avgdl = self.corpus_stats()["avg_doc_len"]
-        query_weights = {qi: {t: idfs[t] for t in ts if t in idfs}
-                         for qi, ts in enumerate(per_q)}
-        query_weights = {qi: w for qi, w in query_weights.items() if w}
-        if not query_weights or avgdl <= 0:
+        stats = self.corpus_stats()
+        avgdl, n_docs = stats["avg_doc_len"], stats["n_docs"]
+        query_terms = {qi: ts for qi, ts in enumerate(per_q) if ts}
+        if not query_terms or avgdl <= 0:
             return empty
-        live_terms = sorted(set().union(*query_weights.values()))
-        blocks = self._postings_for_terms(live_terms, buckets).select(
+
+        from ..functions.udfs import term_bucket_lit
+
+        def _prune(scan):
+            # constant-foldable bucket predicates → partition pruning +
+            # term pushdown, straight from the query strings (no data job)
+            return (scan.filter(F.col("term_bucket").isin(
+                        *[term_bucket_lit(t, cfg.n_term_buckets)
+                          for t in all_terms]))
+                    .filter(F.col("term").isin(all_terms)))
+
+        blocks = _prune(self.store.read(f"postings{self._sfx()}")).select(
             "term", "partition_id", "block_id", "last_doc_id",
             "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
+        # global df rides every block row — the term lookup folded into
+        # the same job as a broadcast join (≤ |Σ query terms| rows)
+        df_side = _prune(self.store.read(f"term_stats{self._sfx()}")) \
+            .select("term", "df")
+        blocks = blocks.join(F.broadcast(df_side), "term")
         filtered = (lang is not None or warc_ts_min is not None
                     or warc_ts_max is not None)
         if filtered:
             allowed = self._apply_meta_filters(
                 self.store.read(f"doc_meta{self._sfx()}"), lang,
                 warc_ts_min, warc_ts_max).select("partition_id", "doc_id")
-            fn = make_wand_batch_cogroup_fn(query_weights, k,
+            fn = make_wand_batch_cogroup_fn(query_terms, k,
                                             float(cfg.k1), float(cfg.b),
-                                            avgdl)
+                                            avgdl, n_docs)
             local = (blocks.groupBy("partition_id")
                      .cogroup(allowed.groupBy("partition_id"))
                      .applyInPandas(fn, schema=BATCH_WAND_OUT_SCHEMA))
         else:
-            fn = make_wand_batch_group_fn(query_weights, k, float(cfg.k1),
-                                          float(cfg.b), avgdl)
+            fn = make_wand_batch_group_fn(query_terms, k, float(cfg.k1),
+                                          float(cfg.b), avgdl, n_docs)
             local = blocks.groupBy("partition_id").applyInPandas(
                 fn, schema=BATCH_WAND_OUT_SCHEMA)
         from pyspark.sql.window import Window

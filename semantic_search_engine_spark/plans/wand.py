@@ -33,12 +33,18 @@ block-skip lossless under our deterministic ordering.
 from __future__ import annotations
 
 import heapq
+import math
 
 import numpy as np
 
 from ..functions.varbyte import decode_varbyte, delta_decode
 
 EXHAUSTED = 1 << 62
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    """Robertson idf — the exact float expression the oracle uses."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
 class BlockCursor:
@@ -258,8 +264,9 @@ BATCH_WAND_OUT_SCHEMA = ("query_id int, partition_id int, doc_id long, "
                          "score double")
 
 
-def make_wand_batch_group_fn(query_weights: dict[int, dict[str, float]],
-                             k: int, k1: float, b: float, avgdl: float):
+def make_wand_batch_group_fn(query_terms: dict[int, list[str]],
+                             k: int, k1: float, b: float, avgdl: float,
+                             n_docs: int):
     """``applyInPandas`` body for MULTI-QUERY WAND: one doc bucket's blocks
     (the union of every query's term postings) → per-query local top-k.
 
@@ -272,16 +279,23 @@ def make_wand_batch_group_fn(query_weights: dict[int, dict[str, float]],
     results are identical to the single-query path (rank-identity pinned
     by test).
 
-    The closure ships |Σ query terms| floats — still broadcast-sized.
+    Term weights are NOT precomputed on the driver: each block row carries
+    the term's global ``df`` (broadcast-joined from term_stats inside the
+    same job), and idf is computed here with the oracle's exact Python
+    float expression — so a query costs ONE Spark job, with no
+    driver-side term-lookup collect before it.
+
+    The closure ships |Σ query terms| strings — still broadcast-sized.
     """
 
     def run_bucket(pdf):
-        return _run_bucket_batch(pdf, None, query_weights, k, k1, b, avgdl)
+        return _run_bucket_batch(pdf, None, query_terms, k, k1, b, avgdl,
+                                 n_docs)
 
     return run_bucket
 
 
-def _run_bucket_batch(pdf, allowed, query_weights, k, k1, b, avgdl):
+def _run_bucket_batch(pdf, allowed, query_terms, k, k1, b, avgdl, n_docs):
     """Shared body for the batch group/cogroup forms: one bucket's blocks
     (+ optional sorted allowed-doc array) → per-query local top-k."""
     import pandas as pd
@@ -294,9 +308,14 @@ def _run_bucket_batch(pdf, allowed, query_weights, k, k1, b, avgdl):
         pdf = pdf.sort_values(["term", "partition_id", "block_id"],
                               kind="mergesort")
         by_term = group_blocks_by_term(pdf)
+        # global df rides every block row; idf in Python for bit-identity
+        # with the single-node oracle (JVM log can differ by 1 ulp)
+        idf = {t: bm25_idf(n_docs, int(d))
+               for t, d in zip(pdf["term"], pdf["df"])}
         pid = int(pdf["partition_id"].iloc[0])
-        for qid, weights in query_weights.items():
-            sub = {t: by_term[t] for t in weights if t in by_term}
+        for qid, terms in query_terms.items():
+            weights = {t: idf[t] for t in terms if t in idf}
+            sub = {t: by_term[t] for t in weights}
             if not sub:
                 continue
             hits, _ = wand_top_k(sub, weights, k, k1, b, avgdl,
@@ -314,8 +333,9 @@ def _run_bucket_batch(pdf, allowed, query_weights, k, k1, b, avgdl):
     })
 
 
-def make_wand_batch_cogroup_fn(query_weights: dict[int, dict[str, float]],
-                               k: int, k1: float, b: float, avgdl: float):
+def make_wand_batch_cogroup_fn(query_terms: dict[int, list[str]],
+                               k: int, k1: float, b: float, avgdl: float,
+                               n_docs: int):
     """Cogrouped batch form: left = one bucket's blocks, right = the same
     bucket's structured-filter survivor doc ids (one filter, shared by the
     whole batch — the offline-retrieval shape: same corpus slice, many
@@ -324,9 +344,9 @@ def make_wand_batch_cogroup_fn(query_weights: dict[int, dict[str, float]],
     def run_bucket(blocks_pdf, allowed_pdf):
         if len(allowed_pdf) == 0:
             return _run_bucket_batch(blocks_pdf.iloc[:0], None,
-                                     query_weights, k, k1, b, avgdl)
+                                     query_terms, k, k1, b, avgdl, n_docs)
         allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
-        return _run_bucket_batch(blocks_pdf, allowed, query_weights,
-                                 k, k1, b, avgdl)
+        return _run_bucket_batch(blocks_pdf, allowed, query_terms,
+                                 k, k1, b, avgdl, n_docs)
 
     return run_bucket
