@@ -134,6 +134,10 @@ _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 # because the parser handles it via in_title instead of skip_depth.
 _SKIP_TAGS_FAST = ("script", "style", "head", "nav", "noscript",
                    "template", "svg", "iframe", "title")
+#: the body-strip tags remaining after the shared CDATA (script/style)
+#: pass has already run
+_NON_CDATA_SKIP_TAGS = ("head", "nav", "noscript", "template", "svg",
+                        "iframe", "title")
 
 
 def _find_valid(low: str, needle: str, start: int, n: int) -> int:
@@ -203,22 +207,25 @@ def extract_html(html_bytes: bytes | None) -> tuple[str, str]:
         return "", ""
     text = html_bytes.decode("utf-8", errors="replace")
     nocomment = _COMMENT_RE.sub(" ", text)
-    # Title source mirrors HTMLParser's event model: comments never fire
-    # tag events and ONLY script/style are CDATA (a commented-out or
-    # script-quoted <title> is not a title; one inside head/nav/svg IS).
-    title_src = _strip_skip_blocks(nocomment, ("script", "style"))
+    # One CDATA pass shared by title and body — mirrors HTMLParser's event
+    # model: comments never fire tag events and ONLY script/style are
+    # CDATA (a commented-out or script-quoted <title> is not a title; one
+    # inside head/nav/svg IS; a '</head>' inside a script is not an end
+    # tag). Splitting the strip into CDATA-first + rest also halves the
+    # find-scan work vs two independent full-tag passes.
+    nocdata = _strip_skip_blocks(nocomment, ("script", "style"))
     # ALL title elements concatenated (no separator), matching the
     # streaming parser's in_title accumulation across duplicate <title>s;
     # an unterminated final <title> captures to EOF like in_title does
     parts, pos = [], 0
-    for m in _TITLE_RE.finditer(title_src):
+    for m in _TITLE_RE.finditer(nocdata):
         parts.append(m.group(1))
         pos = m.end()
-    tail = _TITLE_OPEN_RE.search(title_src, pos)
+    tail = _TITLE_OPEN_RE.search(nocdata, pos)
     if tail:
-        parts.append(title_src[tail.end():])
+        parts.append(nocdata[tail.end():])
     raw_title = "".join(parts)
-    body = _strip_skip_blocks(nocomment)
+    body = _strip_skip_blocks(nocdata, _NON_CDATA_SKIP_TAGS)
     body = _DOCTYPE_RE.sub(" ", body)
     body = _TAG_RE.sub(" ", body)
     body = html.unescape(body)

@@ -117,6 +117,9 @@ def test_fast_extractor_matches_reference_on_corpus():
         b'<script>var s = "<title>";</script>body here',
         b"<noscript><title>NT</title></noscript>after",
         b"<style>.a{}</style><title>T</title>b",
+        # '</head>' inside script CDATA is not an end tag (CDATA-first
+        # strip order): head must extend to its real closer
+        b"<head><script>if(a</head>b){}</script><meta x=1></head>visible",
     ]:
         assert extract_html(snippet) == extract_html_reference(snippet), snippet
 
