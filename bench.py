@@ -344,6 +344,18 @@ def _write_bench_md(result: dict, levels: list[int]) -> None:
     ]
     for stage, sec in result["runs"][str(hi)]["stage_sec"].items():
         lines.append(f"| {stage} | {sec} |")
+    lines += [
+        "",
+        "Measurement caveat: this sandbox VM has multi-minute "
+        "host-contention",
+        "windows during which identical runs slow 2-4x (the no-Spark "
+        "baseline",
+        "itself varies that much — see the cycles table). Any single "
+        "recorded",
+        "run, including the driver's own `BENCH_r{N}.json`, samples one "
+        "window;",
+        "the controlled evidence above uses best-of-cycles within one run.",
+    ]
     hi_queries = result["runs"][str(hi)]["queries"]
     if len(hi_queries) > 1:
         lines += [
