@@ -228,3 +228,44 @@ def multi_seed_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     # same pair found under two seeds carries the identical cosine (same
     # normalized vectors) — groupBy dedups without recomputation
     return out.groupBy(ka, kb).agg(F.max("cosine").alias("cosine"))
+
+
+#: table-name templates for a persisted IVF index
+_IVF_ASSIGN_TBL = "ann_{name}_assignments"
+_IVF_CENTROID_TBL = "ann_{name}_centroids"
+
+
+def save_ivf(index: IVFIndex, store, name: str) -> None:
+    """Persist an IVF index through the TableStore: assignments partitioned
+    by list_id (query-time partition pruning survives the round trip) and
+    the centroid matrix as one tiny table. Index metadata (key/vec_col)
+    rides the assignments table's commit meta.
+
+    This makes ANN a real index lifecycle like the text index — build
+    once, serve from storage — instead of a per-session in-memory object.
+    """
+    spark = index.assignments.sparkSession
+    store.write(_IVF_ASSIGN_TBL.format(name=name),
+                index.assignments.select(index.key, "v", "vn", "list_id"),
+                partition_by=["list_id"],
+                meta={"key": index.key, "vec_col": index.vec_col,
+                      "n_lists": int(index.centroids.shape[0])})
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)],
+        "list_id int, centroid array<double>")
+    store.write(_IVF_CENTROID_TBL.format(name=name), cent)
+
+
+def load_ivf(store, name: str) -> IVFIndex:
+    """Inverse of :func:`save_ivf`; searches on the loaded index are
+    identical to the original (assignments and centroids round-trip
+    exactly; doubles are stored, not re-derived)."""
+    meta = store.table_meta(_IVF_ASSIGN_TBL.format(name=name)) or {}
+    key = meta.get("key", "vec_id")
+    vec_col = meta.get("vec_col", "embedding")
+    assignments = store.read(_IVF_ASSIGN_TBL.format(name=name))
+    rows = store.read(_IVF_CENTROID_TBL.format(name=name)) \
+        .orderBy("list_id").collect()
+    centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    assignments = assignments.repartition(max(len(rows), 1), "list_id")
+    return IVFIndex(centroids, assignments, key, vec_col)

@@ -242,3 +242,33 @@ def test_multi_seed_union_recovers_boundary_split_pair(spark):
            for r in unioned.collect()}
     assert (100, 101) in got
     assert got[(100, 101)] == pytest.approx(math.cos(0.1), abs=1e-9)
+
+
+def test_ivf_save_load_roundtrip(spark, embeddings, tmp_path_factory):
+    """A persisted IVF index answers identically after reload (search,
+    near-dup pairs), with assignments partitioned by list_id on disk."""
+    import glob
+    from semantic_search_engine_spark.operators.ann import load_ivf, save_ivf
+    from semantic_search_engine_spark.sources.store import HadoopTableStore
+
+    store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("ann_wh")))
+    idx = IVFIndex.build(embeddings, n_lists=8, n_iters=2, seed=7)
+    save_ivf(idx, store, "emb")
+    loaded = load_ivf(store, "emb")
+
+    assert np.array_equal(idx.centroids, loaded.centroids)
+    probe = [float(x) for x in
+             embeddings.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    a = [(r["vec_id"], round(r["cosine"], 9))
+         for r in idx.search(probe, k=10, n_probe=4).collect()]
+    b = [(r["vec_id"], round(r["cosine"], 9))
+         for r in loaded.search(probe, k=10, n_probe=4).collect()]
+    assert a == b
+    pa = sorted((r["vec_id_a"], r["vec_id_b"])
+                for r in idx.near_dup_pairs(0.8).collect())
+    pb = sorted((r["vec_id_a"], r["vec_id_b"])
+                for r in loaded.near_dup_pairs(0.8).collect())
+    assert pa == pb
+    # physical layout: one directory per list_id partition
+    parts = glob.glob(f"{store.root}/ann_emb_assignments/snap-*/list_id=*")
+    assert len(parts) == 8

@@ -288,3 +288,25 @@ def test_batch_filtered_matches_single_filtered(spark, wand_built):
                 for r in qe.wand_filtered_top_k_df(q, k=10, lang="en")
                 .collect()]
         assert got == want, q
+
+
+def test_query_scan_pruning_reaches_physical_plan(spark, wand_built):
+    """The pruning the scale design depends on must be visible in the
+    physical plan: the postings scan carries (a) a PartitionFilters entry
+    on term_bucket (partition pruning from constant-folded bucket
+    literals) and (b) a PushedFilters term IN (...) (parquet row-group
+    skipping). Regression guard for SCALE.md §4."""
+    from semantic_search_engine_spark.plans.query import QueryEngine
+
+    store, cfg = wand_built
+    qe = QueryEngine(spark, store, cfg)
+    df = qe.batch_wand_top_k_df(["wireless bluetooth"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partition pruning on the postings layout column
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "term_bucket" in seg[:400], seg[:400]
+    # term pushdown reaching the parquet scan
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters"):]
+    assert "term" in pushed[:300], pushed[:300]
