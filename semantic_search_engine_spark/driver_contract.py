@@ -749,6 +749,85 @@ WHERE s.doc_id < 99
 """
 
 
+def q_jaccard_bigram_pairs(spark, sf_dir):
+    """Token-BIGRAM Jaccard between adjacent doc pairs — the n>1 n-gram
+    dedup variant (unigram version: ``jaccard_pairs``). Bigrams preserve
+    word order, so shuffled near-dups that fool unigram Jaccard score low
+    here."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+         .withColumn("toks", F.expr(TOK_SPARK)))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.when(
+            F.size("toks") >= 2,
+            F.zip_with(F.expr("slice(toks, 1, size(toks)-1)"),
+                       F.expr("slice(toks, 2, size(toks)-1)"),
+                       lambda a, b: F.concat(a, F.lit(" "), b)))
+            .otherwise(F.array().cast("array<string>"))).alias("gram")
+    ).distinct()
+    a = grams.alias("a")
+    b = grams.select((F.col("doc_id") - 1).alias("doc_id"),
+                     F.col("gram")).alias("b")
+    inter = (a.join(b, ["doc_id", "gram"])
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sz_b = sizes.select((F.col("doc_id") - 1).alias("doc_id"),
+                        F.col("n").alias("n_next"))
+    return (sizes.join(sz_b, "doc_id").join(inter, "doc_id", "left")
+            .filter(F.col("doc_id") < 99)
+            .select("doc_id",
+                    F.round(F.coalesce(F.col("n_inter"), F.lit(0))
+                            / (F.col("n") + F.col("n_next")
+                               - F.coalesce(F.col("n_inter"), F.lit(0))), 4)
+                    .alias("jaccard_bigram")))
+
+
+SQL_JACCARD_BIGRAM = f"""
+WITH t AS (
+  SELECT doc_id, {TOK_SQL} AS toks FROM documents WHERE doc_id < 100
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id, count(*) AS n_inter
+  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1 AND b.gram = a.gram
+  GROUP BY a.doc_id
+)
+SELECT s.doc_id,
+       round(coalesce(i.n_inter, 0)
+             / (s.n + nx.n - coalesce(i.n_inter, 0)), 4) AS jaccard_bigram
+FROM sizes s
+JOIN (SELECT doc_id - 1 AS doc_id, n FROM sizes) nx ON nx.doc_id = s.doc_id
+LEFT JOIN inter i ON i.doc_id = s.doc_id
+WHERE s.doc_id < 99
+"""
+
+
+def q_binary_payload_stats(spark, sf_dir):
+    """Opaque binary payload metadata (the multimodal-column pattern,
+    sources/multimodal.py): byte length + content hash computed on the
+    binary column without decoding — here the payload is the utf-8 bytes
+    of the text column, standing in for image/audio bytes."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select("doc_id",
+                    F.length(payload).alias("n_bytes"),
+                    F.md5(payload).alias("payload_md5"))
+
+
+SQL_BINARY_PAYLOAD = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
 def q_langid_heuristic(spark, sf_dir):
     """Language-ID heuristic: function-word ratio → 'en' / 'other'."""
     toks = _toks(spark, sf_dir)
@@ -1246,6 +1325,38 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_hopping_window(spark, sf_dir):
+    """Hopping (sliding) window: 1-hour windows every 30 minutes via the
+    built-in ``F.window`` — each event lands in exactly two windows. The
+    oracle materializes both window starts per event explicitly (Spark's
+    window grid is aligned to epoch multiples of the slide)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+SQL_EVENTS_HOPPING = """
+WITH g AS (
+  SELECT event_type, value,
+         CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+           AS g0
+  FROM events
+),
+w AS (
+  SELECT event_type, value, g0 AS ws FROM g
+  UNION ALL
+  SELECT event_type, value, g0 - INTERVAL 30 MINUTE FROM g
+)
+SELECT ws AS window_start, event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_events_session_gap(spark, sf_dir):
     """Per-user session gaps via lag window: average seconds between
     consecutive events (deterministic order: ts, event_id)."""
@@ -1433,6 +1544,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD),
+    "jaccard_bigram_pairs": (q_jaccard_bigram_pairs, SQL_JACCARD_BIGRAM),
+    "binary_payload_stats": (q_binary_payload_stats, SQL_BINARY_PAYLOAD),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
     "quality_score": (q_quality_score, SQL_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -1450,6 +1563,7 @@ REGISTRY: dict[str, tuple] = {
     "stopword_ratio": (q_stopword_ratio, SQL_STOPWORD_RATIO),
     # event-stream analytics + relational completeness
     "events_tumbling_window": (q_events_tumbling_window, SQL_EVENTS_TUMBLING),
+    "events_hopping_window": (q_events_hopping_window, SQL_EVENTS_HOPPING),
     "events_session_gap": (q_events_session_gap, SQL_EVENTS_SESSION_GAP),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "window_running_sum": (q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
