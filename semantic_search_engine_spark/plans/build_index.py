@@ -54,6 +54,7 @@ POSTINGS_SCHEMA = (
     "first_doc_id long, last_doc_id long, doc_ids_vb binary, "
     "tfs_vb binary, dls_vb binary, block_max_tf_norm double, cf_block long"
 )
+POSTINGS_COLS = [c.rsplit(" ", 1)[0] for c in POSTINGS_SCHEMA.split(", ")]
 
 
 def make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
@@ -160,6 +161,34 @@ def make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
     return encode_stream
 
 
+def make_blockmax_refresh(avgdl: float, k1: float, b: float):
+    """mapInPandas body: recompute ``block_max_tf_norm`` of existing block
+    rows under a NEW corpus avgdl, without touching the posting payloads.
+
+    Needed by incremental maintenance: a merge changes avg_doc_len, and
+    the stored block maxima bake avgdl into tf_norm — a grown avgdl makes
+    old bounds too LOW, which would let block-max WAND prune true winners.
+    Decoding only tfs_vb/dls_vb (not doc ids) and re-reducing the max
+    yields bounds bit-identical to a from-scratch encode at the new avgdl.
+    """
+    from ..functions.varbyte import decode_varbyte, tf_norm
+
+    def refresh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bmax = [
+                float(tf_norm(decode_varbyte(bytes(tvb)),
+                              decode_varbyte(bytes(lvb)),
+                              avgdl, k1, b).max()) if avgdl > 0 else 0.0
+                for tvb, lvb in zip(pdf["tfs_vb"], pdf["dls_vb"])
+            ]
+            yield pdf.assign(block_max_tf_norm=np.array(bmax,
+                                                        dtype=np.float64))
+
+    return refresh
+
+
 class IndexBuilder:
     """E1–E9 + E13. ``build()`` is idempotent and checkpoint-resumable."""
 
@@ -261,11 +290,24 @@ class IndexBuilder:
                          "partition_id")
 
     # ------------------------------------------------------------------
-    def _run_downstream(self, runner: StageRunner, sfx: str) -> None:
+    def _run_downstream(self, runner: StageRunner, sfx: str,
+                        changed_buckets: list[int] | None = None) -> None:
         """Stages 2-5: everything derived from doc_features. Shared by
         build() and ingest_updates() — fingerprints chain on the
         doc_features data_uuid, so they skip when it is unchanged and
-        rebuild after a merge."""
+        rebuild after a merge.
+
+        ``changed_buckets``: doc-range buckets touched by an upsert. When
+        given (incremental ingest), the postings stage re-encodes ONLY
+        those buckets' slices from doc_features and carries every other
+        bucket's blocks over from the previous snapshot byte-for-byte,
+        with just their block-max metadata refreshed under the new corpus
+        avgdl (see :func:`make_blockmax_refresh`). At web scale this
+        replaces the full corpus-sized explode+shuffle+encode with
+        |changed buckets|/P of it plus one index-sized metadata pass —
+        the incremental-crawl maintenance path. Result is bit-identical
+        to a full rebuild (pinned by test).
+        """
         cfg = self.cfg
 
         # -- stage 2: doc_meta (column-pruned; parquet never reads tf_map) --
@@ -294,8 +336,14 @@ class IndexBuilder:
 
         # -- stage 4: postings (E5, E7, E8, E9) ------------------------------
         def build_postings() -> DataFrame:
+            feats = self.store.read(f"doc_features{sfx}")
+            incremental = (changed_buckets is not None
+                           and self.store.exists(f"postings{sfx}"))
+            if incremental:
+                feats = feats.filter(
+                    F.col("partition_id").isin(changed_buckets))
             pairs = (
-                self.store.read(f"doc_features{sfx}")
+                feats
                 .select("partition_id", "doc_id",
                         F.col("doc_len").alias("dl"),
                         F.explode("tf_map").alias("term", "tf"))
@@ -308,6 +356,22 @@ class IndexBuilder:
             encoder = make_block_encoder(avgdl, cfg.k1, cfg.b,
                                          cfg.block_size)
             blocks = shuffled.mapInPandas(encoder, schema=POSTINGS_SCHEMA)
+            if incremental:
+                # carry every untouched bucket's blocks from the previous
+                # snapshot (payload bytes unchanged; block-max refreshed
+                # for the post-merge avgdl). store.write materializes
+                # before the manifest flips, so this reads the OLD
+                # snapshot — the same copy-on-write pattern as
+                # merge_by_key.
+                carried = (self.store.read(f"postings{sfx}")
+                           .filter(~F.col("partition_id")
+                                   .isin(changed_buckets))
+                           .select(*POSTINGS_COLS)
+                           .mapInPandas(
+                               make_blockmax_refresh(avgdl, cfg.k1,
+                                                     cfg.b),
+                               schema=POSTINGS_SCHEMA))
+                blocks = blocks.unionByName(carried)
             blocks = blocks.withColumn(
                 "term_bucket", term_bucket_expr("term", cfg.n_term_buckets))
             # Align output partitions with the table layout before the
@@ -357,7 +421,8 @@ class IndexBuilder:
 
     # ------------------------------------------------------------------
     def ingest_updates(self, updates: DataFrame, field: str = "text",
-                       run_id: str | None = None) -> StageRunner:
+                       run_id: str | None = None,
+                       incremental: bool = True) -> StageRunner:
         """MERGE-style upsert into doc_features (ON CONFLICT analogue,
         ``data_ingestion.py:224-243``), then rebuild the derived stages.
 
@@ -366,13 +431,26 @@ class IndexBuilder:
         ``build()`` with the unchanged source/config SKIPS doc_features
         (the merge survives), while downstream stages see the new
         data_uuid here and rebuild immediately.
+
+        ``incremental`` (default): the postings stage re-encodes only the
+        doc-range buckets the upsert touched (the upserted doc ids are
+        url hashes, so a batch of U docs touches ≤ min(U, P) of the P
+        buckets) and carries the rest forward with refreshed block-max
+        metadata — bit-identical output to ``incremental=False`` (full
+        downstream rebuild), at |touched|/P of the encode cost.
         """
         cfg = self.cfg
         sfx = "" if field == "text" else f"_{field}"
-        ex = self._doc_features_df(updates, field)
+        ex = self._doc_features_df(updates, field).cache()
+        changed: list[int] | None = None
+        if incremental and self.store.exists(f"postings{sfx}"):
+            changed = sorted({int(r["partition_id"]) for r in
+                              ex.select("partition_id").distinct()
+                              .collect()})
         self.store.merge_by_key(f"doc_features{sfx}", ex, key="url")
+        ex.unpersist()
         runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
                              run_id=run_id)
-        self._run_downstream(runner, sfx)
+        self._run_downstream(runner, sfx, changed_buckets=changed)
         runner.commit_lineage(self.spark)
         return runner

@@ -247,3 +247,91 @@ def test_lineage_observed_counts_match_committed(spark, small_built):
                 .agg(F.count(F.lit(1)).alias("n")).collect()}
         assert got == want, table
         assert sum(n for _, n in got) == store.read(table).count()
+
+
+# ---------------------------------------------------------------------------
+# Incremental postings maintenance (round 2): changed buckets re-encode,
+# untouched buckets carry over with refreshed block-max metadata
+# ---------------------------------------------------------------------------
+
+def test_incremental_ingest_bit_identical_to_full_rebuild(
+        spark, tmp_path_factory):
+    from semantic_search_engine_spark.corpus import generate_rows
+
+    def mkdocs(rows):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rows],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+
+    base = list(generate_rows(60))
+    upd_rows = [dict(base[5], html=None,
+                     text="recrawled body uniquetermzq alpha beta"),
+                dict(url="https://new.example/fresh-1", warc_ts=None,
+                     html=None, text="a brand new page about zq things",
+                     lang="en")]
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=4,
+                       shuffle_partitions=4, block_size=16)
+
+    stores = {}
+    for mode, flag in (("inc", True), ("full", False)):
+        st = HadoopTableStore(
+            spark, str(tmp_path_factory.mktemp(f"wh_{mode}")))
+        builder = IndexBuilder(spark, st, cfg)
+        builder.build(mkdocs(base))
+        runner = builder.ingest_updates(mkdocs(upd_rows), incremental=flag)
+        assert not any(m["skipped"] for m in runner.metrics
+                       if m["stage"] == "postings")
+        stores[mode] = st
+
+    # postings must match BIT-FOR-BIT: payload bytes, block layout, and
+    # the refreshed block-max metadata under the post-merge avgdl
+    def rows(st, table, cols=None):
+        df = st.read(table)
+        cols = cols or df.columns
+        return sorted(map(tuple, df.select(cols).collect()))
+
+    assert rows(stores["inc"], "postings") == rows(stores["full"],
+                                                   "postings")
+    assert rows(stores["inc"], "term_stats") == rows(stores["full"],
+                                                     "term_stats")
+    cs_cols = ["n_docs", "avg_doc_len", "total_tokens"]
+    assert rows(stores["inc"], "corpus_stats", cs_cols) == \
+        rows(stores["full"], "corpus_stats", cs_cols)
+
+    qi = QueryEngine(spark, stores["inc"], cfg)
+    qf = QueryEngine(spark, stores["full"], cfg)
+    for q in ["uniquetermzq", "zq things", "wireless bluetooth headphones"]:
+        assert qi.top_k(q, k=10) == qf.top_k(q, k=10), q
+
+
+def test_blockmax_refresh_rewrites_stale_bounds(spark):
+    """Refreshing under a new avgdl must equal encoding from scratch at
+    that avgdl (bit-identical bounds), leaving payload bytes untouched."""
+    import numpy as np
+    import pandas as pd
+    from semantic_search_engine_spark.functions.varbyte import encode_blocks
+    from semantic_search_engine_spark.plans.build_index import (
+        make_blockmax_refresh)
+
+    rng = np.random.default_rng(3)
+    ids = np.cumsum(rng.integers(1, 9, size=70)).astype(np.uint64)
+    tfs = rng.integers(1, 12, size=70).astype(np.uint64)
+    dls = rng.integers(30, 400, size=70).astype(np.uint64)
+    k1, b = 1.2, 0.75
+    old = encode_blocks(ids, tfs, dls, 100.0, k1, b, 16)
+    want = encode_blocks(ids, tfs, dls, 137.5, k1, b, 16)
+    pdf = pd.DataFrame([{
+        "term": "t", "partition_id": 0, "block_id": blk["block_id"],
+        "n_postings": blk["n_postings"],
+        "first_doc_id": blk["first_doc_id"],
+        "last_doc_id": blk["last_doc_id"],
+        "doc_ids_vb": blk["doc_ids_vb"], "tfs_vb": blk["tfs_vb"],
+        "dls_vb": blk["dls_vb"],
+        "block_max_tf_norm": blk["block_max_tf_norm"],
+        "cf_block": 0} for blk in old])
+    out = pd.concat(list(make_blockmax_refresh(137.5, k1, b)(iter([pdf]))))
+    assert list(out["block_max_tf_norm"]) == \
+        [blk["block_max_tf_norm"] for blk in want]
+    assert list(out["doc_ids_vb"]) == [blk["doc_ids_vb"] for blk in want]
