@@ -177,14 +177,19 @@ def make_blockmax_refresh(avgdl: float, k1: float, b: float):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            bmax = [
-                float(tf_norm(decode_varbyte(bytes(tvb)),
-                              decode_varbyte(bytes(lvb)),
-                              avgdl, k1, b).max()) if avgdl > 0 else 0.0
-                for tvb, lvb in zip(pdf["tfs_vb"], pdf["dls_vb"])
-            ]
-            yield pdf.assign(block_max_tf_norm=np.array(bmax,
-                                                        dtype=np.float64))
+            if avgdl <= 0:
+                yield pdf.assign(block_max_tf_norm=0.0)
+                continue
+            # one vectorized decode per batch: LEB128 is self-delimiting,
+            # so the concatenated streams decode in one pass and
+            # n_postings gives the per-block reduceat boundaries
+            tfs = decode_varbyte(b"".join(bytes(x) for x in pdf["tfs_vb"]))
+            dls = decode_varbyte(b"".join(bytes(x) for x in pdf["dls_vb"]))
+            n = pdf["n_postings"].to_numpy(dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+            bmax = np.maximum.reduceat(tf_norm(tfs, dls, avgdl, k1, b),
+                                       starts)
+            yield pdf.assign(block_max_tf_norm=bmax.astype(np.float64))
 
     return refresh
 
