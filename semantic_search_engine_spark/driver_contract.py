@@ -253,6 +253,26 @@ def q_bm25_topk_engine_wand(spark, sf_dir):
 SQL_BM25_TOPK_ENGINE = SQL_BM25_TOPK
 
 
+def q_bm25_filtered_engine_wand(spark, sf_dir):
+    """Engine gate for the FILTERED fast path (E11): structured lang
+    filter cogrouped into per-bucket WAND — top-10 among lang='de' docs
+    only, vs the declarative BM25 SQL with the same WHERE. Exactness
+    argument: the survivor set only shrinks candidates, so block-max
+    pruning stays lossless."""
+    store, qe = _engine_warehouse(spark, sf_dir)
+    top = qe.wand_filtered_top_k_df(" ".join(BM25_QUERY_TERMS), k=10,
+                                    lang="de")
+    return _engine_ids_back(store, top, [])
+
+
+SQL_BM25_FILTERED_ENGINE = _SQL_BM25_SCORED + """
+SELECT s.doc_id, round(s.raw_score, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+WHERE d.lang = 'de'
+ORDER BY s.raw_score DESC, s.doc_id LIMIT 10
+"""
+
+
 #: three queries for the batch gate: the standard gate query, a disjoint
 #: vocab query, and a partially-absent-term query
 BATCH_QUERIES = ["join spark window", "filter stream sort",
@@ -1520,6 +1540,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk_engine_wand": (q_bm25_topk_engine_wand, SQL_BM25_TOPK_ENGINE),
     "bm25_batch_topk_engine": (q_bm25_batch_topk_engine,
                                SQL_BM25_BATCH_TOPK_ENGINE),
+    "bm25_filtered_engine_wand": (q_bm25_filtered_engine_wand,
+                                  SQL_BM25_FILTERED_ENGINE),
     # relational operators
     "agg_pushdown": (q_agg_pushdown, SQL_AGG_PUSHDOWN),
     "topk_orderby_limit": (q_topk_orderby_limit, SQL_TOPK),
