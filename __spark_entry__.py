@@ -5,11 +5,14 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash → CORRECTNESS_r{N}.json).
 
-Implementation lives in ``semantic_search_engine_spark.driver_contract``;
-the full inverted-index engine (build + WAND query) is exercised by
-``tests/`` and ``bench.py`` (it materializes index tables, which the
-side-by-side DuckDB comparison can't replay — the declarative BM25 here
-computes identical results through pure DataFrame ops).
+Implementation lives in ``semantic_search_engine_spark.driver_contract``:
+54 paired Spark/DuckDB queries, including three gates that run the FULL
+inverted-index engine (build into a cached warehouse + block-max WAND)
+inside the comparison — bare top-k (``bm25_topk_engine_wand``),
+multi-query batch (``bm25_batch_topk_engine``), and structured-filtered
+(``bm25_filtered_engine_wand``) — each against the equivalent
+declarative BM25 SQL. ``tests/`` and ``bench.py`` cover the rest of the
+engine surface (resume, merge, incremental maintenance, streaming).
 """
 
 from __future__ import annotations
