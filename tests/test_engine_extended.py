@@ -335,3 +335,54 @@ def test_blockmax_refresh_rewrites_stale_bounds(spark):
     assert list(out["block_max_tf_norm"]) == \
         [blk["block_max_tf_norm"] for blk in want]
     assert list(out["doc_ids_vb"]) == [blk["doc_ids_vb"] for blk in want]
+
+
+def test_chained_incremental_merges_stay_identical(spark, tmp_path_factory):
+    """Three successive incremental upserts (including a re-update of the
+    same url) must leave the index bit-identical to one full build over
+    the final composed document set."""
+    from semantic_search_engine_spark.corpus import generate_rows
+
+    def mkdocs(rows):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rows],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+
+    base = list(generate_rows(50))
+    batches = [
+        [dict(url="https://inc.example/a", warc_ts=None, html=None,
+              text="first new page zqa zqa tokens", lang="en")],
+        [dict(base[7], html=None, text="recrawl of seven zqb"),
+         dict(url="https://inc.example/b", warc_ts=None, html=None,
+              text="second new page zqb zqc", lang="de")],
+        [dict(url="https://inc.example/a", warc_ts=None, html=None,
+              text="re-updated first page zqd only", lang="en")],
+    ]
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=4,
+                       shuffle_partitions=4, block_size=16)
+
+    inc = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_chain")))
+    bi = IndexBuilder(spark, inc, cfg)
+    bi.build(mkdocs(base))
+    for batch in batches:
+        bi.ingest_updates(mkdocs(batch))  # incremental default
+
+    # compose the final truth: last write per url wins
+    final = {r["url"]: r for r in base}
+    for batch in batches:
+        for r in batch:
+            final[r["url"]] = r
+    full = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_chainf")))
+    IndexBuilder(spark, full, cfg).build(mkdocs(list(final.values())))
+
+    for table in ("postings", "term_stats"):
+        a = sorted(map(tuple, inc.read(table).collect()))
+        b = sorted(map(tuple, full.read(table).collect()))
+        assert a == b, table
+    qi, qf = QueryEngine(spark, inc, cfg), QueryEngine(spark, full, cfg)
+    for q in ["zqa", "zqb zqc", "zqd", "wireless bluetooth headphones"]:
+        assert qi.top_k(q, k=10) == qf.top_k(q, k=10), q
+    # the re-updated url's first text must be gone
+    assert qi.top_k("zqa", k=10) == []

@@ -310,3 +310,22 @@ def test_query_scan_pruning_reaches_physical_plan(spark, wand_built):
     assert "PushedFilters" in plan
     pushed = plan[plan.index("PushedFilters"):]
     assert "term" in pushed[:300], pushed[:300]
+
+
+def test_batch_top_k_scales_to_hundred_queries(spark, wand_built):
+    """A 100-query batch (the offline-retrieval shape) completes in one
+    job with every sampled query rank-identical to its single-query run
+    and the closure still broadcast-sized."""
+    from semantic_search_engine_spark.corpus import QUERY_CORPUS
+    from semantic_search_engine_spark.plans.query import QueryEngine
+
+    store, cfg = wand_built
+    qe = QueryEngine(spark, store, cfg)
+    seed_qs = [pq.query for pq in QUERY_CORPUS]
+    queries = [f"{seed_qs[i % len(seed_qs)]} zipfhead{i % 7}"
+               for i in range(100)]
+    batch = qe.batch_top_k(queries, k=5)
+    assert len(batch) == len(set(queries))
+    for q in [queries[0], queries[13], queries[57], queries[99]]:
+        assert batch[q] == qe.top_k(q, k=5, mode="wand"), q
+    assert any(batch[q] for q in queries)  # non-degenerate
