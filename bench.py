@@ -344,6 +344,17 @@ def _write_bench_md(result: dict, levels: list[int]) -> None:
     ]
     for stage, sec in result["runs"][str(hi)]["stage_sec"].items():
         lines.append(f"| {stage} | {sec} |")
+    # preserve hand-written analysis across regenerations: any block
+    # fenced by the manual-notes markers in the existing BENCH.md is
+    # carried into the new file verbatim (code-review r2 #2)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH.md")
+    if os.path.exists(path):
+        prev = open(path).read()
+        lo_m, hi_m = "<!-- manual-notes-start -->", "<!-- manual-notes-end -->"
+        if lo_m in prev and hi_m in prev:
+            block = prev[prev.index(lo_m):prev.index(hi_m) + len(hi_m)]
+            lines += ["", block]
     lines += [
         "",
         "Measurement caveat: this sandbox VM has multi-minute "

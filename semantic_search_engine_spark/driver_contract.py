@@ -728,15 +728,15 @@ GROUP BY doc_id
 """
 
 
-def q_jaccard_pairs(spark, sf_dir):
-    """n-gram (1-gram) Jaccard similarity between adjacent doc pairs."""
-    toks = _toks(spark, sf_dir).distinct().filter(F.col("doc_id") < 100)
-    a = toks.alias("a")
-    b = toks.select((F.col("doc_id") - 1).alias("doc_id"),
-                    F.col("term")).alias("b")
-    inter = (a.join(b, ["doc_id", "term"])
+def _adjacent_jaccard(units, out_col: str):
+    """Jaccard between doc d and d+1 over distinct set elements (column
+    ``u``), for doc_id < 99 — shared by the unigram and bigram variants."""
+    a = units.alias("a")
+    b = units.select((F.col("doc_id") - 1).alias("doc_id"),
+                     F.col("u")).alias("b")
+    inter = (a.join(b, ["doc_id", "u"])
              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_inter")))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sz_b = sizes.select((F.col("doc_id") - 1).alias("doc_id"),
                         F.col("n").alias("n_next"))
     return (sizes.join(sz_b, "doc_id").join(inter, "doc_id", "left")
@@ -745,7 +745,14 @@ def q_jaccard_pairs(spark, sf_dir):
                     F.round(F.coalesce(F.col("n_inter"), F.lit(0))
                             / (F.col("n") + F.col("n_next")
                                - F.coalesce(F.col("n_inter"), F.lit(0))), 4)
-                    .alias("jaccard")))
+                    .alias(out_col)))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram (1-gram) Jaccard similarity between adjacent doc pairs."""
+    toks = (_toks(spark, sf_dir).distinct().filter(F.col("doc_id") < 100)
+            .withColumnRenamed("term", "u"))
+    return _adjacent_jaccard(toks, "jaccard")
 
 
 SQL_JACCARD = f"""
@@ -783,23 +790,9 @@ def q_jaccard_bigram_pairs(spark, sf_dir):
             F.zip_with(F.expr("slice(toks, 1, size(toks)-1)"),
                        F.expr("slice(toks, 2, size(toks)-1)"),
                        lambda a, b: F.concat(a, F.lit(" "), b)))
-            .otherwise(F.array().cast("array<string>"))).alias("gram")
+            .otherwise(F.array().cast("array<string>"))).alias("u")
     ).distinct()
-    a = grams.alias("a")
-    b = grams.select((F.col("doc_id") - 1).alias("doc_id"),
-                     F.col("gram")).alias("b")
-    inter = (a.join(b, ["doc_id", "gram"])
-             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_inter")))
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sz_b = sizes.select((F.col("doc_id") - 1).alias("doc_id"),
-                        F.col("n").alias("n_next"))
-    return (sizes.join(sz_b, "doc_id").join(inter, "doc_id", "left")
-            .filter(F.col("doc_id") < 99)
-            .select("doc_id",
-                    F.round(F.coalesce(F.col("n_inter"), F.lit(0))
-                            / (F.col("n") + F.col("n_next")
-                               - F.coalesce(F.col("n_inter"), F.lit(0))), 4)
-                    .alias("jaccard_bigram")))
+    return _adjacent_jaccard(grams, "jaccard_bigram")
 
 
 SQL_JACCARD_BIGRAM = f"""

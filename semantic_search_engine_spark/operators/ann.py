@@ -266,6 +266,10 @@ def load_ivf(store, name: str) -> IVFIndex:
     assignments = store.read(_IVF_ASSIGN_TBL.format(name=name))
     rows = store.read(_IVF_CENTROID_TBL.format(name=name)) \
         .orderBy("list_id").collect()
+    if "n_lists" in meta and int(meta["n_lists"]) != len(rows):
+        raise ValueError(
+            f"torn IVF save '{name}': assignments meta says "
+            f"{meta['n_lists']} lists, centroid table has {len(rows)}")
     centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
     assignments = assignments.repartition(max(len(rows), 1), "list_id")
     return IVFIndex(centroids, assignments, key, vec_col)

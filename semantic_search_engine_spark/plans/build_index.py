@@ -295,6 +295,33 @@ class IndexBuilder:
                          "partition_id")
 
     # ------------------------------------------------------------------
+    def _postings_current(self, sfx: str, field: str) -> bool:
+        """Is the committed postings snapshot exactly the index of the
+        CURRENT (pre-merge) doc_features/corpus_stats under THIS config
+        and engine format? Incremental carry is only sound then.
+
+        Guards the crash window (code-review r2 #1): if a previous upsert
+        committed its doc_features merge but died before the postings
+        stage, the postings snapshot chains on an older uuid — carrying
+        its buckets forward would permanently drop that upsert's docs.
+        Same check rejects a config change (block_size etc.) or an
+        ENGINE_FORMAT_VERSION bump, both folded into the fingerprint —
+        any mismatch falls back to a full downstream rebuild.
+        """
+        from ..lineage import stage_fingerprint
+
+        meta = self.store.table_meta(f"postings{sfx}") or {}
+        if not meta:
+            return False
+        expected = stage_fingerprint(
+            f"postings{sfx}", self.cfg.fingerprint() + f"/{field}",
+            [(self.store.table_meta(f"doc_features{sfx}") or {})
+             .get("data_uuid", ""),
+             (self.store.table_meta(f"corpus_stats{sfx}") or {})
+             .get("data_uuid", "")])
+        return meta.get("fingerprint", "") == expected
+
+    # ------------------------------------------------------------------
     def _run_downstream(self, runner: StageRunner, sfx: str,
                         changed_buckets: list[int] | None = None) -> None:
         """Stages 2-5: everything derived from doc_features. Shared by
@@ -448,7 +475,7 @@ class IndexBuilder:
         sfx = "" if field == "text" else f"_{field}"
         ex = self._doc_features_df(updates, field).cache()
         changed: list[int] | None = None
-        if incremental and self.store.exists(f"postings{sfx}"):
+        if incremental and self._postings_current(sfx, field):
             changed = sorted({int(r["partition_id"]) for r in
                               ex.select("partition_id").distinct()
                               .collect()})

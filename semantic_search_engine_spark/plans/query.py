@@ -18,7 +18,6 @@ Two physical paths:
 
 from __future__ import annotations
 
-import math
 import time
 from dataclasses import dataclass
 from typing import Iterator
@@ -149,43 +148,32 @@ class QueryEngine:
         object.__setattr__(self, "_corpus_stats_cache", out)
         return out
 
-    def term_lookup(self, qterms: list[str]) -> tuple[dict, list[int]]:
-        """One job: (term → idf, term buckets) for the query terms.
-
-        term_stats rows carry their ``term_bucket``, so the same scan that
-        fetches df values also yields the bucket list that prunes the
-        postings scan — no separate bucket-hash job. The scan itself is
-        pushed down on ``term IN (...)`` (row-group skipping: term_stats is
-        written sorted by term within each bucket partition).
+    def _pruned_term_scan(self, table: str, terms: list[str]) -> DataFrame:
+        """THE one definition of the query-term scan pruning (code-review
+        r2: this predicate used to be built in three places): partition
+        pruning via constant-foldable ``term_bucket`` literals (Catalyst
+        folds ``xxhash64(lit)`` at plan time — no data job), then
+        ``term IN (...)`` pushdown for parquet row-group skipping.
+        Tables without a ``term_bucket`` column just get the pushdown.
         """
-        if not qterms:
-            return {}, []
-        n = self.corpus_stats()["n_docs"]
-        stats = self.store.read(f"term_stats{self._sfx()}")
-        cols = ["term", "df"] + (
-            ["term_bucket"] if "term_bucket" in stats.columns else [])
-        if "term_bucket" in cols:
-            # constant-foldable bucket predicates → partition pruning on
-            # the term_stats scan itself, no extra job
-            from ..functions.udfs import term_bucket_lit
-            stats = stats.filter(F.col("term_bucket").isin(
-                *[term_bucket_lit(t, self.cfg.n_term_buckets)
-                  for t in qterms]))
-        rows = (stats.filter(F.col("term").isin(qterms))
-                .select(*cols).collect())
-        idfs = {r["term"]: bm25_idf(n, int(r["df"])) for r in rows}
-        buckets = sorted({int(r["term_bucket"]) for r in rows}) \
-            if "term_bucket" in cols else None
-        return idfs, buckets
+        from ..functions.udfs import term_bucket_lit
 
-    def _postings_for_terms(self, qterms: list[str],
-                            buckets: list[int] | None = None) -> DataFrame:
-        """Postings scan pruned two ways: partition pruning on term_bucket,
-        then parquet row-group skipping + pushdown on term IN (...)."""
-        scan = self.store.read(f"postings{self._sfx()}")
-        if buckets is not None:
-            scan = scan.filter(F.col("term_bucket").isin(buckets))
-        return scan.filter(F.col("term").isin(qterms))
+        scan = self.store.read(table)
+        if "term_bucket" in scan.columns:
+            scan = scan.filter(F.col("term_bucket").isin(
+                *[term_bucket_lit(t, self.cfg.n_term_buckets)
+                  for t in terms]))
+        return scan.filter(F.col("term").isin(terms))
+
+    def term_lookup(self, qterms: list[str]) -> dict[str, float]:
+        """One job: term → idf for the query terms (exhaustive path; the
+        WAND path folds the df lookup into its own job instead)."""
+        if not qterms:
+            return {}
+        n = self.corpus_stats()["n_docs"]
+        rows = (self._pruned_term_scan(f"term_stats{self._sfx()}", qterms)
+                .select("term", "df").collect())
+        return {r["term"]: bm25_idf(n, int(r["df"])) for r in rows}
 
     # ------------------------------------------------------------------
     def scores_df(self, query: str) -> DataFrame:
@@ -197,14 +185,15 @@ class QueryEngine:
         """
         cfg = self.cfg
         qterms = sorted(set(tokenize(query, cfg.max_token_len, cfg.min_token_len)))
-        idfs, buckets = self.term_lookup(qterms)
+        idfs = self.term_lookup(qterms)
         stats = self.corpus_stats()
         avgdl = stats["avg_doc_len"]
         if not idfs or avgdl <= 0:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double")
 
-        decoded = (self._postings_for_terms(sorted(idfs), buckets)
+        decoded = (self._pruned_term_scan(f"postings{self._sfx()}",
+                                          sorted(idfs))
                    .select("term", "doc_ids_vb", "tfs_vb", "dls_vb",
                            "n_postings")
                    .mapInPandas(decode_postings, schema=DECODED_SCHEMA))
@@ -339,27 +328,28 @@ class QueryEngine:
             return empty
         stats = self.corpus_stats()
         avgdl, n_docs = stats["avg_doc_len"], stats["n_docs"]
-        query_terms = {qi: ts for qi, ts in enumerate(per_q) if ts}
+        # one WAND pass per UNIQUE term set: duplicate query strings (and
+        # distinct strings that tokenize identically) share a
+        # representative and fan back out after the merge
+        rep_of: dict[tuple, int] = {}
+        fanout: list[tuple[int, int]] = []  # (rep, query_id)
+        for qi, ts in enumerate(per_q):
+            if not ts:
+                continue
+            rep = rep_of.setdefault(tuple(ts), qi)
+            fanout.append((rep, qi))
+        query_terms = {rep: list(key) for key, rep in rep_of.items()}
         if not query_terms or avgdl <= 0:
             return empty
 
-        from ..functions.udfs import term_bucket_lit
-
-        def _prune(scan):
-            # constant-foldable bucket predicates → partition pruning +
-            # term pushdown, straight from the query strings (no data job)
-            return (scan.filter(F.col("term_bucket").isin(
-                        *[term_bucket_lit(t, cfg.n_term_buckets)
-                          for t in all_terms]))
-                    .filter(F.col("term").isin(all_terms)))
-
-        blocks = _prune(self.store.read(f"postings{self._sfx()}")).select(
+        blocks = self._pruned_term_scan(f"postings{self._sfx()}",
+                                        all_terms).select(
             "term", "partition_id", "block_id", "last_doc_id",
             "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
         # global df rides every block row — the term lookup folded into
         # the same job as a broadcast join (≤ |Σ query terms| rows)
-        df_side = _prune(self.store.read(f"term_stats{self._sfx()}")) \
-            .select("term", "df")
+        df_side = self._pruned_term_scan(f"term_stats{self._sfx()}",
+                                         all_terms).select("term", "df")
         blocks = blocks.join(F.broadcast(df_side), "term")
         filtered = (lang is not None or warc_ts_min is not None
                     or warc_ts_max is not None)
@@ -381,9 +371,18 @@ class QueryEngine:
         from pyspark.sql.window import Window
         w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                    F.asc("doc_id"))
-        return (local.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= k)
-                .select("query_id", "doc_id", "score"))
+        ranked = (local.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= k)
+                  .select("query_id", "doc_id", "score"))
+        if len(fanout) > len(rep_of):
+            # duplicates existed: replicate each representative's top-k
+            # to every query_id that shares its term set (tiny broadcast)
+            fmap = self.spark.createDataFrame(
+                fanout, "rep int, query_id int")
+            ranked = (ranked.withColumnRenamed("query_id", "rep")
+                      .join(F.broadcast(fmap), "rep")
+                      .select("query_id", "doc_id", "score"))
+        return ranked
 
     def batch_top_k(self, queries: list[str], k: int = 10
                     ) -> dict[str, list[tuple[int, float]]]:

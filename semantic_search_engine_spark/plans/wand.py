@@ -309,9 +309,11 @@ def _run_bucket_batch(pdf, allowed, query_terms, k, k1, b, avgdl, n_docs):
                               kind="mergesort")
         by_term = group_blocks_by_term(pdf)
         # global df rides every block row; idf in Python for bit-identity
-        # with the single-node oracle (JVM log can differ by 1 ulp)
+        # with the single-node oracle (JVM log can differ by 1 ulp).
+        # One log per UNIQUE term, not per block row
+        uniq = pdf[["term", "df"]].drop_duplicates("term")
         idf = {t: bm25_idf(n_docs, int(d))
-               for t, d in zip(pdf["term"], pdf["df"])}
+               for t, d in zip(uniq["term"], uniq["df"])}
         pid = int(pdf["partition_id"].iloc[0])
         for qid, terms in query_terms.items():
             weights = {t: idf[t] for t in terms if t in idf}

@@ -386,3 +386,50 @@ def test_chained_incremental_merges_stay_identical(spark, tmp_path_factory):
         assert qi.top_k(q, k=10) == qf.top_k(q, k=10), q
     # the re-updated url's first text must be gone
     assert qi.top_k("zqa", k=10) == []
+
+
+def test_incremental_falls_back_after_partial_upsert(spark,
+                                                     tmp_path_factory):
+    """Crash window (code-review r2): an upsert whose doc_features merge
+    committed but whose downstream stages never ran leaves a postings
+    snapshot chained on stale uuids. The next incremental upsert must
+    detect that and fall back to a full rebuild — otherwise the earlier
+    batch's docs would be permanently missing from the index."""
+    from semantic_search_engine_spark.corpus import generate_rows
+
+    def mkdocs(rows):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rows],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+
+    base = list(generate_rows(40))
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=4,
+                       shuffle_partitions=4, block_size=16)
+    store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_crash")))
+    builder = IndexBuilder(spark, store, cfg)
+    builder.build(mkdocs(base))
+
+    # simulated crash: batch1's merge commits, downstream never runs
+    b1 = mkdocs([dict(url="https://crash.example/1", warc_ts=None,
+                      html=None, text="orphaned batch token zzcrash",
+                      lang="en")])
+    store.merge_by_key("doc_features", builder._doc_features_df(b1, "text"),
+                       key="url")
+    assert not builder._postings_current("", "text")  # guard fires
+
+    # next upsert (different bucket/url) runs incrementally by request…
+    b2 = mkdocs([dict(url="https://crash.example/2", warc_ts=None,
+                      html=None, text="later batch token zzlater",
+                      lang="en")])
+    builder.ingest_updates(b2, incremental=True)
+    # …but must have fallen back to a full rebuild: BOTH batches indexed
+    ts = {r["term"] for r in store.read("term_stats")
+          .filter(F.col("term").isin(["zzcrash", "zzlater"])).collect()}
+    assert ts == {"zzcrash", "zzlater"}
+    qe = QueryEngine(spark, store, cfg)
+    assert len(qe.top_k("zzcrash", k=5)) == 1
+    assert len(qe.top_k("zzlater", k=5)) == 1
+    # and with a clean chain the guard passes again
+    assert builder._postings_current("", "text")
