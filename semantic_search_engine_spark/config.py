@@ -37,6 +37,13 @@ class EngineConfig:
     # this is the explicit head-term skew handling (north_rule). At 10^12
     # docs set P so that docs/P ~ 10^7.
     n_doc_buckets: int = 32
+    # Physically partition the doc_features table by partition_id so the
+    # incremental-ingest scan prunes to touched buckets (docs/SCALE.md
+    # "honest accounting"). Off by default: at sandbox scale the P extra
+    # directories cost more than the pruning saves, and every MERGE
+    # commit must re-impose the layout; turn on for large corpora with
+    # frequent incremental crawls.
+    partition_doc_features: bool = False
     # postings per compressed block (block-max WAND granularity)
     block_size: int = 128
     # number of term hash-buckets used to partition the postings and

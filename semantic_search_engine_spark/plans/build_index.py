@@ -226,9 +226,10 @@ class IndexBuilder:
         sfx = "" if field == "text" else f"_{field}"
 
         # -- stage 1: doc_features ------------------------------------------
+        df_layout = ["partition_id"] if cfg.partition_doc_features else None
         runner.run(f"doc_features{sfx}", f"doc_features{sfx}", [],
                    lambda: self._doc_features_df(documents, field),
-                   partition_by=None,
+                   partition_by=df_layout,
                    partition_col="partition_id",
                    n_partitions=cfg.n_doc_buckets, extra_key=input_version)
 
@@ -479,7 +480,10 @@ class IndexBuilder:
             changed = sorted({int(r["partition_id"]) for r in
                               ex.select("partition_id").distinct()
                               .collect()})
-        self.store.merge_by_key(f"doc_features{sfx}", ex, key="url")
+        self.store.merge_by_key(
+            f"doc_features{sfx}", ex, key="url",
+            partition_by=(["partition_id"] if cfg.partition_doc_features
+                          else None))
         ex.unpersist()
         runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
                              run_id=run_id)

@@ -38,7 +38,8 @@ class TableStore:
               sort_within_partitions=None, meta: dict | None = None) -> dict:
         raise NotImplementedError
 
-    def merge_by_key(self, table: str, updates: DataFrame, key: str) -> dict:
+    def merge_by_key(self, table: str, updates: DataFrame, key: str,
+                     partition_by=None) -> dict:
         raise NotImplementedError
 
     def exists(self, table: str) -> bool:
@@ -127,7 +128,8 @@ class HadoopTableStore(TableStore):
         writer.parquet(snap)
         return self._commit(table, snap, meta)
 
-    def merge_by_key(self, table: str, updates: DataFrame, key: str) -> dict:
+    def merge_by_key(self, table: str, updates: DataFrame, key: str,
+                     partition_by=None) -> dict:
         """Copy-on-write upsert — the ``INSERT ... ON CONFLICT DO UPDATE``
         analogue (``data_ingestion.py:224-243``); Iceberg path uses
         ``MERGE INTO`` instead.
@@ -137,9 +139,13 @@ class HadoopTableStore(TableStore):
         post-upsert truth, so a later rerun of the producing stage with an
         unchanged config/source must SKIP (preserving the merge), while
         consumers see a new data identity and rebuild.
+
+        ``partition_by`` re-imposes a physical layout on the merged commit
+        (copy-on-write loses it otherwise); Iceberg keeps the table's
+        declared layout and ignores it.
         """
         if not self.exists(table):
-            return self.write(table, updates)
+            return self.write(table, updates, partition_by=partition_by)
         prev_meta = dict(self.table_meta(table) or {})
         prev_meta.pop("data_uuid", None)  # write() mints a fresh one
         prev_meta["merged_on"] = key
@@ -148,7 +154,8 @@ class HadoopTableStore(TableStore):
                               how="left_anti").unionByName(updates)
         # merged must be materialized before the commit flips the pointer;
         # Spark writes eagerly inside write(), reading the *old* snapshot.
-        return self.write(table, merged, meta=prev_meta)
+        return self.write(table, merged, meta=prev_meta,
+                          partition_by=partition_by)
 
 
 class IcebergCatalogStore(TableStore):
@@ -208,7 +215,10 @@ class IcebergCatalogStore(TableStore):
                 f"SET TBLPROPERTIES ('engine.meta'='{blob}')")
         return {"snapshot": "iceberg", "meta": meta or {}}
 
-    def merge_by_key(self, table: str, updates: DataFrame, key: str) -> dict:
+    def merge_by_key(self, table: str, updates: DataFrame, key: str,
+                     partition_by=None) -> dict:
+        # Iceberg tables keep their declared partition spec; partition_by
+        # is a no-op here
         if not self.exists(table):
             return self.write(table, updates)
         updates.createOrReplaceTempView("_merge_updates")

@@ -433,3 +433,39 @@ def test_incremental_falls_back_after_partial_upsert(spark,
     assert len(qe.top_k("zzlater", k=5)) == 1
     # and with a clean chain the guard passes again
     assert builder._postings_current("", "text")
+
+
+def test_partitioned_doc_features_layout_incremental_identical(
+        spark, tmp_path_factory):
+    """partition_doc_features=True: the layout survives merges (pruned
+    incremental scans) and the index stays identical to the default
+    layout's."""
+    import glob
+    from semantic_search_engine_spark.corpus import generate_rows
+
+    def mkdocs(rows):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rows],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+
+    base = list(generate_rows(40))
+    upd = [dict(url="https://part.example/x", warc_ts=None, html=None,
+                text="partitioned layout token zzpart", lang="en")]
+    results = {}
+    for mode, flag in (("part", True), ("flat", False)):
+        cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=4,
+                           shuffle_partitions=4, block_size=16,
+                           partition_doc_features=flag)
+        st = HadoopTableStore(spark,
+                              str(tmp_path_factory.mktemp(f"wh_{mode}")))
+        b = IndexBuilder(spark, st, cfg)
+        b.build(mkdocs(base))
+        b.ingest_updates(mkdocs(upd))
+        results[mode] = sorted(map(tuple, st.read("postings").collect()))
+        if flag:
+            # physical layout present after BOTH the build and the merge
+            snaps = sorted(glob.glob(f"{st.root}/doc_features/snap-*"))
+            assert glob.glob(f"{snaps[-1]}/partition_id=*")
+    assert results["part"] == results["flat"]
