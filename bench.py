@@ -350,10 +350,31 @@ def _write_bench_md(result: dict, levels: list[int]) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH.md")
     if os.path.exists(path):
-        prev = open(path).read()
+        with open(path) as f:
+            prev = f.read()
         lo_m, hi_m = "<!-- manual-notes-start -->", "<!-- manual-notes-end -->"
-        if lo_m in prev and hi_m in prev:
-            block = prev[prev.index(lo_m):prev.index(hi_m) + len(hi_m)]
+        # carry EVERY well-formed fenced block; refuse to touch the file
+        # if a fence is malformed (end before start) rather than silently
+        # deleting hand-written analysis
+        if hi_m in prev and (lo_m not in prev
+                             or prev.index(hi_m) < prev.index(lo_m)):
+            raise RuntimeError(
+                "BENCH.md manual-notes markers are malformed (end before "
+                "start) — fix them before regenerating")
+        pos = 0
+        blocks = []
+        while True:
+            s_i = prev.find(lo_m, pos)
+            if s_i == -1:
+                break
+            e_i = prev.find(hi_m, s_i)
+            if e_i == -1:
+                raise RuntimeError(
+                    "BENCH.md has an unterminated manual-notes fence — "
+                    "fix it before regenerating")
+            blocks.append(prev[s_i:e_i + len(hi_m)])
+            pos = e_i + len(hi_m)
+        for block in blocks:
             lines += ["", block]
     lines += [
         "",

@@ -244,16 +244,24 @@ def save_ivf(index: IVFIndex, store, name: str) -> None:
     This makes ANN a real index lifecycle like the text index — build
     once, serve from storage — instead of a per-session in-memory object.
     """
+    import uuid as _uuid
+
     spark = index.assignments.sparkSession
+    # one save identity written to BOTH tables: load_ivf cross-checks it,
+    # so a torn re-save (assignments committed, centroids not — or vice
+    # versa) is detected even when list counts happen to agree
+    save_id = _uuid.uuid4().hex
     store.write(_IVF_ASSIGN_TBL.format(name=name),
                 index.assignments.select(index.key, "v", "vn", "list_id"),
                 partition_by=["list_id"],
                 meta={"key": index.key, "vec_col": index.vec_col,
-                      "n_lists": int(index.centroids.shape[0])})
+                      "n_lists": int(index.centroids.shape[0]),
+                      "save_id": save_id})
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)],
         "list_id int, centroid array<double>")
-    store.write(_IVF_CENTROID_TBL.format(name=name), cent)
+    store.write(_IVF_CENTROID_TBL.format(name=name), cent,
+                meta={"save_id": save_id})
 
 
 def load_ivf(store, name: str) -> IVFIndex:
@@ -270,6 +278,13 @@ def load_ivf(store, name: str) -> IVFIndex:
         raise ValueError(
             f"torn IVF save '{name}': assignments meta says "
             f"{meta['n_lists']} lists, centroid table has {len(rows)}")
+    cmeta = store.table_meta(_IVF_CENTROID_TBL.format(name=name)) or {}
+    if (meta.get("save_id") or cmeta.get("save_id")) \
+            and meta.get("save_id") != cmeta.get("save_id"):
+        raise ValueError(
+            f"torn IVF save '{name}': assignments and centroids carry "
+            f"different save ids — a re-save crashed between the two "
+            f"table commits")
     centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
     assignments = assignments.repartition(max(len(rows), 1), "list_id")
     return IVFIndex(centroids, assignments, key, vec_col)

@@ -209,18 +209,21 @@ class IcebergCatalogStore(TableStore):
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         writer.createOrReplace()
         if meta:
-            blob = json.dumps(meta).replace("'", "''")
-            self.spark.sql(
-                f"ALTER TABLE {self._qual(table)} "
-                f"SET TBLPROPERTIES ('engine.meta'='{blob}')")
+            self._set_meta(table, meta)
         return {"snapshot": "iceberg", "meta": meta or {}}
+
+    def _set_meta(self, table: str, meta: dict) -> None:
+        blob = json.dumps(meta).replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {self._qual(table)} "
+            f"SET TBLPROPERTIES ('engine.meta'='{blob}')")
 
     def merge_by_key(self, table: str, updates: DataFrame, key: str,
                      partition_by=None) -> dict:
-        # Iceberg tables keep their declared partition spec; partition_by
-        # is a no-op here
+        # An EXISTING Iceberg table keeps its declared partition spec, so
+        # partition_by only matters on the creation branch.
         if not self.exists(table):
-            return self.write(table, updates)
+            return self.write(table, updates, partition_by=partition_by)
         updates.createOrReplaceTempView("_merge_updates")
         cols = updates.columns
         sets = ", ".join(f"t.{c} = u.{c}" for c in cols if c != key)
@@ -231,7 +234,16 @@ class IcebergCatalogStore(TableStore):
             f"ON t.{key} = u.{key} "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})")
-        return {"snapshot": "iceberg-merge", "meta": {"merged_on": key}}
+        # Same contract as HadoopTableStore.merge_by_key: carry prior meta
+        # (incl. the stage fingerprint) forward under a FRESH data_uuid so
+        # consumers see a new data identity and rebuild — without this the
+        # merged docs would silently never reach the index (downstream
+        # fingerprints would all still match and skip).
+        meta = dict(self.table_meta(table) or {})
+        meta["data_uuid"] = uuid.uuid4().hex
+        meta["merged_on"] = key
+        self._set_meta(table, meta)
+        return {"snapshot": "iceberg-merge", "meta": meta}
 
 
 def make_store(spark: SparkSession, root_or_catalog: str,

@@ -29,6 +29,15 @@ CFG = EngineConfig(n_doc_buckets=4, n_term_buckets=4, shuffle_partitions=4,
                    block_size=16)
 
 
+def _mkdocs(spark, rows):
+    """(url, warc_ts, html, text, lang) rows → input-schema DataFrame."""
+    return spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+         for r in rows],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+
+
 # ---------------------------------------------------------------------------
 # Field-scoped (title) index
 # ---------------------------------------------------------------------------
@@ -258,13 +267,6 @@ def test_incremental_ingest_bit_identical_to_full_rebuild(
         spark, tmp_path_factory):
     from semantic_search_engine_spark.corpus import generate_rows
 
-    def mkdocs(rows):
-        return spark.createDataFrame(
-            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
-             for r in rows],
-            "url string, warc_ts timestamp, html binary, text string, "
-            "lang string")
-
     base = list(generate_rows(60))
     upd_rows = [dict(base[5], html=None,
                      text="recrawled body uniquetermzq alpha beta"),
@@ -279,8 +281,8 @@ def test_incremental_ingest_bit_identical_to_full_rebuild(
         st = HadoopTableStore(
             spark, str(tmp_path_factory.mktemp(f"wh_{mode}")))
         builder = IndexBuilder(spark, st, cfg)
-        builder.build(mkdocs(base))
-        runner = builder.ingest_updates(mkdocs(upd_rows), incremental=flag)
+        builder.build(_mkdocs(spark, base))
+        runner = builder.ingest_updates(_mkdocs(spark, upd_rows), incremental=flag)
         assert not any(m["skipped"] for m in runner.metrics
                        if m["stage"] == "postings")
         stores[mode] = st
@@ -343,13 +345,6 @@ def test_chained_incremental_merges_stay_identical(spark, tmp_path_factory):
     the final composed document set."""
     from semantic_search_engine_spark.corpus import generate_rows
 
-    def mkdocs(rows):
-        return spark.createDataFrame(
-            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
-             for r in rows],
-            "url string, warc_ts timestamp, html binary, text string, "
-            "lang string")
-
     base = list(generate_rows(50))
     batches = [
         [dict(url="https://inc.example/a", warc_ts=None, html=None,
@@ -365,9 +360,9 @@ def test_chained_incremental_merges_stay_identical(spark, tmp_path_factory):
 
     inc = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_chain")))
     bi = IndexBuilder(spark, inc, cfg)
-    bi.build(mkdocs(base))
+    bi.build(_mkdocs(spark, base))
     for batch in batches:
-        bi.ingest_updates(mkdocs(batch))  # incremental default
+        bi.ingest_updates(_mkdocs(spark, batch))  # incremental default
 
     # compose the final truth: last write per url wins
     final = {r["url"]: r for r in base}
@@ -375,7 +370,7 @@ def test_chained_incremental_merges_stay_identical(spark, tmp_path_factory):
         for r in batch:
             final[r["url"]] = r
     full = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_chainf")))
-    IndexBuilder(spark, full, cfg).build(mkdocs(list(final.values())))
+    IndexBuilder(spark, full, cfg).build(_mkdocs(spark, list(final.values())))
 
     for table in ("postings", "term_stats"):
         a = sorted(map(tuple, inc.read(table).collect()))
@@ -397,22 +392,15 @@ def test_incremental_falls_back_after_partial_upsert(spark,
     batch's docs would be permanently missing from the index."""
     from semantic_search_engine_spark.corpus import generate_rows
 
-    def mkdocs(rows):
-        return spark.createDataFrame(
-            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
-             for r in rows],
-            "url string, warc_ts timestamp, html binary, text string, "
-            "lang string")
-
     base = list(generate_rows(40))
     cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=4,
                        shuffle_partitions=4, block_size=16)
     store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_crash")))
     builder = IndexBuilder(spark, store, cfg)
-    builder.build(mkdocs(base))
+    builder.build(_mkdocs(spark, base))
 
     # simulated crash: batch1's merge commits, downstream never runs
-    b1 = mkdocs([dict(url="https://crash.example/1", warc_ts=None,
+    b1 = _mkdocs(spark, [dict(url="https://crash.example/1", warc_ts=None,
                       html=None, text="orphaned batch token zzcrash",
                       lang="en")])
     store.merge_by_key("doc_features", builder._doc_features_df(b1, "text"),
@@ -420,7 +408,7 @@ def test_incremental_falls_back_after_partial_upsert(spark,
     assert not builder._postings_current("", "text")  # guard fires
 
     # next upsert (different bucket/url) runs incrementally by request…
-    b2 = mkdocs([dict(url="https://crash.example/2", warc_ts=None,
+    b2 = _mkdocs(spark, [dict(url="https://crash.example/2", warc_ts=None,
                       html=None, text="later batch token zzlater",
                       lang="en")])
     builder.ingest_updates(b2, incremental=True)
@@ -443,13 +431,6 @@ def test_partitioned_doc_features_layout_incremental_identical(
     import glob
     from semantic_search_engine_spark.corpus import generate_rows
 
-    def mkdocs(rows):
-        return spark.createDataFrame(
-            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
-             for r in rows],
-            "url string, warc_ts timestamp, html binary, text string, "
-            "lang string")
-
     base = list(generate_rows(40))
     upd = [dict(url="https://part.example/x", warc_ts=None, html=None,
                 text="partitioned layout token zzpart", lang="en")]
@@ -461,11 +442,13 @@ def test_partitioned_doc_features_layout_incremental_identical(
         st = HadoopTableStore(spark,
                               str(tmp_path_factory.mktemp(f"wh_{mode}")))
         b = IndexBuilder(spark, st, cfg)
-        b.build(mkdocs(base))
-        b.ingest_updates(mkdocs(upd))
+        b.build(_mkdocs(spark, base))
+        b.ingest_updates(_mkdocs(spark, upd))
         results[mode] = sorted(map(tuple, st.read("postings").collect()))
         if flag:
-            # physical layout present after BOTH the build and the merge
-            snaps = sorted(glob.glob(f"{st.root}/doc_features/snap-*"))
-            assert glob.glob(f"{snaps[-1]}/partition_id=*")
+            # physical layout present on the CURRENTLY COMMITTED snapshot
+            # (i.e. the post-merge one — read the manifest pointer, not a
+            # lexicographic sort of random snapshot names)
+            committed = st._read_manifest("doc_features")["path"]
+            assert glob.glob(f"{committed}/partition_id=*")
     assert results["part"] == results["flat"]
