@@ -248,9 +248,24 @@ def q_bm25_topk_engine_wand(spark, sf_dir):
     return _engine_ids_back(store, top, [])
 
 
-# identical BM25 SQL as SQL_BM25_TOPK: the engine must reproduce the
-# declarative oracle's set of (doc_id, rounded score) for the top-10.
-SQL_BM25_TOPK_ENGINE = SQL_BM25_TOPK
+def _sql_url_hash_id(col: str) -> str:
+    """The engine's 60-bit url-hash doc id, recomputed in SQL for the given
+    driver doc_id column — used as the rank tie-break in every engine-gate
+    oracle. The engine breaks score ties on ITS doc_id (the url hash); a
+    driver-doc_id tie-break in the oracle could pick a different member of
+    an exact raw-score tie at the rank-k boundary (ADVICE r2) — ordering
+    by the identical value on both sides makes the gates tie-proof."""
+    return ("CAST(concat('0x', substr(sha256(concat("
+            f"'https://example.org/doc/', CAST({col} AS VARCHAR))), "
+            "1, 15)) AS BIGINT)")
+
+
+# same BM25 SQL as SQL_BM25_TOPK, but the top-10 cut tie-breaks on the
+# engine's url-hash id (identical on both sides — see _sql_url_hash_id)
+SQL_BM25_TOPK_ENGINE = _SQL_BM25_SCORED + f"""
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored ORDER BY raw_score DESC, {_sql_url_hash_id('doc_id')} LIMIT 10
+"""
 
 
 def q_bm25_filtered_engine_wand(spark, sf_dir):
@@ -265,11 +280,11 @@ def q_bm25_filtered_engine_wand(spark, sf_dir):
     return _engine_ids_back(store, top, [])
 
 
-SQL_BM25_FILTERED_ENGINE = _SQL_BM25_SCORED + """
+SQL_BM25_FILTERED_ENGINE = _SQL_BM25_SCORED + f"""
 SELECT s.doc_id, round(s.raw_score, 4) AS score
 FROM scored s JOIN documents d USING (doc_id)
 WHERE d.lang = 'de'
-ORDER BY s.raw_score DESC, s.doc_id LIMIT 10
+ORDER BY s.raw_score DESC, {_sql_url_hash_id('s.doc_id')} LIMIT 10
 """
 
 
@@ -321,7 +336,8 @@ scored AS (
 SELECT query_id, doc_id, round(raw_score, 4) AS score
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id
-                           ORDER BY raw_score DESC, doc_id) <= 10
+                           ORDER BY raw_score DESC,
+                                    {_sql_url_hash_id('doc_id')}) <= 10
 """
 
 

@@ -279,8 +279,17 @@ def load_ivf(store, name: str) -> IVFIndex:
             f"torn IVF save '{name}': assignments meta says "
             f"{meta['n_lists']} lists, centroid table has {len(rows)}")
     cmeta = store.table_meta(_IVF_CENTROID_TBL.format(name=name)) or {}
-    if (meta.get("save_id") or cmeta.get("save_id")) \
-            and meta.get("save_id") != cmeta.get("save_id"):
+    if meta.get("save_id") is None and cmeta.get("save_id") is None:
+        # legacy save (before save_ids existed): the torn-save cross-check
+        # cannot run, and agreeing list counts alone don't prove the two
+        # tables came from the same save — surface that instead of
+        # passing the check silently (ADVICE r2)
+        import warnings
+        warnings.warn(
+            f"IVF index '{name}' predates save ids — torn-save detection "
+            f"is unavailable; re-save with save_ivf() to get verified "
+            f"loads", stacklevel=2)
+    elif meta.get("save_id") != cmeta.get("save_id"):
         raise ValueError(
             f"torn IVF save '{name}': assignments and centroids carry "
             f"different save ids — a re-save crashed between the two "

@@ -165,12 +165,19 @@ def cluster_pairs(pairs: DataFrame, n_rounds: int | None = None,
     ``checkpoint_dir``: when given, rounds are materialized with reliable
     ``.checkpoint()`` into that directory (survives executor loss — the
     cluster form); otherwise ``localCheckpoint`` (executor-local blocks,
-    the single-process form).
+    the single-process form). The session's checkpoint dir is restored
+    after the loop (it is session-global state; without the restore the
+    setting would bleed into unrelated jobs). Checkpoint FILES are not
+    auto-deleted: enable ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    or purge ``checkpoint_dir`` after the returned frame is consumed.
 
     Returns (key, cluster) with cluster = the component's minimum key.
     """
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        prev_ckpt_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
 
         def _materialize(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -180,6 +187,17 @@ def cluster_pairs(pairs: DataFrame, n_rounds: int | None = None,
 
     # 50 halving rounds cover diameter 2^50 — a pure runaway guard
     max_rounds = 50 if n_rounds is None else n_rounds
+    try:
+        return _cluster_rounds(pairs, max_rounds, _materialize)
+    finally:
+        # the returned rounds are already materialized on disk, so putting
+        # the session-global checkpoint dir back is safe here
+        if checkpoint_dir is not None and prev_ckpt_dir is not None:
+            pairs.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
+
+
+def _cluster_rounds(pairs: DataFrame, max_rounds: int,
+                    _materialize) -> DataFrame:
     edges = _materialize(
         pairs.select(F.col("key_a").alias("u"), F.col("key_b").alias("v"))
         .union(pairs.select("key_b", "key_a")))

@@ -13,9 +13,11 @@ Scale notes: ``foreachBatch`` is the right shape here because the sink is
 a multi-stage batch job (merge + 4 derived stages), not a row-append —
 exactly what the Spark docs prescribe for reusing batch writers in a
 stream. Checkpointing is two-layer: the stream's ``checkpointLocation``
-tracks which source files were consumed (exactly-once file pickup), and
-the engine's own stage fingerprints make the per-batch rebuild resumable
-if the driver dies mid-batch (E13).
+tracks which source files were consumed — an AT-LEAST-ONCE guarantee
+(``foreachBatch`` may replay a batch after a crash), made effectively
+exactly-once by the MERGE-by-url upsert being idempotent — and the
+engine's own stage fingerprints make the per-batch rebuild resumable if
+the driver dies mid-batch (E13).
 """
 
 from __future__ import annotations
