@@ -34,7 +34,7 @@ _OBSERVE_MAX_BUCKETS = 128
 #: Bump when an on-disk format or stage semantic changes incompatibly —
 #: committed outputs from older code then stop fingerprint-matching, so a
 #: resume against a stale warehouse rebuilds instead of mixing formats.
-ENGINE_FORMAT_VERSION = "4"
+ENGINE_FORMAT_VERSION = "5"
 
 
 def stage_fingerprint(stage: str, config_fp: str, input_fps: list[str],

@@ -244,7 +244,8 @@ class QueryEngine:
 
     def wand_top_k_df(self, query: str, k: int | None = None,
                       lang: str | None = None, warc_ts_min=None,
-                      warc_ts_max=None) -> DataFrame:
+                      warc_ts_max=None,
+                      min_score: float = 0.0) -> DataFrame:
         """Block-max WAND top-k (E10), optionally filtered (E11) — the fast
         query path.
 
@@ -264,11 +265,15 @@ class QueryEngine:
         """
         # Single query = the batch engine with one entry: identical
         # per-bucket WAND, one shared code path (no scaffolding drift
-        # between the two — code-review r2 finding). The final orderBy
-        # runs over the already-windowed ≤ k rows.
-        return (self.batch_wand_top_k_df([query], k=k, lang=lang,
-                                         warc_ts_min=warc_ts_min,
-                                         warc_ts_max=warc_ts_max)
+        # between the two — code-review r2 finding). The batch core
+        # short-circuits the per-query window for a single query
+        # (VERDICT r2 #2: the batch-of-1 scaffold added an exchange the
+        # N=1 case never needed), so this is one job ending in
+        # TakeOrderedAndProject.
+        return (self._batch_wand_ranked([query], k=k, lang=lang,
+                                        warc_ts_min=warc_ts_min,
+                                        warc_ts_max=warc_ts_max,
+                                        min_score=min_score)
                 .select("doc_id", "score")
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
@@ -309,6 +314,32 @@ class QueryEngine:
         the whole batch and cogroup the doc_meta survivor set per bucket,
         exactly like the single-query filtered fast path.
         """
+        return (self._batch_wand_ranked(queries, k=k, lang=lang,
+                                        warc_ts_min=warc_ts_min,
+                                        warc_ts_max=warc_ts_max)
+                .select("query_id", "doc_id", "score"))
+
+    def _batch_wand_ranked(self, queries: list[str],
+                           k: int | None = None,
+                           lang: str | None = None, warc_ts_min=None,
+                           warc_ts_max=None,
+                           min_score: float = 0.0) -> DataFrame:
+        """Batch WAND core: (query_id, partition_id, doc_id, score).
+
+        ``min_score`` seeds each per-bucket WAND's theta (see
+        :func:`..wand.wand_top_k`): a score threshold STRENGTHENS pruning
+        on the fast path instead of forcing the exhaustive scorer.
+
+        ``partition_id`` (the hit's doc-range bucket) stays in the output
+        so result hydration can prune the doc_meta scan to the buckets
+        that actually contain hits (VERDICT r2 #2 — at 10^12 docs the
+        decorate-100-rows join must not scan the whole metadata table).
+
+        A single unique term set skips the per-query ``row_number`` window
+        entirely — its ≤ P·k local hits merge through
+        ``orderBy().limit(k)`` (TakeOrderedAndProject: per-partition heap,
+        driver merge, no exchange). N>1 keeps the windowed merge.
+        """
         from .wand import (
             BATCH_WAND_OUT_SCHEMA,
             make_wand_batch_cogroup_fn,
@@ -319,7 +350,7 @@ class QueryEngine:
         k = cfg.default_k if k is None \
             else min(k, cfg.max_k + cfg.max_offset)
         empty = self.spark.createDataFrame(
-            [], "query_id int, doc_id long, score double")
+            [], "query_id int, partition_id int, doc_id long, score double")
         per_q = [sorted(set(tokenize(q, cfg.max_token_len,
                                      cfg.min_token_len)))
                  for q in queries]
@@ -359,21 +390,33 @@ class QueryEngine:
                 warc_ts_min, warc_ts_max).select("partition_id", "doc_id")
             fn = make_wand_batch_cogroup_fn(query_terms, k,
                                             float(cfg.k1), float(cfg.b),
-                                            avgdl, n_docs)
+                                            avgdl, n_docs,
+                                            min_score=float(min_score))
             local = (blocks.groupBy("partition_id")
                      .cogroup(allowed.groupBy("partition_id"))
                      .applyInPandas(fn, schema=BATCH_WAND_OUT_SCHEMA))
         else:
             fn = make_wand_batch_group_fn(query_terms, k, float(cfg.k1),
-                                          float(cfg.b), avgdl, n_docs)
+                                          float(cfg.b), avgdl, n_docs,
+                                          min_score=float(min_score))
             local = blocks.groupBy("partition_id").applyInPandas(
                 fn, schema=BATCH_WAND_OUT_SCHEMA)
-        from pyspark.sql.window import Window
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
-                                                   F.asc("doc_id"))
-        ranked = (local.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") <= k)
-                  .select("query_id", "doc_id", "score"))
+        if len(rep_of) == 1:
+            # ONE unique term set (the single-query serve path, plus any
+            # duplicate batch): global top-k over this query's ≤ P·k local
+            # hits — no row_number window, no extra exchange
+            ranked = (local.orderBy(F.desc("score"), F.asc("doc_id"))
+                      .limit(k)
+                      .select("query_id", "partition_id", "doc_id",
+                              "score"))
+        else:
+            from pyspark.sql.window import Window
+            w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                       F.asc("doc_id"))
+            ranked = (local.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") <= k)
+                      .select("query_id", "partition_id", "doc_id",
+                              "score"))
         if len(fanout) > len(rep_of):
             # duplicates existed: replicate each representative's top-k
             # to every query_id that shares its term set (tiny broadcast)
@@ -381,7 +424,8 @@ class QueryEngine:
                 fanout, "rep int, query_id int")
             ranked = (ranked.withColumnRenamed("query_id", "rep")
                       .join(F.broadcast(fmap), "rep")
-                      .select("query_id", "doc_id", "score"))
+                      .select("query_id", "partition_id", "doc_id",
+                              "score"))
         return ranked
 
     def batch_top_k(self, queries: list[str], k: int = 10
@@ -400,6 +444,23 @@ class QueryEngine:
             # guaranteed — re-impose (score DESC, doc_id ASC)
             out[queries[qi]] = sorted(hits, key=lambda h: (-h[1], h[0]))
         return out
+
+    def _hydrate_hits(self, top: DataFrame) -> DataFrame:
+        """Decorate WAND hits (partition_id, doc_id, score) with doc_meta
+        columns, in (score DESC, doc_id ASC) order.
+
+        The join runs on (partition_id, doc_id): doc_meta is laid out
+        partitioned by doc-range bucket, so broadcasting the ≤ k+offset
+        hits drives DYNAMIC PARTITION PRUNING on the metadata scan —
+        decorating ~100 rows reads only the hit buckets, not the whole
+        table (VERDICT r2 #2; at 10^12 docs the unpruned form is a full
+        metadata scan per query)."""
+        meta = self.store.read(f"doc_meta{self._sfx()}").select(
+            "partition_id", "doc_id", "url", "warc_ts", "lang", "doc_len")
+        return (F.broadcast(top).join(meta, ["partition_id", "doc_id"])
+                .select("doc_id", "url", "warc_ts", "lang", "doc_len",
+                        "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
 
     def _scored_filtered(self, query: str, min_score: float, lang,
                          warc_ts_min, warc_ts_max) -> DataFrame:
@@ -470,18 +531,19 @@ class QueryEngine:
         k = cfg.default_k if k is None else min(k, cfg.max_k)
         offset = min(max(offset, 0), cfg.max_offset)
 
-        if mode == "wand" and count_mode == "none" and min_score <= 0.0:
+        if mode == "wand" and count_mode == "none":
             # fast path: filtered block-max WAND; totalCount = page size
             # (the reference's own title-path shortcut,
-            # SearchService.java:110-111)
-            top = self.wand_filtered_top_k_df(
-                query, k=k + offset, lang=lang,
-                warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max)
-            meta = self.store.read(f"doc_meta{self._sfx()}").select(
-                "doc_id", "url", "warc_ts", "lang", "doc_len")
-            rows = (F.broadcast(top).join(meta, "doc_id")
-                    .orderBy(F.desc("score"), F.asc("doc_id"))
-                    .collect())[offset:]
+            # SearchService.java:110-111). A min_score threshold rides
+            # the fast path too — it SEEDS WAND's theta, so pruning gets
+            # stronger, not bypassed (reference Q2,
+            # ProductRepository.java:74).
+            top = self._batch_wand_ranked(
+                [query], k=k + offset, lang=lang,
+                warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max,
+                min_score=min_score
+            ).select("partition_id", "doc_id", "score")
+            rows = self._hydrate_hits(top).collect()[offset:]
             elapsed_ms = int((time.time() - t0) * 1000)
             self._log_search(query, len(rows), elapsed_ms)
             return {

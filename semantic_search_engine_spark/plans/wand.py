@@ -149,6 +149,7 @@ def wand_top_k(
     b: float,
     avgdl: float,
     allowed: "np.ndarray | None" = None,
+    min_score: float = 0.0,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact block-max WAND top-k over one doc-id-sorted posting slice.
 
@@ -157,9 +158,23 @@ def wand_top_k(
     survivor set for this doc bucket (Q3–Q6 pushed into the fast path);
     docs outside it are skipped before scoring, which only shrinks the
     candidate set and therefore preserves pruning exactness.
+
+    ``min_score``: score threshold (the reference's Q2 similarity cutoff,
+    ``ProductRepository.java:74``: ``similarity >= ?`` with inclusive
+    semantics). It SEEDS theta instead of post-filtering: before the heap
+    fills, theta is ``nextafter(min_score, -inf)`` rather than −inf, so
+    pruning starts strong from the first candidate — a threshold makes
+    WAND *faster*, not exhaustive. Exactness: the pivot test is strict
+    ``acc > theta``, so a candidate whose bound equals min_score exactly
+    still gets evaluated (inclusive ``>=`` preserved), and evaluated docs
+    scoring below min_score never enter the heap (they can't be results,
+    and keeping them out keeps the heap's k-th score an honest theta).
     Returns ``(hits, stats)``: hits as ``(doc_id, score)`` in
     ``(score DESC, doc_id ASC)`` order; stats reports pruning counters.
     """
+    # strictly below min_score, so `acc > seed_theta` ⟺ `acc >= min_score`
+    seed_theta = (math.nextafter(min_score, float("-inf"))
+                  if min_score > 0.0 else float("-inf"))
     cursors = []
     if k > 0:  # k<=0: empty result, not an empty-heap indexing error
         for rank, term in enumerate(sorted(term_blocks)):
@@ -181,7 +196,7 @@ def wand_top_k(
         # must enumerate them in sorted-term order (oracle float order) —
         # stability alone would carry over an arbitrary earlier order
         cursors.sort(key=lambda c: (c.cur_doc, c.term_rank))
-        theta = heap[0][0] if len(heap) >= k else float("-inf")
+        theta = heap[0][0] if len(heap) >= k else seed_theta
         # pivot: smallest prefix whose summed term UBs can *beat* theta.
         # Strict `>` is exact including tie-breaks: candidates arrive in
         # increasing doc_id order, so every heap member has a smaller doc_id
@@ -209,7 +224,11 @@ def wand_top_k(
                 and int(allowed[i]) == pivot_doc)
             if excluded:
                 filtered_out += 1
-            elif len(heap) >= k and block_ub <= theta:
+            elif block_ub <= theta:
+                # theta is -inf until the heap fills (so this branch is
+                # unreachable then) UNLESS min_score seeded it — a doc
+                # bounded at or below the seed can't reach the inclusive
+                # threshold and is skippable with any heap fill
                 skipped_evals += 1
             else:
                 # at_pivot is (cur_doc, term_rank)-sorted ⇒ oracle order
@@ -218,7 +237,9 @@ def wand_top_k(
                     score += c.contrib()
                 evaluated += 1
                 entry = (score, -pivot_doc)
-                if len(heap) < k:
+                if score < min_score:
+                    pass  # below the threshold: never a result
+                elif len(heap) < k:
                     heapq.heappush(heap, entry)
                 elif entry > heap[0]:
                     heapq.heapreplace(heap, entry)
@@ -266,7 +287,7 @@ BATCH_WAND_OUT_SCHEMA = ("query_id int, partition_id int, doc_id long, "
 
 def make_wand_batch_group_fn(query_terms: dict[int, list[str]],
                              k: int, k1: float, b: float, avgdl: float,
-                             n_docs: int):
+                             n_docs: int, min_score: float = 0.0):
     """``applyInPandas`` body for MULTI-QUERY WAND: one doc bucket's blocks
     (the union of every query's term postings) → per-query local top-k.
 
@@ -290,12 +311,13 @@ def make_wand_batch_group_fn(query_terms: dict[int, list[str]],
 
     def run_bucket(pdf):
         return _run_bucket_batch(pdf, None, query_terms, k, k1, b, avgdl,
-                                 n_docs)
+                                 n_docs, min_score)
 
     return run_bucket
 
 
-def _run_bucket_batch(pdf, allowed, query_terms, k, k1, b, avgdl, n_docs):
+def _run_bucket_batch(pdf, allowed, query_terms, k, k1, b, avgdl, n_docs,
+                      min_score=0.0):
     """Shared body for the batch group/cogroup forms: one bucket's blocks
     (+ optional sorted allowed-doc array) → per-query local top-k."""
     import pandas as pd
@@ -321,7 +343,7 @@ def _run_bucket_batch(pdf, allowed, query_terms, k, k1, b, avgdl, n_docs):
             if not sub:
                 continue
             hits, _ = wand_top_k(sub, weights, k, k1, b, avgdl,
-                                 allowed=allowed)
+                                 allowed=allowed, min_score=min_score)
             for d, s in hits:
                 qids.append(qid)
                 pids.append(pid)
@@ -337,7 +359,7 @@ def _run_bucket_batch(pdf, allowed, query_terms, k, k1, b, avgdl, n_docs):
 
 def make_wand_batch_cogroup_fn(query_terms: dict[int, list[str]],
                                k: int, k1: float, b: float, avgdl: float,
-                               n_docs: int):
+                               n_docs: int, min_score: float = 0.0):
     """Cogrouped batch form: left = one bucket's blocks, right = the same
     bucket's structured-filter survivor doc ids (one filter, shared by the
     whole batch — the offline-retrieval shape: same corpus slice, many
@@ -346,9 +368,10 @@ def make_wand_batch_cogroup_fn(query_terms: dict[int, list[str]],
     def run_bucket(blocks_pdf, allowed_pdf):
         if len(allowed_pdf) == 0:
             return _run_bucket_batch(blocks_pdf.iloc[:0], None,
-                                     query_terms, k, k1, b, avgdl, n_docs)
+                                     query_terms, k, k1, b, avgdl, n_docs,
+                                     min_score)
         allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
         return _run_bucket_batch(blocks_pdf, allowed, query_terms,
-                                 k, k1, b, avgdl, n_docs)
+                                 k, k1, b, avgdl, n_docs, min_score)
 
     return run_bucket

@@ -139,6 +139,35 @@ def test_empty_and_min_score(built, spark, tiny_oracle_cfg):
     assert s["total_count"] == oc["total_count"]
 
 
+def test_threshold_search_rides_the_wand_fast_path(built, spark,
+                                                   tiny_oracle_cfg):
+    """min_score + count_mode='none' must run block-max WAND with a
+    seeded theta (VERDICT r2 #3) and return exactly the exhaustive
+    threshold result — including a threshold set to an achieved score
+    (inclusive >=) and one above every score (empty page)."""
+    store, _ = built
+    qe = QueryEngine(spark, store, CFG)
+    o = tiny_oracle_cfg.search("zipfhead0 zipfhead1", k=100)
+    assert len(o["results"]) >= 5
+    cutoff = o["results"][4]["score"]  # exactly the 5th-ranked score
+    fast = qe.search("zipfhead0 zipfhead1", k=100,
+                     min_score=cutoff, count_mode="none")
+    slow = qe.search("zipfhead0 zipfhead1", k=100,
+                     min_score=cutoff, count_mode="none",
+                     mode="exhaustive")
+    assert [h["doc_id"] for h in fast["results"]] == \
+        [h["doc_id"] for h in slow["results"]] != []
+    # inclusive >= : the doc achieving exactly `cutoff` is in the page
+    assert any(h["score"] == cutoff for h in fast["results"])
+    for f, s in zip(fast["results"], slow["results"]):
+        assert math.isclose(f["score"], s["score"], abs_tol=0.0)
+    # unreachable threshold → empty result through the fast path
+    top = qe.search("zipfhead0 zipfhead1", k=10,
+                    min_score=o["results"][0]["score"] * 10,
+                    count_mode="none")
+    assert top["results"] == [] and top["total_count"] == 0
+
+
 def test_resume_skips_all_stages(built, spark, tiny_corpus_dir):
     """Invariant 7: a rerun with unchanged inputs+config skips every stage."""
     store, _ = built
