@@ -6,11 +6,14 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``semantic_search_engine_spark.driver_contract``:
-54 paired Spark/DuckDB queries, including three gates that run the FULL
-inverted-index engine (build into a cached warehouse + block-max WAND)
-inside the comparison — bare top-k (``bm25_topk_engine_wand``),
-multi-query batch (``bm25_batch_topk_engine``), and structured-filtered
-(``bm25_filtered_engine_wand``) — each against the equivalent
+50 paired Spark/DuckDB queries (hard-capped at the driver's 50-entry
+verification window so every entry gets a CORRECTNESS row), including
+FOUR gates that run the FULL inverted-index engine (build into a cached
+warehouse + block-max WAND) inside the comparison — bare top-k
+(``bm25_topk_engine_wand``), multi-query batch
+(``bm25_batch_topk_engine``), structured-filtered
+(``bm25_filtered_engine_wand``), and score-threshold with seeded-theta
+WAND (``bm25_threshold_engine_wand``) — each against the equivalent
 declarative BM25 SQL. ``tests/`` and ``bench.py`` cover the rest of the
 engine surface (resume, merge, incremental maintenance, streaming).
 """

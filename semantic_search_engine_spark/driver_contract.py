@@ -288,6 +288,33 @@ ORDER BY s.raw_score DESC, {_sql_url_hash_id('s.doc_id')} LIMIT 10
 """
 
 
+#: Score threshold for the threshold-gate: sits in the gap between the
+#: 5th (0.55442) and 6th (0.55178) raw scores of the gate query at
+#: sf0.01, so exactly 5 docs pass (fewer than k — the threshold, not the
+#: top-k cut, shapes the result) and no achieved score is within 1e-3 of
+#: the boundary (no cross-system ulp risk on the >= compare).
+THRESHOLD_MIN_SCORE = 0.553
+
+
+def q_bm25_threshold_engine_wand(spark, sf_dir):
+    """Engine gate for the THRESHOLD fast path (reference Q2,
+    ``ProductRepository.java:74``: ``similarity >= ?``): min_score SEEDS
+    block-max WAND's theta (plans/wand.py), so the threshold query runs
+    the fast path with *stronger* pruning — and must equal the
+    declarative BM25 SQL with the same inclusive WHERE."""
+    store, qe = _engine_warehouse(spark, sf_dir)
+    top = qe.wand_top_k_df(" ".join(BM25_QUERY_TERMS), k=10,
+                           min_score=THRESHOLD_MIN_SCORE)
+    return _engine_ids_back(store, top, [])
+
+
+SQL_BM25_THRESHOLD_ENGINE = _SQL_BM25_SCORED + f"""
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored WHERE raw_score >= {THRESHOLD_MIN_SCORE}
+ORDER BY raw_score DESC, {_sql_url_hash_id('doc_id')} LIMIT 10
+"""
+
+
 #: three queries for the batch gate: the standard gate query, a disjoint
 #: vocab query, and a partially-absent-term query
 BATCH_QUERIES = ["join spark window", "filter stream sort",
@@ -885,7 +912,11 @@ FROM (
 
 
 def q_quality_score(spark, sf_dir):
-    """Quality features: token count, type-token ratio, mean token length."""
+    """Quality features: token count, type-token ratio, mean token length.
+
+    Driver-verified via the combined ``text_quality_metrics`` entry (the
+    registry is capped at the driver's 50-entry verification window —
+    VERDICT r2 #1); every column is still hash-compared there."""
     toks = _toks(spark, sf_dir)
     return (toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -902,8 +933,31 @@ GROUP BY doc_id
 """
 
 
+def q_text_quality_metrics(spark, sf_dir):
+    """Combined per-doc text-quality panel: the token-level features
+    (``q_quality_score``), the character-class ratios
+    (``q_punct_quality``), and the stopword density
+    (``q_stopword_ratio``) joined on doc_id — one driver entry verifying
+    all eight columns of the web-corpus quality-filter feature set."""
+    return (q_quality_score(spark, sf_dir)
+            .join(q_punct_quality(spark, sf_dir), "doc_id")
+            .join(q_stopword_ratio(spark, sf_dir), "doc_id"))
+
+
+# SQL composed from the same three single-facet oracles
+def _sql_text_quality_metrics() -> str:
+    return f"""
+SELECT q.doc_id, q.n_tokens, q.ttr, q.avg_token_len,
+       p.n_chars, p.alnum_ratio, p.punct_ratio, s.stopword_ratio
+FROM ({SQL_QUALITY}) q
+JOIN ({SQL_PUNCT_QUALITY}) p ON q.doc_id = p.doc_id
+JOIN ({SQL_STOPWORD_RATIO}) s ON q.doc_id = s.doc_id
+"""
+
+
 def q_token_count(spark, sf_dir):
-    """Token counting: whitespace tokens vs alnum-run tokens per doc."""
+    """Token counting: whitespace tokens vs alnum-run tokens per doc.
+    Driver-verified via the combined ``token_counts`` entry."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -916,6 +970,24 @@ SELECT doc_id,
        len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
        len({TOK_SQL}) AS alnum_tokens
 FROM documents
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """All three corpus-size estimators in one driver entry: whitespace
+    tokens, alnum-run tokens (the index tokenizer), and BPE-ish
+    pre-tokenizer tokens — the standard set for training-data
+    budgeting."""
+    return (q_token_count(spark, sf_dir)
+            .join(q_bpe_token_count(spark, sf_dir)
+                  .select("doc_id", "bpe_tokens"), "doc_id"))
+
+
+def _sql_token_counts() -> str:
+    return f"""
+SELECT t.doc_id, t.ws_tokens, t.alnum_tokens, b.bpe_tokens
+FROM ({SQL_TOKEN_COUNT}) t
+JOIN ({SQL_BPE_TOKEN_COUNT}) b ON t.doc_id = b.doc_id
 """
 
 
@@ -1386,6 +1458,25 @@ FROM w GROUP BY 1, 2
 """
 
 
+def q_events_windows(spark, sf_dir):
+    """Windowed event analytics panel: tumbling (1h) and hopping
+    (1h/30min) window aggregates union'd under a ``win_kind``
+    discriminator — one driver entry verifying both window families."""
+    tumb = (q_events_tumbling_window(spark, sf_dir)
+            .withColumn("win_kind", F.lit("tumbling")))
+    hop = (q_events_hopping_window(spark, sf_dir)
+           .withColumn("win_kind", F.lit("hopping")))
+    return tumb.unionByName(hop)
+
+
+def _sql_events_windows() -> str:
+    return f"""
+SELECT *, 'tumbling' AS win_kind FROM ({SQL_EVENTS_TUMBLING})
+UNION ALL
+SELECT *, 'hopping' AS win_kind FROM ({SQL_EVENTS_HOPPING})
+"""
+
+
 def q_events_session_gap(spark, sf_dir):
     """Per-user session gaps via lag window: average seconds between
     consecutive events (deterministic order: ts, event_id)."""
@@ -1533,9 +1624,39 @@ SELECT src, count(*) AS n_keys FROM labeled GROUP BY src
 """
 
 
+def q_rollup_set_ops(spark, sf_dir):
+    """Relational-completeness panel: ROLLUP grouping subtotals and
+    INTERSECT/EXCEPT/UNION key-set cardinalities, aligned to one
+    (group1, group2, n) schema so both operators get a driver row inside
+    the 50-entry verification window (VERDICT r2 #1)."""
+    rollup = q_rollup_agg(spark, sf_dir).select(
+        F.concat(F.lit("rollup:"), F.col("priority")).alias("group1"),
+        F.col("status").alias("group2"), F.col("n_orders").alias("n"))
+    sets = q_set_ops(spark, sf_dir).select(
+        F.concat(F.lit("set:"), F.col("src")).alias("group1"),
+        F.lit("ALL").alias("group2"), F.col("n_keys").alias("n"))
+    return rollup.unionByName(sets)
+
+
+def _sql_rollup_set_ops() -> str:
+    return f"""
+SELECT concat('rollup:', priority) AS group1, status AS group2,
+       n_orders AS n
+FROM ({SQL_ROLLUP_AGG})
+UNION ALL
+SELECT concat('set:', src), 'ALL', n_keys FROM ({SQL_SET_OPS})
+"""
+
+
 # ---------------------------------------------------------------------------
-# Registry
+# Registry — HARD CAP 50 entries (the driver verifies at most 50; entries
+# past the window get no CORRECTNESS row — VERDICT r2 #1). Single-facet
+# queries folded into combined entries (text_quality_metrics,
+# token_counts, rollup_set_ops, events_windows) keep full column-level
+# verification; tests/test_driver_contract.py pins the cap.
 # ---------------------------------------------------------------------------
+
+DRIVER_VERIFY_WINDOW = 50
 
 REGISTRY: dict[str, tuple] = {
     # full-text engine core
@@ -1551,6 +1672,8 @@ REGISTRY: dict[str, tuple] = {
                                SQL_BM25_BATCH_TOPK_ENGINE),
     "bm25_filtered_engine_wand": (q_bm25_filtered_engine_wand,
                                   SQL_BM25_FILTERED_ENGINE),
+    "bm25_threshold_engine_wand": (q_bm25_threshold_engine_wand,
+                                   SQL_BM25_THRESHOLD_ENGINE),
     # relational operators
     "agg_pushdown": (q_agg_pushdown, SQL_AGG_PUSHDOWN),
     "topk_orderby_limit": (q_topk_orderby_limit, SQL_TOPK),
@@ -1578,9 +1701,9 @@ REGISTRY: dict[str, tuple] = {
     "jaccard_bigram_pairs": (q_jaccard_bigram_pairs, SQL_JACCARD_BIGRAM),
     "binary_payload_stats": (q_binary_payload_stats, SQL_BINARY_PAYLOAD),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
-    "quality_score": (q_quality_score, SQL_QUALITY),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
+    "text_quality_metrics": (q_text_quality_metrics,
+                             _sql_text_quality_metrics()),
+    "token_counts": (q_token_counts, _sql_token_counts()),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP),
@@ -1590,17 +1713,17 @@ REGISTRY: dict[str, tuple] = {
     "embedding_neardup_pairs": (q_embedding_neardup_pairs,
                                 SQL_EMBEDDING_NEARDUP),
     "ann_lsh_bucket_topk": (q_ann_lsh_bucket_topk, SQL_ANN_LSH_BUCKET),
-    "punct_quality": (q_punct_quality, SQL_PUNCT_QUALITY),
-    "stopword_ratio": (q_stopword_ratio, SQL_STOPWORD_RATIO),
     # event-stream analytics + relational completeness
-    "events_tumbling_window": (q_events_tumbling_window, SQL_EVENTS_TUMBLING),
-    "events_hopping_window": (q_events_hopping_window, SQL_EVENTS_HOPPING),
+    "events_windows": (q_events_windows, _sql_events_windows()),
     "events_session_gap": (q_events_session_gap, SQL_EVENTS_SESSION_GAP),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "window_running_sum": (q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
-    "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
-    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "rollup_set_ops": (q_rollup_set_ops, _sql_rollup_set_ops()),
 }
+
+assert len(REGISTRY) <= DRIVER_VERIFY_WINDOW, (
+    f"registry has {len(REGISTRY)} entries but the driver verifies only "
+    f"the first {DRIVER_VERIFY_WINDOW} — consolidate before adding more")
 
 
 def queries():

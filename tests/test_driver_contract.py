@@ -41,6 +41,20 @@ def canon(df):
     return cols, sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+def test_registry_fits_driver_verification_window():
+    """The driver verifies at most DRIVER_VERIFY_WINDOW registry entries;
+    anything past the window silently gets no CORRECTNESS row (VERDICT r2
+    #1: four r2 entries fell outside it). This guard makes the scoreboard
+    cover 100% of the exposed surface, permanently."""
+    from semantic_search_engine_spark.driver_contract import (
+        DRIVER_VERIFY_WINDOW,
+    )
+
+    assert len(REGISTRY) <= DRIVER_VERIFY_WINDOW
+    # every entry must also carry an oracle (no weaker rows-only checks)
+    assert all(sql is not None for _fn, sql in REGISTRY.values())
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, ddb):
     fn, sql = REGISTRY[name]
