@@ -42,6 +42,13 @@ class TableStore:
                      partition_by=None) -> dict:
         raise NotImplementedError
 
+    def append(self, table: str, df: DataFrame,
+               meta: dict | None = None) -> dict:
+        """Append rows without rewriting existing data — commit cost is
+        O(new rows), independent of table history (Iceberg: a real append
+        snapshot). For unpartitioned fact/log tables (lineage)."""
+        raise NotImplementedError
+
     def exists(self, table: str) -> bool:
         raise NotImplementedError
 
@@ -81,13 +88,16 @@ class HadoopTableStore(TableStore):
         with open(p) as f:
             return json.load(f)
 
-    def _commit(self, table: str, snap_dir: str, meta: dict | None) -> dict:
+    def _commit(self, table: str, snap_dir: str, meta: dict | None,
+                paths: list[str] | None = None) -> dict:
         manifest = {
             "snapshot": os.path.basename(snap_dir),
             "path": snap_dir,
             "committed_at": time.time(),
             "meta": meta or {},
         }
+        if paths is not None:
+            manifest["paths"] = paths
         prev = self._read_manifest(table)
         if prev is not None:
             manifest["parent"] = prev["snapshot"]
@@ -109,7 +119,8 @@ class HadoopTableStore(TableStore):
         m = self._read_manifest(table)
         if m is None:
             raise FileNotFoundError(f"table {table!r} has no committed snapshot")
-        return self.spark.read.parquet(m["path"])
+        # append commits accumulate a path list; plain writes keep one path
+        return self.spark.read.parquet(*m.get("paths", [m["path"]]))
 
     def write(self, table: str, df: DataFrame, *, partition_by=None,
               sort_within_partitions=None, meta: dict | None = None) -> dict:
@@ -143,12 +154,29 @@ class HadoopTableStore(TableStore):
         ``partition_by`` re-imposes a physical layout on the merged commit
         (copy-on-write loses it otherwise); Iceberg keeps the table's
         declared layout and ignores it.
+
+        PARTITION-PRUNED CoW (VERDICT r2 #7): when both the committed
+        snapshot and the merge share a single-column layout and the
+        updates carry that column, only the partition directories the
+        updates touch are rewritten; every untouched directory is
+        HARD-LINKED from the previous snapshot into the new one (same
+        inodes — mirroring Iceberg's file-level CoW, where unchanged data
+        files are referenced, not copied). Incremental ingest then pays
+        |touched buckets|/P of the table rewrite instead of all of it.
+        Precondition (holds for every engine table): the partition column
+        is a pure function of ``key`` — an update can then never move a
+        row between partitions, so untouched directories cannot hold a
+        stale copy of an updated key.
         """
         if not self.exists(table):
             return self.write(table, updates, partition_by=partition_by)
         prev_meta = dict(self.table_meta(table) or {})
         prev_meta.pop("data_uuid", None)  # write() mints a fresh one
         prev_meta["merged_on"] = key
+        pruned = self._merge_pruned(table, updates, key, partition_by,
+                                    prev_meta)
+        if pruned is not None:
+            return pruned
         current = self.read(table)
         merged = current.join(updates.select(key), on=key,
                               how="left_anti").unionByName(updates)
@@ -156,6 +184,69 @@ class HadoopTableStore(TableStore):
         # Spark writes eagerly inside write(), reading the *old* snapshot.
         return self.write(table, merged, meta=prev_meta,
                           partition_by=partition_by)
+
+    def _merge_pruned(self, table: str, updates: DataFrame, key: str,
+                      partition_by, prev_meta: dict) -> dict | None:
+        """Partition-pruned CoW merge; returns None when the layout
+        preconditions don't hold (caller falls back to the full rewrite).
+        """
+        if not partition_by or len(partition_by) != 1:
+            return None
+        part_col = partition_by[0]
+        if part_col not in updates.columns:
+            return None
+        manifest = self._read_manifest(table)
+        if manifest is None or len(manifest.get(
+                "paths", [manifest["path"]])) != 1:
+            return None  # appended tables: no single dir to link from
+        old_snap = manifest["path"]
+        old_dirs = [d for d in os.listdir(old_snap)
+                    if d.startswith(f"{part_col}=")]
+        if not old_dirs:
+            return None  # previous snapshot wasn't written with this layout
+        touched = {str(r[0]) for r in
+                   updates.select(part_col).distinct().collect()}
+        current = self.read(table)
+        merged_touched = (
+            current.filter(F.col(part_col).cast("string").isin(*touched))
+            .join(updates.select(key), on=key, how="left_anti")
+            .unionByName(updates))
+        meta = dict(prev_meta)
+        meta.setdefault("data_uuid", uuid.uuid4().hex)
+        snap = os.path.join(self._tdir(table),
+                            f"snap-{uuid.uuid4().hex[:12]}")
+        # write ONLY the touched partitions' merged rows (reads the old
+        # snapshot — the manifest pointer flips after)
+        (merged_touched.write.mode("overwrite")
+         .partitionBy(part_col).parquet(snap))
+        # hard-link every untouched partition dir from the old snapshot:
+        # same inodes, zero data copied, old snapshot stays intact
+        for d in old_dirs:
+            if d.split("=", 1)[1] in touched:
+                continue
+            src_dir, dst_dir = os.path.join(old_snap, d), \
+                os.path.join(snap, d)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in os.listdir(src_dir):
+                os.link(os.path.join(src_dir, f),
+                        os.path.join(dst_dir, f))
+        return self._commit(table, snap, meta)
+
+    def append(self, table: str, df: DataFrame,
+               meta: dict | None = None) -> dict:
+        """O(new rows) append: the new rows land in their own snap dir and
+        the manifest's path LIST grows by one — nothing existing is read
+        or rewritten, so committing run N+1 costs the same as run 1
+        (VERDICT r2 #6: lineage commits used to rewrite full history).
+        Unpartitioned tables only (partition layouts need write())."""
+        meta = dict(meta or {})
+        meta.setdefault("data_uuid", uuid.uuid4().hex)
+        snap = os.path.join(self._tdir(table),
+                            f"snap-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(snap)
+        m = self._read_manifest(table)
+        prev_paths = [] if m is None else m.get("paths", [m["path"]])
+        return self._commit(table, snap, meta, paths=prev_paths + [snap])
 
 
 class IcebergCatalogStore(TableStore):
@@ -244,6 +335,17 @@ class IcebergCatalogStore(TableStore):
         meta["merged_on"] = key
         self._set_meta(table, meta)
         return {"snapshot": "iceberg-merge", "meta": meta}
+
+    def append(self, table: str, df: DataFrame,
+               meta: dict | None = None) -> dict:
+        """Real Iceberg append snapshot — O(new rows) by construction."""
+        meta = dict(meta or {})
+        meta.setdefault("data_uuid", uuid.uuid4().hex)
+        if not self.exists(table):
+            return self.write(table, df, meta=meta)
+        df.writeTo(self._qual(table)).append()
+        self._set_meta(table, meta)
+        return {"snapshot": "iceberg-append", "meta": meta}
 
 
 def make_store(spark: SparkSession, root_or_catalog: str,

@@ -430,6 +430,108 @@ def test_chained_incremental_merges_stay_identical(spark, tmp_path_factory):
     assert qi.top_k("zqa", k=10) == []
 
 
+def test_partitioned_merge_hardlinks_untouched_buckets(spark,
+                                                       tmp_path_factory):
+    """Partition-pruned copy-on-write (VERDICT r2 #7): with the
+    partitioned doc_features layout, a merge must rewrite ONLY the
+    touched doc-range buckets — every untouched partition directory in
+    the new snapshot holds hard links (same inodes) to the previous
+    snapshot's files, so sandbox incremental ingest is incremental
+    end-to-end."""
+    import json
+    import os
+
+    from semantic_search_engine_spark.corpus import generate_rows
+    from semantic_search_engine_spark.textproc import (
+        doc_bucket,
+        doc_id_for_url,
+    )
+
+    base = list(generate_rows(60))
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=4,
+                       shuffle_partitions=4, block_size=16,
+                       partition_doc_features=True)
+    store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_cow")))
+    builder = IndexBuilder(spark, store, cfg)
+    builder.build(_mkdocs(spark, base))
+    n_before = store.read("doc_meta").count()
+
+    def snap_inodes(path):
+        return {d: {f: os.stat(os.path.join(path, d, f)).st_ino
+                    for f in os.listdir(os.path.join(path, d))}
+                for d in os.listdir(path) if d.startswith("partition_id=")}
+
+    man0 = json.load(open(os.path.join(store.root, "doc_features",
+                                       "manifest.json")))
+    inodes0 = snap_inodes(man0["path"])
+    assert len(inodes0) > 1  # layout actually partitioned
+
+    url = "https://cow.example/x"
+    touched = {doc_bucket(doc_id_for_url(url), cfg.n_doc_buckets)}
+    builder.ingest_updates(_mkdocs(spark, [
+        dict(url=url, warc_ts=None, html=None,
+             text="cow merge token zzcow", lang="en")]))
+
+    man1 = json.load(open(os.path.join(store.root, "doc_features",
+                                       "manifest.json")))
+    assert man1["path"] != man0["path"]
+    inodes1 = snap_inodes(man1["path"])
+    linked = rewritten = 0
+    for d, files in inodes1.items():
+        bucket = int(d.split("=", 1)[1])
+        if bucket in touched:
+            rewritten += 1
+            continue
+        assert files == inodes0[d], f"untouched {d} was rewritten"
+        linked += 1
+    assert rewritten >= 1 and linked >= 1
+    assert linked == len(inodes0) - len(touched & {int(d.split('=')[1])
+                                                   for d in inodes0})
+    # semantics unchanged: one new doc, searchable, old docs intact
+    assert store.read("doc_meta").count() == n_before + 1
+    qe = QueryEngine(spark, store, cfg)
+    assert len(qe.top_k("zzcow", k=5)) == 1
+    assert qe.top_k("wireless bluetooth headphones", k=5)
+
+
+def test_lineage_commit_appends_without_rewriting_history(
+        spark, tmp_path_factory):
+    """commit_lineage must be O(this run): a later run's commit may not
+    rewrite the earlier runs' lineage files (VERDICT r2 #6), and reads
+    must see all runs' rows."""
+    import json
+    import os
+
+    from semantic_search_engine_spark.corpus import generate_rows
+
+    base = list(generate_rows(30))
+    cfg = EngineConfig(n_doc_buckets=4, n_term_buckets=4,
+                       shuffle_partitions=4, block_size=16)
+    store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("wh_lin")))
+    builder = IndexBuilder(spark, store, cfg)
+    builder.build(_mkdocs(spark, base))
+
+    mpath = os.path.join(store.root, "lineage", "manifest.json")
+    man0 = json.load(open(mpath))
+    paths0 = man0.get("paths", [man0["path"]])
+    assert len(paths0) == 1
+    files0 = {os.path.join(p, f): os.stat(os.path.join(p, f)).st_ino
+              for p in paths0 for f in os.listdir(p)}
+
+    builder.ingest_updates(_mkdocs(spark, [
+        dict(url="https://lin.example/y", warc_ts=None, html=None,
+             text="lineage append token", lang="en")]))
+
+    man1 = json.load(open(mpath))
+    paths1 = man1.get("paths", [man1["path"]])
+    assert len(paths1) == 2 and paths1[0] == paths0[0]
+    for p, ino in files0.items():  # first run's files untouched
+        assert os.stat(p).st_ino == ino
+    lin = store.read("lineage")
+    assert lin.select("run_id").distinct().count() >= 2
+    assert lin.filter(F.col("stage") == "doc_features").count() >= 1
+
+
 def test_incremental_falls_back_after_partial_upsert(spark,
                                                      tmp_path_factory):
     """Crash window (code-review r2): an upsert whose doc_features merge
