@@ -176,12 +176,17 @@ class QueryEngine:
         return {r["term"]: bm25_idf(n, int(r["df"])) for r in rows}
 
     # ------------------------------------------------------------------
-    def scores_df(self, query: str) -> DataFrame:
+    def scores_df(self, query: str,
+                  buckets: list[int] | None = None) -> DataFrame:
         """Exhaustive BM25 score per candidate doc — lazy DataFrame.
 
         Decodes only the query terms' postings; the BM25 expression is pure
         Spark SQL (whole-stage codegen), the per-term weights arrive via a
         broadcast join of a tiny idf literal frame.
+
+        ``buckets``: optional doc-range bucket subset — restricts scoring
+        to those buckets' posting slices (the sampled-count path). Scores
+        are unchanged for the docs covered (idf/avgdl stay global).
         """
         cfg = self.cfg
         qterms = sorted(set(tokenize(query, cfg.max_token_len, cfg.min_token_len)))
@@ -192,8 +197,12 @@ class QueryEngine:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double")
 
-        decoded = (self._pruned_term_scan(f"postings{self._sfx()}",
-                                          sorted(idfs))
+        scan = self._pruned_term_scan(f"postings{self._sfx()}",
+                                      sorted(idfs))
+        if buckets is not None:
+            scan = scan.filter(
+                F.col("partition_id").isin([int(b) for b in buckets]))
+        decoded = (scan
                    .select("term", "doc_ids_vb", "tfs_vb", "dls_vb",
                            "n_postings")
                    .mapInPandas(decode_postings, schema=DECODED_SCHEMA))
@@ -445,6 +454,39 @@ class QueryEngine:
             out[queries[qi]] = sorted(hits, key=lambda h: (-h[1], h[0]))
         return out
 
+    def approx_count(self, query: str, min_score: float = 0.0,
+                     lang: str | None = None, warc_ts_min=None,
+                     warc_ts_max=None,
+                     sample_buckets: list[int] | None = None) -> int:
+        """Sampled pre-limit candidate count (reference Q10,
+        ``ProductRepository.java:95-117``) — the middle ground between
+        ``count_mode="exact"`` (scores EVERY candidate: O(Σ postings of
+        the query terms), priced honestly in docs/SCALE.md) and
+        ``"none"`` (O(1), totalCount = page size).
+
+        Doc ids are uniform hashes, so doc-range buckets are a uniform
+        random partition of the corpus: counting candidates in S of the P
+        buckets and scaling by P/S is an unbiased estimate with relative
+        error ~ 1/sqrt(sampled candidates). Cost is S/P of the exact
+        count's decode+score work, and both scans (postings slice,
+        doc_meta) prune to the sampled buckets. ``sample_buckets=None``
+        samples the first quarter (≥1) of the buckets; passing all
+        buckets degenerates to the exact count.
+        """
+        P = self.cfg.n_doc_buckets
+        sample = (list(range(max(1, P // 4)))
+                  if sample_buckets is None else list(sample_buckets))
+        cand = self.scores_df(query, buckets=sample)
+        if min_score > 0.0:
+            cand = cand.filter(F.col("score") >= F.lit(min_score))
+        meta = (self.store.read(f"doc_meta{self._sfx()}")
+                .filter(F.col("partition_id")
+                        .isin([int(b) for b in sample]))
+                .select("doc_id", "lang", "warc_ts"))
+        n = self._apply_meta_filters(cand.join(meta, "doc_id"), lang,
+                                     warc_ts_min, warc_ts_max).count()
+        return int(round(n * P / len(sample)))
+
     def _hydrate_hits(self, top: DataFrame) -> DataFrame:
         """Decorate WAND hits (partition_id, doc_id, score) with doc_meta
         columns, in (score DESC, doc_id ASC) order.
@@ -520,7 +562,10 @@ class QueryEngine:
         ``count_mode``: "exact" runs the pre-limit count (the reference's
         second COUNT statement, ``ProductRepository.java:95-117``); "none"
         mirrors its title-path shortcut (totalCount = page size,
-        ``SearchService.java:110-111``) — the O(1) choice at web scale.
+        ``SearchService.java:110-111``) — the O(1) choice at web scale;
+        "approx" estimates the pre-limit count from a bucket sample
+        (:meth:`approx_count`) at a fraction of the exact count's cost
+        while the page itself still comes from the WAND fast path.
 
         ``mode``: "wand" (default) allows the block-max WAND fast path;
         "exhaustive" forces the score-every-candidate plan even when the
@@ -531,7 +576,7 @@ class QueryEngine:
         k = cfg.default_k if k is None else min(k, cfg.max_k)
         offset = min(max(offset, 0), cfg.max_offset)
 
-        if mode == "wand" and count_mode == "none":
+        if mode == "wand" and count_mode in ("none", "approx"):
             # fast path: filtered block-max WAND; totalCount = page size
             # (the reference's own title-path shortcut,
             # SearchService.java:110-111). A min_score threshold rides
@@ -544,11 +589,18 @@ class QueryEngine:
                 min_score=min_score
             ).select("partition_id", "doc_id", "score")
             rows = self._hydrate_hits(top).collect()[offset:]
+            if count_mode == "approx":
+                total = max(self.approx_count(
+                    query, min_score=min_score, lang=lang,
+                    warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max),
+                    len(rows))
+            else:
+                total = len(rows)
             elapsed_ms = int((time.time() - t0) * 1000)
             self._log_search(query, len(rows), elapsed_ms)
             return {
                 "results": [r.asDict() for r in rows],
-                "total_count": len(rows),
+                "total_count": total,
                 "limit": k,
                 "offset": offset,
                 "query": query,
