@@ -143,6 +143,16 @@ def main() -> None:
     qe.search("wireless bluetooth headphones", k=10, lang="en",
               count_mode="none")
     queries["q_filtered_wand"] = round(time.time() - t0, 3)
+    # threshold fast path: min_score seeds WAND's theta (round 3)
+    t0 = time.time()
+    qe.search("wireless bluetooth headphones", k=10, min_score=1.0,
+              count_mode="none")
+    queries["q_threshold_wand"] = round(time.time() - t0, 3)
+    # sampled pre-limit count (between exact and none)
+    t0 = time.time()
+    qe.search("wireless bluetooth headphones", k=10, lang="en",
+              count_mode="approx")
+    queries["q_approx_count"] = round(time.time() - t0, 3)
 
     total = build_sec + sum(qtimes) + queries["q_filtered_exact_count"]
     out = {

@@ -29,7 +29,8 @@ def main(argv=None) -> int:
     p.add_argument("--min-score", type=float, default=0.0)
     p.add_argument("--lang", default=None)
     p.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
-    p.add_argument("--count", default="none", choices=["exact", "none"])
+    p.add_argument("--count", default="none",
+                   choices=["exact", "approx", "none"])
     p.add_argument("--batch", action="store_true",
                    help="answer ALL queries in one Spark job "
                         "(multi-query WAND; bare top-k only — "

@@ -537,3 +537,48 @@ class IndexBuilder:
         self._run_downstream(runner, sfx, changed_buckets=changed)
         runner.commit_lineage(self.spark)
         return runner
+
+    # ------------------------------------------------------------------
+    def delete_docs(self, urls: list[str], field: str = "text",
+                    run_id: str | None = None,
+                    incremental: bool = True) -> StageRunner:
+        """Remove documents by url and maintain the index — the DELETE
+        the reference gets for free from Postgres, as an explicit
+        engine operation (web corpora need it: pages vanish, takedowns
+        land, dedup survivors evict losers).
+
+        The doc-range bucket is a pure function of the url hash, so the
+        deleted urls name their buckets exactly: the doc_features delete
+        is a partition-pruned CoW (only those buckets' directories
+        rewritten, the rest hard-linked), and ``incremental`` postings
+        maintenance re-encodes only those buckets — every other bucket's
+        blocks carry over byte-for-byte with block-max refreshed under
+        the post-delete avgdl. Bit-identical to a full rebuild over the
+        surviving documents (pinned by test). Deleting urls that were
+        never indexed is a no-op for their rows but still rebuilds stats.
+        """
+        from ..textproc import doc_bucket, doc_id_for_url
+
+        cfg = self.cfg
+        sfx = "" if field == "text" else f"_{field}"
+        changed: list[int] | None = None
+        if incremental and self._postings_current(sfx, field):
+            changed = sorted({doc_bucket(doc_id_for_url(u),
+                                         cfg.n_doc_buckets)
+                              for u in urls})
+        # (url, partition_id) key frame via the JVM id/bucket exprs
+        keys = (self.spark.createDataFrame([(u,) for u in urls],
+                                           "url string")
+                .withColumn("doc_id", doc_id_expr("url"))
+                .withColumn("partition_id",
+                            doc_bucket_expr("doc_id", cfg.n_doc_buckets))
+                .select("url", "partition_id"))
+        self.store.delete_by_key(
+            f"doc_features{sfx}", keys, key="url",
+            partition_by=(["partition_id"] if cfg.partition_doc_features
+                          else None))
+        runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
+                             run_id=run_id)
+        self._run_downstream(runner, sfx, changed_buckets=changed)
+        runner.commit_lineage(self.spark)
+        return runner

@@ -49,6 +49,13 @@ class TableStore:
         snapshot). For unpartitioned fact/log tables (lineage)."""
         raise NotImplementedError
 
+    def delete_by_key(self, table: str, keys: DataFrame, key: str,
+                      partition_by=None) -> dict:
+        """Remove all rows whose ``key`` appears in ``keys`` (the
+        ``DELETE FROM ... WHERE key IN (...)`` analogue). Same layout and
+        meta-carry contract as :meth:`merge_by_key`."""
+        raise NotImplementedError
+
     def exists(self, table: str) -> bool:
         raise NotImplementedError
 
@@ -211,16 +218,23 @@ class HadoopTableStore(TableStore):
             current.filter(F.col(part_col).cast("string").isin(*touched))
             .join(updates.select(key), on=key, how="left_anti")
             .unionByName(updates))
+        return self._pruned_cow_commit(table, merged_touched, part_col,
+                                       touched, old_snap, old_dirs,
+                                       prev_meta)
+
+    def _pruned_cow_commit(self, table: str, touched_rows: DataFrame,
+                           part_col: str, touched: set, old_snap: str,
+                           old_dirs: list[str], prev_meta: dict) -> dict:
+        """Write only the touched partitions' rows into a fresh snapshot
+        and hard-link every untouched partition dir from the old one
+        (same inodes, zero data copied, old snapshot stays intact)."""
         meta = dict(prev_meta)
         meta.setdefault("data_uuid", uuid.uuid4().hex)
         snap = os.path.join(self._tdir(table),
                             f"snap-{uuid.uuid4().hex[:12]}")
-        # write ONLY the touched partitions' merged rows (reads the old
-        # snapshot — the manifest pointer flips after)
-        (merged_touched.write.mode("overwrite")
+        # reads the old snapshot — the manifest pointer flips after
+        (touched_rows.write.mode("overwrite")
          .partitionBy(part_col).parquet(snap))
-        # hard-link every untouched partition dir from the old snapshot:
-        # same inodes, zero data copied, old snapshot stays intact
         for d in old_dirs:
             if d.split("=", 1)[1] in touched:
                 continue
@@ -231,6 +245,43 @@ class HadoopTableStore(TableStore):
                 os.link(os.path.join(src_dir, f),
                         os.path.join(dst_dir, f))
         return self._commit(table, snap, meta)
+
+    def delete_by_key(self, table: str, keys: DataFrame, key: str,
+                      partition_by=None) -> dict:
+        """Copy-on-write delete. With a single-column partition layout and
+        the partition column present in ``keys``, only the partition
+        directories that CONTAIN deleted keys are rewritten; the rest are
+        hard-linked from the previous snapshot (same pruned-CoW shape as
+        :meth:`merge_by_key`, same soundness precondition: the partition
+        column is a function of the key)."""
+        if not self.exists(table):
+            raise FileNotFoundError(f"table {table!r} does not exist")
+        prev_meta = dict(self.table_meta(table) or {})
+        prev_meta.pop("data_uuid", None)
+        prev_meta["deleted_on"] = key
+        if partition_by and len(partition_by) == 1 \
+                and partition_by[0] in keys.columns:
+            part_col = partition_by[0]
+            manifest = self._read_manifest(table)
+            old_dirs = [] if manifest is None or len(manifest.get(
+                "paths", [manifest["path"]])) != 1 else \
+                [d for d in os.listdir(manifest["path"])
+                 if d.startswith(f"{part_col}=")]
+            if old_dirs:
+                touched = {str(r[0]) for r in
+                           keys.select(part_col).distinct().collect()}
+                kept_touched = (
+                    self.read(table)
+                    .filter(F.col(part_col).cast("string")
+                            .isin(*touched))
+                    .join(keys.select(key), on=key, how="left_anti"))
+                return self._pruned_cow_commit(
+                    table, kept_touched, part_col, touched,
+                    manifest["path"], old_dirs, prev_meta)
+        kept = self.read(table).join(keys.select(key), on=key,
+                                     how="left_anti")
+        return self.write(table, kept, meta=prev_meta,
+                          partition_by=partition_by)
 
     def append(self, table: str, df: DataFrame,
                meta: dict | None = None) -> dict:
@@ -335,6 +386,19 @@ class IcebergCatalogStore(TableStore):
         meta["merged_on"] = key
         self._set_meta(table, meta)
         return {"snapshot": "iceberg-merge", "meta": meta}
+
+    def delete_by_key(self, table: str, keys: DataFrame, key: str,
+                      partition_by=None) -> dict:
+        """Real Iceberg row-level DELETE (file-pruned by the engine)."""
+        keys.select(key).createOrReplaceTempView("_delete_keys")
+        self.spark.sql(
+            f"DELETE FROM {self._qual(table)} "
+            f"WHERE {key} IN (SELECT {key} FROM _delete_keys)")
+        meta = dict(self.table_meta(table) or {})
+        meta["data_uuid"] = uuid.uuid4().hex
+        meta["deleted_on"] = key
+        self._set_meta(table, meta)
+        return {"snapshot": "iceberg-delete", "meta": meta}
 
     def append(self, table: str, df: DataFrame,
                meta: dict | None = None) -> dict:
