@@ -27,7 +27,28 @@ import sys
 import time
 
 
+def _pin_allocator_memory() -> None:
+    """Keep freed memory inside the process instead of returning it to the
+    kernel. This VM boots with virtio free-page-reporting
+    (``page_reporting.page_reporting_order`` on the kernel cmdline), which
+    hands freed pages back to the hypervisor; a workload that rapidly
+    allocates and frees tens-of-MB buffers — exactly the Arrow batch
+    transfer in a pandas-UDF stage — then re-faults those pages on every
+    cycle, burning kernel time superlinearly with process count (measured
+    this round: the extract stage collapsed 6x at width 32; see BENCH.md
+    "host regime"). The glibc tunables below make malloc serve large
+    buffers from the retained heap (no mmap/munmap churn, no trim), and
+    the JVM flags in ``main`` (-Xms=-Xmx -XX:+AlwaysPreTouch) do the same
+    for the executor heap. On an unafflicted host these settings are
+    harmless — they trade a bounded RSS floor for allocator stability,
+    standard practice for long-lived executors."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "33554432")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+
+
 def main() -> None:
+    _pin_allocator_memory()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
@@ -55,6 +76,11 @@ def main() -> None:
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", "24g")
+        # Pre-touch a fixed-size heap so the JVM never grows/shrinks and
+        # never hands pages back to the hypervisor mid-build (see
+        # _pin_allocator_memory; same free-page-reporting pathology).
+        .config("spark.driver.extraJavaOptions",
+                "-Xms24g -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -75,8 +101,18 @@ def main() -> None:
     warehouse = os.path.join(cache_root, f"warehouse_n{n_docs}_c{cpus}")
     shutil.rmtree(warehouse, ignore_errors=True)  # measure a cold build
     store = HadoopTableStore(spark, warehouse)
+    # Python-stage width (SPARK_GRAFT_PYW overrides): this round's sandbox
+    # kernel degrades SUPERLINEARLY under many concurrently busy
+    # processes — the no-Spark multiprocessing baseline itself runs ~50%
+    # FASTER at 8 workers than at 32 (measured this round; see BENCH.md
+    # "host regime"), and a 32-wide Spark UDF stage (32 Python workers +
+    # 32 JVM task threads) collapses 6x. Capping only the UDF stages to
+    # the host's efficient width keeps the JVM stages at full
+    # parallelism; outputs are bit-identical at any width.
+    pyw = int(os.environ.get("SPARK_GRAFT_PYW", min(8, cpus)))
     cfg = EngineConfig(shuffle_partitions=cpus,
-                       n_doc_buckets=max(32, cpus))
+                       n_doc_buckets=max(32, cpus),
+                       python_stage_parallelism=pyw)
     builder = IndexBuilder(spark, store, cfg)
     docs = spark.read.parquet(corpus_path)
 
@@ -109,6 +145,7 @@ def main() -> None:
             "metric": "index_build_wall", "value": round(build_sec, 3),
             "unit": "sec", "queries": queries, "sf": sf, "n_docs": n_docs,
             "docs_per_sec": round(n_docs / build_sec, 1), "cpus": cpus,
+            "python_stage_parallelism": pyw,
             "stage_sec": {m["stage"]: round(m["wall_ms"] / 1000.0, 3)
                           for m in runner.metrics}}))
         spark.stop()
@@ -164,6 +201,7 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / build_sec, 1),
         "cpus": cpus,
+        "python_stage_parallelism": pyw,
         "corpus_gen_sec": round(gen_sec, 3),
         "stage_sec": {k: round(v, 3) for k, v in stage_sec.items()},
     }

@@ -67,9 +67,29 @@ class EngineConfig:
     # --- shuffle sizing ---
     shuffle_partitions: int = 32
 
+    # Concurrency cap for the Arrow/pandas-UDF stages (extract/tokenize
+    # and the posting-block encoder): when set, those stages repartition
+    # to THIS width instead of ``shuffle_partitions``, bounding the number
+    # of simultaneously busy Python worker processes. None (default)
+    # inherits the stage's natural width — correct on a real cluster,
+    # where each executor hosts only a few Python workers. Set it on
+    # hosts whose kernel degrades under many concurrent processes (the
+    # round-3 sandbox VM loses throughput *superlinearly* beyond ~8 busy
+    # Python workers — see BENCH.md "host regime"); purely physical, so
+    # it is excluded from the checkpoint fingerprint (outputs are
+    # bit-identical at any width: posting groups are keyed by
+    # (term, partition_id), never by the shuffle width).
+    python_stage_parallelism: int | None = None
+
     def fingerprint(self) -> str:
-        """Stable hash of the config — part of each stage's checkpoint key."""
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        """Stable hash of the config — part of each stage's checkpoint key.
+
+        ``python_stage_parallelism`` is excluded: it changes only the
+        physical width of the UDF stages, never their output, so toggling
+        it must not invalidate committed snapshots."""
+        d = asdict(self)
+        d.pop("python_stage_parallelism", None)
+        blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
 

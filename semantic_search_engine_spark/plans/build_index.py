@@ -266,13 +266,22 @@ class IndexBuilder:
                                            cfg.max_token_len)
         term_freqs = make_term_freqs_udf(cfg.max_token_len,
                                          cfg.min_token_len)
+        # Width of the Python-UDF stages: the configured cap when set
+        # (see EngineConfig.python_stage_parallelism), else the stage's
+        # natural shuffle width.
+        pyw = cfg.python_stage_parallelism or cfg.shuffle_partitions
         # Small-input guard: the extract UDF is the most expensive stage
         # and its parallelism is bounded by the scan's split count. A
         # real web corpus arrives as thousands of files (no-op here); a
         # single small parquet file would otherwise serialize extraction.
+        # With an explicit cap the width is forced exactly (a wide scan
+        # must come DOWN to the cap for the cap to mean anything).
         src = documents
-        if src.rdd.getNumPartitions() < cfg.shuffle_partitions:
-            src = src.repartition(cfg.shuffle_partitions)
+        if cfg.python_stage_parallelism:
+            if src.rdd.getNumPartitions() != pyw:
+                src = src.repartition(pyw)
+        elif src.rdd.getNumPartitions() < pyw:
+            src = src.repartition(pyw)
         from pyspark.sql.window import Window
         # Deterministic duplicate-url winner (recrawls are normal in web
         # corpora): latest warc_ts, then greatest extracted-text sha — a
@@ -292,7 +301,7 @@ class IndexBuilder:
                     F.col("ex.text").alias("text"),
                     F.col("ex.extracted_sha256").alias("extracted_sha256"))
             .filter(F.col("text").isNotNull())       # validity filter
-            .repartition(cfg.shuffle_partitions, "url")
+            .repartition(pyw, "url")
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn")
             .withColumn("doc_id", doc_id_expr("url"))
@@ -321,7 +330,10 @@ class IndexBuilder:
         with only tf_map/doc_len recomputed over the ``field`` column."""
         term_freqs = make_term_freqs_udf(self.cfg.max_token_len,
                                          self.cfg.min_token_len)
-        ex = (self.store.read("doc_features")
+        src = self.store.read("doc_features")
+        if self.cfg.python_stage_parallelism:   # tokenize is a UDF stage
+            src = src.repartition(self.cfg.python_stage_parallelism)
+        ex = (src
               .drop("tf_map", "doc_len")
               .withColumn("tf_map", term_freqs(F.col(field)))
               .withColumn(
@@ -428,9 +440,14 @@ class IndexBuilder:
                         F.col("doc_len").alias("dl"),
                         F.explode("tf_map").alias("term", "tf"))
             )
+            # The block encoder is a Python (mapInPandas) stage, so its
+            # width honours the python_stage_parallelism cap too. Output
+            # is width-independent: groups are keyed (term, partition_id)
+            # and each group hashes wholly into one partition.
+            enc_w = (cfg.python_stage_parallelism
+                     or cfg.shuffle_partitions)
             shuffled = (
-                pairs.repartition(cfg.shuffle_partitions, "term",
-                                  "partition_id")
+                pairs.repartition(enc_w, "term", "partition_id")
                 .sortWithinPartitions("term", "partition_id", "doc_id")
             )
             encoder = make_block_encoder(avgdl, cfg.k1, cfg.b,
