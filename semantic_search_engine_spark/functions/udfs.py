@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..textproc import extract_html, tokenize
+from ..textproc import extract_html, token_positions, tokenize
 
 EXTRACT_SCHEMA = "title string, text string, extracted_sha256 string"
 
@@ -79,6 +79,22 @@ def make_term_freqs_udf(max_token_len: int = 64, min_token_len: int = 1):
              if t else {} for t in text])
 
     return term_freqs
+
+
+def make_token_positions_udf(max_token_len: int = 64,
+                             min_token_len: int = 1):
+    """text -> map<term, array<int>> of kept-token positions — the
+    tsvector payload behind the positional index (plans/phrase.py).
+    Same tokenization pass as ``make_term_freqs_udf``; by construction
+    ``len(positions[t]) == tf_map[t]`` for every term."""
+
+    @pandas_udf("map<string,array<int>>")
+    def term_positions(text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [token_positions(t, max_token_len, min_token_len)
+             if t else {} for t in text])
+
+    return term_positions
 
 
 # --- JVM-side column expressions (no Python) --------------------------------

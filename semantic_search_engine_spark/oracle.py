@@ -20,7 +20,13 @@ from collections import Counter, defaultdict
 from dataclasses import dataclass, field
 
 from .config import DEFAULT_CONFIG, EngineConfig
-from .textproc import doc_id_for_url, resolve_text, tokenize
+from .textproc import (
+    doc_id_for_url,
+    min_window_span,
+    phrase_match_count,
+    resolve_text,
+    tokenize,
+)
 
 
 @dataclass
@@ -33,6 +39,8 @@ class OracleIndex:
     doc_meta: dict[int, dict] = field(default_factory=dict)  # doc_id -> row meta
     postings: dict[str, list[tuple[int, int]]] = field(
         default_factory=dict)  # term -> [(doc_id, tf)] sorted by doc_id
+    doc_positions: dict[int, dict[str, list[int]]] = field(
+        default_factory=dict)  # doc_id -> term -> kept-stream positions
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -66,6 +74,10 @@ class OracleIndex:
             }
             idx.n_docs += 1
             idx.total_tokens += len(toks)
+            pos: dict[str, list[int]] = defaultdict(list)
+            for i, t in enumerate(toks):
+                pos[t].append(i)
+            idx.doc_positions[did] = dict(pos)
             for term, tf in Counter(toks).items():
                 acc[term].append((did, tf))
         idx.postings = {t: sorted(pl) for t, pl in acc.items()}
@@ -147,3 +159,58 @@ class OracleIndex:
     def top_k(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         r = self.search(query, k=k)
         return [(h["doc_id"], h["score"]) for h in r["results"]]
+
+    # ------------------------------------------------------- phrase/proximity
+    def _bm25_for_docs(self, qterms_sorted: list[str],
+                       docs: set[int]) -> dict[int, float]:
+        """BM25 over the given term set restricted to ``docs`` — identical
+        float order (sorted terms, postings order) to :meth:`search`."""
+        scores: dict[int, float] = defaultdict(float)
+        for t in qterms_sorted:
+            pl = self.postings.get(t)
+            if not pl:
+                continue
+            w = self.idf(t)
+            for did, tf in pl:
+                if did in docs:
+                    scores[did] += w * self.tf_norm(tf, self.doc_len[did])
+        return scores
+
+    def phrase_top_k(self, phrase: str,
+                     k: int = 10) -> list[tuple[int, float, int]]:
+        """Exact phrase match (Postgres ``phraseto_tsquery`` / ``<->``
+        semantics over kept-token positions) ranked by BM25 of the
+        phrase's terms. Returns [(doc_id, score, n_matches)] in
+        (score DESC, doc_id ASC) order."""
+        cfg = self.cfg
+        pterms = tokenize(phrase, cfg.max_token_len, cfg.min_token_len)
+        if not pterms:
+            return []
+        matched: dict[int, int] = {}
+        for did, pos in self.doc_positions.items():
+            n = phrase_match_count(pos, pterms)
+            if n > 0:
+                matched[did] = n
+        scores = self._bm25_for_docs(sorted(set(pterms)), set(matched))
+        hits = sorted(((did, s, matched[did]) for did, s in scores.items()),
+                      key=lambda x: (-x[1], x[0]))
+        return hits[:k]
+
+    def near_top_k(self, query: str, max_span: int,
+                   k: int = 10) -> list[tuple[int, float, int]]:
+        """Proximity search: all distinct query terms within a window of
+        ``max_span`` tokens (inclusive span), ranked by BM25. Returns
+        [(doc_id, score, span)]."""
+        cfg = self.cfg
+        qterms = tokenize(query, cfg.max_token_len, cfg.min_token_len)
+        if not qterms:
+            return []
+        matched: dict[int, int] = {}
+        for did, pos in self.doc_positions.items():
+            span = min_window_span(pos, qterms)
+            if span is not None and span <= max_span:
+                matched[did] = span
+        scores = self._bm25_for_docs(sorted(set(qterms)), set(matched))
+        hits = sorted(((did, s, matched[did]) for did, s in scores.items()),
+                      key=lambda x: (-x[1], x[0]))
+        return hits[:k]

@@ -375,7 +375,9 @@ class IndexBuilder:
 
     # ------------------------------------------------------------------
     def _run_downstream(self, runner: StageRunner, sfx: str,
-                        changed_buckets: list[int] | None = None) -> None:
+                        changed_buckets: list[int] | None = None,
+                        pos_changed_buckets: list[int] | None = None
+                        ) -> None:
         """Stages 2-5: everything derived from doc_features. Shared by
         build() and ingest_updates() — fingerprints chain on the
         doc_features data_uuid, so they skip when it is unchanged and
@@ -488,6 +490,22 @@ class IndexBuilder:
                    partition_col="partition_id",
                    n_partitions=cfg.n_doc_buckets)
 
+        # -- stage 4b: positions (only when the opt-in positional index
+        # exists — keeps it consistent through merges/deletes; carries
+        # untouched buckets when ``pos_changed_buckets`` is sound) -------
+        if self.store.exists(f"positions{sfx}"):
+            pos_field = "text" if not sfx else sfx[1:]
+            runner.run(f"positions{sfx}", f"positions{sfx}",
+                       [f"doc_features{sfx}"],
+                       lambda: self._positions_df(
+                           sfx, pos_field,
+                           changed_buckets=pos_changed_buckets),
+                       partition_by=["term_bucket"],
+                       sort_within_partitions=["term", "partition_id",
+                                               "block_id"],
+                       partition_col="partition_id",
+                       n_partitions=cfg.n_doc_buckets)
+
         # -- stage 5: term_stats (second-level merge of per-bucket partials) -
         runner.run(
             f"term_stats{sfx}", f"term_stats{sfx}", [f"postings{sfx}"],
@@ -517,6 +535,105 @@ class IndexBuilder:
                 "config_json string"))
 
     # ------------------------------------------------------------------
+    def build_positions(self, field: str = "text",
+                        run_id: str | None = None) -> StageRunner:
+        """Opt-in positional index (plans/phrase.py) — the tsvector-style
+        position payload behind phrase ("a <-> b") and proximity search,
+        the capability Postgres layers on the GIN term index the
+        reference creates (``data-pipeline/database.py:60``).
+
+        A separate table, not a postings-schema change: BM25 top-k never
+        reads positions, so the WAND scan stays as narrow as today, and
+        corpora that never run phrase queries never pay the build. The
+        stage chains on the doc_features data_uuid — a merge or delete
+        invalidates it like every other derived stage. Same skew story
+        as postings: (term, doc-range bucket) groups, order-preserving
+        salt, streaming O(block) encoder, term_bucket pruning."""
+        cfg = self.cfg
+        sfx = "" if field == "text" else f"_{field}"
+        if not self.store.exists(f"doc_features{sfx}"):
+            raise ValueError(
+                f"no doc_features{sfx} table — build the {field!r} index "
+                "before its positional index")
+        runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
+                             run_id=run_id)
+        runner.run(f"positions{sfx}", f"positions{sfx}",
+                   [f"doc_features{sfx}"],
+                   lambda: self._positions_df(sfx, field),
+                   partition_by=["term_bucket"],
+                   sort_within_partitions=["term", "partition_id",
+                                           "block_id"],
+                   partition_col="partition_id",
+                   n_partitions=cfg.n_doc_buckets)
+        runner.commit_lineage(self.spark)
+        return runner
+
+    def _positions_current(self, sfx: str, field: str) -> bool:
+        """Positional-index analogue of :meth:`_postings_current`: may an
+        incremental maintenance pass carry untouched buckets forward?"""
+        from ..lineage import stage_fingerprint
+
+        meta = self.store.table_meta(f"positions{sfx}") or {}
+        if not meta:
+            return False
+        expected = stage_fingerprint(
+            f"positions{sfx}", self.cfg.fingerprint() + f"/{field}",
+            [(self.store.table_meta(f"doc_features{sfx}") or {})
+             .get("data_uuid", "")])
+        return meta.get("fingerprint", "") == expected
+
+    def _positions_df(self, sfx: str, field: str,
+                      changed_buckets: list[int] | None = None
+                      ) -> DataFrame:
+        """Position blocks from doc_features. With ``changed_buckets``,
+        re-encodes only those doc-range buckets and carries every other
+        bucket's rows from the previous snapshot BYTE-FOR-BYTE — unlike
+        postings, position payloads bake in no corpus statistic (no
+        avgdl), so the carry needs no metadata refresh at all."""
+        from ..functions.udfs import make_token_positions_udf
+        from .phrase import (
+            POSITIONS_COLS,
+            POSITIONS_SCHEMA,
+            make_positions_encoder,
+        )
+
+        cfg = self.cfg
+        col = "text" if field == "text" else field
+        src = self.store.read(f"doc_features{sfx}").select(
+            "doc_id", "partition_id", "doc_len", col)
+        incremental = (changed_buckets is not None
+                       and self.store.exists(f"positions{sfx}"))
+        if incremental:
+            src = src.filter(F.col("partition_id").isin(changed_buckets))
+        pyw = cfg.python_stage_parallelism or cfg.shuffle_partitions
+        if cfg.python_stage_parallelism:  # tokenize is a UDF stage
+            src = src.repartition(pyw)
+        pos_udf = make_token_positions_udf(cfg.max_token_len,
+                                           cfg.min_token_len)
+        pairs = (src.withColumn("pmap", pos_udf(F.col(col)))
+                 .select("partition_id", "doc_id",
+                         F.col("doc_len").alias("dl"),
+                         F.explode("pmap").alias("term", "positions")))
+        shuffled = (pairs.repartition(pyw, "term", "partition_id")
+                    .sortWithinPartitions("term", "partition_id",
+                                          "doc_id"))
+        blocks = shuffled.mapInPandas(
+            make_positions_encoder(cfg.block_size),
+            schema=POSITIONS_SCHEMA)
+        if incremental:
+            # reads the OLD snapshot: store.write materializes before the
+            # manifest flips (same copy-on-write pattern as the postings
+            # carry)
+            carried = (self.store.read(f"positions{sfx}")
+                       .filter(~F.col("partition_id")
+                               .isin(changed_buckets))
+                       .select(*POSITIONS_COLS))
+            blocks = blocks.unionByName(carried)
+        blocks = blocks.withColumn(
+            "term_bucket", term_bucket_expr("term", cfg.n_term_buckets))
+        return blocks.repartition(cfg.n_term_buckets, "term_bucket")
+
+    # ------------------------------------------------------------------
     def ingest_updates(self, updates: DataFrame, field: str = "text",
                        run_id: str | None = None,
                        incremental: bool = True) -> StageRunner:
@@ -540,10 +657,15 @@ class IndexBuilder:
         sfx = "" if field == "text" else f"_{field}"
         ex = self._doc_features_df(updates, field).cache()
         changed: list[int] | None = None
-        if incremental and self._postings_current(sfx, field):
-            changed = sorted({int(r["partition_id"]) for r in
+        pos_changed: list[int] | None = None
+        if incremental:
+            touched = sorted({int(r["partition_id"]) for r in
                               ex.select("partition_id").distinct()
                               .collect()})
+            if self._postings_current(sfx, field):
+                changed = touched
+            if self._positions_current(sfx, field):
+                pos_changed = touched
         self.store.merge_by_key(
             f"doc_features{sfx}", ex, key="url",
             partition_by=(["partition_id"] if cfg.partition_doc_features
@@ -551,7 +673,8 @@ class IndexBuilder:
         ex.unpersist()
         runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
                              run_id=run_id)
-        self._run_downstream(runner, sfx, changed_buckets=changed)
+        self._run_downstream(runner, sfx, changed_buckets=changed,
+                             pos_changed_buckets=pos_changed)
         runner.commit_lineage(self.spark)
         return runner
 
@@ -579,10 +702,15 @@ class IndexBuilder:
         cfg = self.cfg
         sfx = "" if field == "text" else f"_{field}"
         changed: list[int] | None = None
-        if incremental and self._postings_current(sfx, field):
-            changed = sorted({doc_bucket(doc_id_for_url(u),
+        pos_changed: list[int] | None = None
+        if incremental:
+            touched = sorted({doc_bucket(doc_id_for_url(u),
                                          cfg.n_doc_buckets)
                               for u in urls})
+            if self._postings_current(sfx, field):
+                changed = touched
+            if self._positions_current(sfx, field):
+                pos_changed = touched
         # (url, partition_id) key frame via the JVM id/bucket exprs
         keys = (self.spark.createDataFrame([(u,) for u in urls],
                                            "url string")
@@ -596,6 +724,7 @@ class IndexBuilder:
                           else None))
         runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
                              run_id=run_id)
-        self._run_downstream(runner, sfx, changed_buckets=changed)
+        self._run_downstream(runner, sfx, changed_buckets=changed,
+                             pos_changed_buckets=pos_changed)
         runner.commit_lineage(self.spark)
         return runner

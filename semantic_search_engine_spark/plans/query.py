@@ -437,6 +437,189 @@ class QueryEngine:
                               "score"))
         return ranked
 
+    # ------------------------------------------------- phrase / proximity
+    _PHRASE_EMPTY = ("partition_id int, doc_id long, score double, "
+                     "n_matches int")
+
+    def phrase_top_k_df(self, phrase: str, k: int | None = None,
+                        mode: str = "auto",
+                        max_span: int | None = None) -> DataFrame:
+        """Phrase (terms consecutive, in order) or proximity
+        (``max_span``: all distinct terms within an N-token window) top-k
+        ranked by BM25 of the constituent terms — Postgres
+        ``phraseto_tsquery`` / ``<->`` / ``<N>`` semantics
+        (the positional layer over the reference's GIN index,
+        ``data-pipeline/database.py:60``).
+
+        ``mode``: "positions" (positional index — one job: pruned
+        positions scan → per-bucket verify+score → ≤ P·k merge),
+        "recheck" (no positional index needed: postings conjunction →
+        re-tokenize candidate docs — the GIN bitmap-scan + heap-recheck
+        execution), or "auto" (positions when the table exists). The two
+        modes are result-identical (pinned by test).
+
+        Returns (partition_id, doc_id, score, n_matches) in
+        (score DESC, doc_id ASC) order; for proximity, n_matches is the
+        minimal window span instead of the phrase-occurrence count.
+        """
+        cfg = self.cfg
+        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        pterms = tokenize(phrase, cfg.max_token_len, cfg.min_token_len)
+        empty = self.spark.createDataFrame([], self._PHRASE_EMPTY)
+        if not pterms or k <= 0:
+            return empty
+        if mode == "auto":
+            mode = ("positions"
+                    if self.store.exists(f"positions{self._sfx()}")
+                    else "recheck")
+        if mode == "recheck":
+            return self._phrase_recheck_df(pterms, k, max_span=max_span)
+
+        from .phrase import PHRASE_OUT_SCHEMA, make_positional_bucket_fn
+
+        uniq = sorted(set(pterms))
+        stats = self.corpus_stats()
+        avgdl, n_docs = stats["avg_doc_len"], stats["n_docs"]
+        if avgdl <= 0:
+            return empty
+        blocks = self._pruned_term_scan(f"positions{self._sfx()}",
+                                        uniq).select(
+            "term", "partition_id", "block_id", "doc_ids_vb", "dls_vb",
+            "npos_vb", "pos_vb")
+        df_side = self._pruned_term_scan(f"term_stats{self._sfx()}",
+                                         uniq).select("term", "df")
+        blocks = blocks.join(F.broadcast(df_side), "term")
+        fn = make_positional_bucket_fn(pterms, k, float(cfg.k1),
+                                       float(cfg.b), avgdl, n_docs,
+                                       max_span=max_span)
+        local = blocks.groupBy("partition_id").applyInPandas(
+            fn, schema=PHRASE_OUT_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _phrase_recheck_df(self, pterms: list[str], k: int,
+                           max_span: int | None = None) -> DataFrame:
+        """GIN-style recheck: conjunction candidates from the plain
+        postings, then verify positions by re-tokenizing each candidate's
+        stored text (Arrow-batched) and score from its tf_map — no
+        positional index required. Candidate volume is bounded by the
+        rarest term's df; the doc_features join is the heap-recheck
+        read."""
+        from pyspark.sql.functions import pandas_udf
+
+        from ..textproc import (
+            min_window_span,
+            phrase_match_count,
+            token_positions,
+        )
+
+        cfg = self.cfg
+        uniq = sorted(set(pterms))
+        idfs = self.term_lookup(uniq)
+        stats = self.corpus_stats()
+        avgdl = stats["avg_doc_len"]
+        if len(idfs) < len(uniq) or avgdl <= 0:
+            # some phrase term absent from the corpus → no match anywhere
+            return self.spark.createDataFrame([], self._PHRASE_EMPTY)
+        scan = self._pruned_term_scan(f"postings{self._sfx()}",
+                                      uniq).select(
+            "term", "doc_ids_vb", "tfs_vb", "dls_vb", "n_postings")
+        decoded = scan.mapInPandas(decode_postings, schema=DECODED_SCHEMA)
+        cands = (decoded.groupBy("doc_id")
+                 .agg(F.countDistinct("term").alias("_nt"))
+                 .filter(F.col("_nt") == len(uniq)).select("doc_id"))
+        field_col = "text" if self.field == "text" else self.field
+        feats = self.store.read(f"doc_features{self._sfx()}").select(
+            "doc_id", "partition_id", "doc_len", "tf_map",
+            F.col(field_col).alias("_text"))
+        cand_docs = feats.join(cands, "doc_id")
+
+        mtl, mnl = cfg.max_token_len, cfg.min_token_len
+        terms, span = list(pterms), max_span
+
+        @pandas_udf("int")
+        def verify(text: pd.Series) -> pd.Series:
+            out = []
+            for t in text:
+                pos = token_positions(t, mtl, mnl)
+                if span is None:
+                    out.append(phrase_match_count(pos, terms))
+                else:
+                    w = min_window_span(pos, terms)
+                    out.append(w if w is not None and w <= span else 0)
+            return pd.Series(out, dtype="int64")
+
+        verified = (cand_docs
+                    .withColumn("n_matches", verify("_text").cast("int"))
+                    .filter(F.col("n_matches") > 0))
+        # BM25 from tf_map, accumulated left-to-right in sorted-term
+        # order — the oracle's float order
+        k1, b = float(cfg.k1), float(cfg.b)
+        score = F.lit(0.0)
+        for t in uniq:
+            tf = F.col("tf_map")[t].cast("double")
+            score = score + F.lit(idfs[t]) * (
+                tf / (tf + F.lit(k1) * (F.lit(1.0 - b)
+                                        + F.lit(b) * F.col("doc_len")
+                                        / F.lit(avgdl))))
+        return (verified.withColumn("score", score)
+                .select("partition_id", "doc_id", "score", "n_matches")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    def phrase_top_k(self, phrase: str, k: int = 10, mode: str = "auto"
+                     ) -> list[tuple[int, float, int]]:
+        """Materialized [(doc_id, score, n_matches)] phrase top-k."""
+        rows = self.phrase_top_k_df(phrase, k=k, mode=mode).collect()
+        return [(int(r["doc_id"]), float(r["score"]), int(r["n_matches"]))
+                for r in rows]
+
+    def near_top_k(self, query: str, max_span: int, k: int = 10,
+                   mode: str = "auto") -> list[tuple[int, float, int]]:
+        """Materialized [(doc_id, score, min_window_span)] proximity
+        top-k: all distinct query terms within ``max_span`` tokens."""
+        rows = self.phrase_top_k_df(query, k=k, mode=mode,
+                                    max_span=max_span).collect()
+        return [(int(r["doc_id"]), float(r["score"]), int(r["n_matches"]))
+                for r in rows]
+
+    # ----------------------------------------------------------- snippets
+    def snippets(self, doc_ids: list[int], query: str,
+                 max_words: int = 35) -> dict[int, str]:
+        """doc_id → highlighted fragment (``ts_headline`` parity,
+        textproc.make_snippet) for the given result docs. One job: the
+        doc-range bucket is a pure function of doc_id, so the
+        doc_features read prunes to the hit buckets before the ≤ k-row
+        broadcast join; the snippet UDF runs on ≤ k rows."""
+        if not doc_ids:
+            return {}
+        from pyspark.sql.functions import pandas_udf
+
+        from ..textproc import doc_bucket, make_snippet
+
+        cfg = self.cfg
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len)))
+        buckets = sorted({doc_bucket(d, cfg.n_doc_buckets)
+                          for d in doc_ids})
+        field_col = "text" if self.field == "text" else self.field
+        feats = (self.store.read(f"doc_features{self._sfx()}")
+                 .filter(F.col("partition_id").isin(buckets))
+                 .select("doc_id", F.col(field_col).alias("_text")))
+        ids = self.spark.createDataFrame([(int(d),) for d in doc_ids],
+                                         "doc_id long")
+        mw, mtl, mnl = max_words, cfg.max_token_len, cfg.min_token_len
+
+        @pandas_udf("string")
+        def snip(text: pd.Series) -> pd.Series:
+            return pd.Series([make_snippet(t, qterms, mw,
+                                           max_token_len=mtl,
+                                           min_token_len=mnl)
+                              for t in text])
+
+        rows = (feats.join(F.broadcast(ids), "doc_id")
+                .withColumn("snippet", snip("_text"))
+                .select("doc_id", "snippet").collect())
+        return {int(r["doc_id"]): r["snippet"] for r in rows}
+
     def batch_top_k(self, queries: list[str], k: int = 10
                     ) -> dict[str, list[tuple[int, float]]]:
         """Materialized form of :meth:`batch_wand_top_k_df`: query string →
@@ -553,7 +736,8 @@ class QueryEngine:
     def search(self, query: str, k: int | None = None, offset: int = 0,
                min_score: float = 0.0, lang: str | None = None,
                warc_ts_min=None, warc_ts_max=None,
-               count_mode: str = "exact", mode: str = "wand") -> dict:
+               count_mode: str = "exact", mode: str = "wand",
+               highlight: bool = False) -> dict:
         """Materialized result envelope — the analogue of the reference's
         ``SearchResponse`` (``model/SearchResponse.java:5-12`` +
         ``SearchService.java:63-78``: results, totalCount, limit, offset,
@@ -589,6 +773,8 @@ class QueryEngine:
                 min_score=min_score
             ).select("partition_id", "doc_id", "score")
             rows = self._hydrate_hits(top).collect()[offset:]
+            snips = (self.snippets([r["doc_id"] for r in rows], query)
+                     if highlight else None)
             if count_mode == "approx":
                 total = max(self.approx_count(
                     query, min_score=min_score, lang=lang,
@@ -599,7 +785,9 @@ class QueryEngine:
             elapsed_ms = int((time.time() - t0) * 1000)
             self._log_search(query, len(rows), elapsed_ms)
             return {
-                "results": [r.asDict() for r in rows],
+                "results": [
+                    (r.asDict() | {"snippet": snips.get(r["doc_id"], "")})
+                    if snips is not None else r.asDict() for r in rows],
                 "total_count": total,
                 "limit": k,
                 "offset": offset,
@@ -617,10 +805,14 @@ class QueryEngine:
             total = out.count() if count_mode == "exact" else len(rows)
         finally:
             out.unpersist()
+        snips = (self.snippets([r["doc_id"] for r in rows], query)
+                 if highlight else None)
         elapsed_ms = int((time.time() - t0) * 1000)
         self._log_search(query, total, elapsed_ms)
         return {
-            "results": [r.asDict() for r in rows],
+            "results": [
+                (r.asDict() | {"snippet": snips.get(r["doc_id"], "")})
+                if snips is not None else r.asDict() for r in rows],
             "total_count": total,
             "limit": k,
             "offset": offset,

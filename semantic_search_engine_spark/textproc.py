@@ -277,6 +277,146 @@ def tokenize(text: str | None, max_token_len: int = MAX_TOKEN_LEN,
             if min_token_len <= len(t) <= max_token_len]
 
 
+def token_positions(text: str | None, max_token_len: int = MAX_TOKEN_LEN,
+                    min_token_len: int = 1) -> dict[str, list[int]]:
+    """term → sorted 0-based positions in the *kept* token stream.
+
+    Positions index the output of :func:`tokenize` (after the length
+    filter), so ``positions`` and ``tf_map`` agree exactly:
+    ``len(positions[t]) == tf_map[t]`` and max position == doc_len-1.
+    This is the tsvector-style payload behind phrase ("a <-> b") and
+    proximity search — the capability Postgres adds on top of the GIN
+    term index the reference creates (``data-pipeline/database.py:60``).
+    """
+    out: dict[str, list[int]] = {}
+    for i, t in enumerate(tokenize(text, max_token_len, min_token_len)):
+        out.setdefault(t, []).append(i)
+    return out
+
+
+def phrase_match_count(positions: dict[str, list[int]],
+                       phrase_terms: list[str]) -> int:
+    """Number of start offsets where ``phrase_terms`` occur consecutively.
+
+    Pure-Python reference semantics (oracle + recheck path): position p
+    matches iff term[i] has position p+i for every i. Overlapping matches
+    all count ("a a a" contains "a a" twice).
+    """
+    if not phrase_terms:
+        return 0
+    first = positions.get(phrase_terms[0])
+    if first is None:
+        return 0
+    cands = first
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = positions.get(t)
+        if not nxt:
+            return 0
+        s = set(nxt)
+        cands = [p for p in cands if p + i in s]
+        if not cands:
+            return 0
+    return len(cands)
+
+
+def min_window_span(positions: dict[str, list[int]],
+                    terms: list[str]) -> int | None:
+    """Smallest token-span (inclusive, in tokens) of a window containing
+    every distinct term in ``terms`` at least once; None when some term is
+    absent. Span 1 means a single position (one distinct term). The
+    classic k-sorted-lists minimum-window sweep — proximity search's
+    "all terms within N tokens" predicate is ``span <= N``."""
+    uniq = sorted(set(terms))
+    lists = []
+    for t in uniq:
+        pl = positions.get(t)
+        if not pl:
+            return None
+        lists.append(pl)
+    if len(lists) == 1:
+        return 1
+    import heapq as _hq
+    heads = [(pl[0], i, 0) for i, pl in enumerate(lists)]
+    _hq.heapify(heads)
+    cur_max = max(h[0] for h in heads)
+    best = None
+    while True:
+        pos, li, pi = heads[0]
+        span = cur_max - pos + 1
+        if best is None or span < best:
+            best = span
+        if pi + 1 >= len(lists[li]):
+            return best
+        nxt = lists[li][pi + 1]
+        _hq.heapreplace(heads, (nxt, li, pi + 1))
+        cur_max = max(cur_max, nxt)
+
+
+# ---------------------------------------------------------------------------
+# Snippets (ts_headline parity)
+# ---------------------------------------------------------------------------
+
+def make_snippet(text: str | None, query_terms: list[str],
+                 max_words: int = 35, start_sel: str = "<b>",
+                 stop_sel: str = "</b>",
+                 max_token_len: int = MAX_TOKEN_LEN,
+                 min_token_len: int = 1) -> str:
+    """Highlighted fragment around the best query-term window — the
+    engine's ``ts_headline`` (the result-decoration half of the Postgres
+    full-text stack whose index half the reference builds,
+    ``data-pipeline/database.py:60``).
+
+    Deterministic choice: among windows of ``max_words`` consecutive kept
+    tokens, pick the one maximizing (distinct query terms covered, total
+    query-term occurrences, earliest start). The returned fragment is the
+    original text span of that window with every query-term token wrapped
+    in ``start_sel``/``stop_sel``, and an ellipsis marking each clipped
+    side. No query term present → the leading ``max_words`` tokens,
+    unhighlighted.
+    """
+    if not text:
+        return ""
+    qset = {t for t in query_terms
+            if min_token_len <= len(t) <= max_token_len}
+    # kept tokens with char spans — same filter as tokenize()
+    spans = [(m.start(), m.end(), m.group())
+             for m in TOKEN_RE.finditer(text.lower())
+             if min_token_len <= len(m.group()) <= max_token_len]
+    if not spans:
+        return ""
+    n = len(spans)
+    is_hit = [t in qset for _s, _e, t in spans]
+    w = min(max_words, n)
+    best = None  # (distinct, hits, -start) maximized
+    starts = [i for i in range(n) if is_hit[i]] or [0]
+    for s in starts:
+        s = min(s, n - w)
+        window = spans[s:s + w]
+        terms_in = {t for (_a, _b, t), h in zip(window, is_hit[s:s + w])
+                    if h}
+        hits = sum(is_hit[s:s + w])
+        key = (len(terms_in), hits, -s)
+        if best is None or key > best[0]:
+            best = (key, s)
+    s = best[1]
+    window = spans[s:s + w]
+    lo, hi = window[0][0], window[-1][1]
+    out = []
+    if s > 0:
+        out.append("... ")
+    pos = lo
+    for a, b, t in window:
+        out.append(text[pos:a])
+        if t in qset:
+            out.append(start_sel + text[a:b] + stop_sel)
+        else:
+            out.append(text[a:b])
+        pos = b
+    if s + w < n:
+        out.append(" ...")
+    return "".join(out)
+
+
 # ---------------------------------------------------------------------------
 # Stable doc ids
 # ---------------------------------------------------------------------------
