@@ -8,14 +8,15 @@ value-hash → CORRECTNESS_r{N}.json).
 Implementation lives in ``semantic_search_engine_spark.driver_contract``:
 50 paired Spark/DuckDB queries (hard-capped at the driver's 50-entry
 verification window so every entry gets a CORRECTNESS row), including
-FOUR gates that run the FULL inverted-index engine (build into a cached
-warehouse + block-max WAND) inside the comparison — bare top-k
+FIVE gates that run the FULL inverted-index engine (build into a cached
+warehouse) inside the comparison — bare block-max-WAND top-k
 (``bm25_topk_engine_wand``), multi-query batch
 (``bm25_batch_topk_engine``), structured-filtered
-(``bm25_filtered_engine_wand``), and score-threshold with seeded-theta
-WAND (``bm25_threshold_engine_wand``) — each against the equivalent
-declarative BM25 SQL. ``tests/`` and ``bench.py`` cover the rest of the
-engine surface (resume, merge, incremental maintenance, streaming).
+(``bm25_filtered_engine_wand``), score-threshold with seeded-theta WAND
+(``bm25_threshold_engine_wand``), and positional-index phrase retrieval
+(``bm25_phrase_engine``) — each against the equivalent declarative SQL.
+``tests/`` and ``bench.py`` cover the rest of the engine surface
+(resume, merge, incremental maintenance, streaming, snippets).
 """
 
 from __future__ import annotations

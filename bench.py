@@ -190,6 +190,15 @@ def main() -> None:
     qe.search("wireless bluetooth headphones", k=10, lang="en",
               count_mode="approx")
     queries["q_approx_count"] = round(time.time() - t0, 3)
+    # positional index (opt-in, timed separately — not part of the
+    # headline build) + phrase retrieval over it
+    t0 = time.time()
+    builder.build_positions()
+    queries["positions_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    qe.phrase_top_k("wireless bluetooth headphones", k=10,
+                    mode="positions")
+    queries["q_phrase"] = round(time.time() - t0, 3)
 
     total = build_sec + sum(qtimes) + queries["q_filtered_exact_count"]
     out = {
