@@ -199,6 +199,20 @@ def main() -> None:
     qe.phrase_top_k("wireless bluetooth headphones", k=10,
                     mode="positions")
     queries["q_phrase"] = round(time.time() - t0, 3)
+    # websearch-style boolean retrieval (round 3): DNF with AND/OR/NOT
+    # over the same postings, one per-bucket intersection kernel
+    t0 = time.time()
+    qe.boolean_top_k("wireless bluetooth OR zipfhead0 -zipfhead1", k=10)
+    queries["q_boolean"] = round(time.time() - t0, 3)
+    # prefix match: zipfhead1* expands to 11 heavy head terms via the
+    # term-dictionary range scan, then unions their postings
+    t0 = time.time()
+    qe.boolean_top_k("zipfhead1* -zipfhead0", k=10)
+    queries["q_boolean_prefix"] = round(time.time() - t0, 3)
+    # facet histogram beside the results page
+    t0 = time.time()
+    qe.facet_counts("wireless bluetooth headphones", by="lang").collect()
+    queries["q_facet_lang"] = round(time.time() - t0, 3)
 
     total = build_sec + sum(qtimes) + queries["q_filtered_exact_count"]
     out = {

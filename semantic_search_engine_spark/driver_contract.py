@@ -432,6 +432,90 @@ ORDER BY s.raw_score DESC, {_sql_url_hash_id('s.doc_id')} LIMIT 10
 """
 
 
+#: Websearch-boolean gate query: prefix expansion (s* → scan/slow/small/
+#: sort/spark/stream in the driver vocabulary), AND, OR, and NOT in one
+#: DNF. Score = BM25 over the distinct positive terms present per doc
+#: (plans/boolean.py documents the semantics).
+BOOLEAN_GATE_QUERY = "s* window OR merge -slow"
+
+
+def q_bm25_boolean_engine(spark, sf_dir):
+    """Engine gate for websearch-style BOOLEAN retrieval
+    (plans/boolean.py — the ``websearch_to_tsquery`` surface users type
+    against the Postgres GIN index the reference creates,
+    ``data-pipeline/database.py:60``): parse → DNF → one per-bucket
+    intersection kernel over the term-pruned postings scan, vs a
+    declarative DuckDB oracle that evaluates the same clauses with
+    EXISTS / NOT EXISTS / LIKE-prefix subqueries."""
+    store, qe = _engine_warehouse(spark, sf_dir)
+    top = qe.boolean_top_k_df(BOOLEAN_GATE_QUERY, k=10)
+    return _engine_ids_back(store, top, [])
+
+
+SQL_BM25_BOOLEAN_ENGINE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+matched AS (
+  SELECT dl.doc_id FROM dl
+  WHERE (EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = dl.doc_id
+                 AND tf.term = 'window')
+         AND EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = dl.doc_id
+                     AND tf.term LIKE 's%'))
+     OR (EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = dl.doc_id
+                 AND tf.term = 'merge')
+         AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = dl.doc_id
+                         AND tf.term = 'slow'))
+),
+pos_terms AS (
+  SELECT term FROM dft WHERE term IN ('window', 'merge') OR term LIKE 's%'
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                + {BM25_B} * dl.dl / stats.avgdl))) AS raw_score
+  FROM tf
+  JOIN pos_terms USING (term)
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  JOIN matched USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored ORDER BY raw_score DESC, {_sql_url_hash_id('doc_id')} LIMIT 10
+"""
+
+
+def q_facet_counts_engine(spark, sf_dir):
+    """Engine gate for FACETED counts (the aggregation a search UI
+    renders beside results — the reference's category sidebar over its
+    ``category`` column): disjunctive match set → doc_meta join →
+    two-level count by facet value."""
+    _store, qe = _engine_warehouse(spark, sf_dir)
+    return (qe.facet_counts(" ".join(BM25_QUERY_TERMS), by="lang")
+            .select("lang", "n_docs"))
+
+
+SQL_FACET_COUNTS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents
+)
+SELECT d.lang AS lang, count(*) AS n_docs
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks
+              WHERE toks.doc_id = d.doc_id
+                AND toks.term IN ('join', 'spark', 'window'))
+GROUP BY d.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational operators (Q2–Q12, S-series) over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -693,6 +777,21 @@ FROM (
 """
 
 
+def q_parse_price_reviewcount(spark, sf_dir):
+    """P2+P5 in one verified entry (registry window economy, VERDICT r2
+    #1 discipline): both ingest parsers over the same `part` scan."""
+    price = q_parse_price(spark, sf_dir)
+    rc = q_parse_reviewcount(spark, sf_dir)
+    return price.join(rc, "p_partkey")
+
+
+SQL_PARSE_PRICE_REVIEWCOUNT = f"""
+SELECT p.p_partkey, p.price_parsed, r.review_count
+FROM ({SQL_PARSE_PRICE}) p JOIN ({SQL_PARSE_REVIEWCOUNT}) r
+USING (p_partkey)
+"""
+
+
 def q_rating_clamp(spark, sf_dir):
     """P4 (data_ingestion.py:150-160): clamp to [0, 5]."""
     return (_t(spark, sf_dir, "events")
@@ -813,6 +912,30 @@ SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
        min(doc_id) AS keep_doc_id, count(*) AS n_dups
 FROM documents
 GROUP BY 1
+"""
+
+
+def q_dedup_fingerprint_groups(spark, sf_dir):
+    """X1 in one verified entry: per-doc content fingerprint PLUS its
+    group's survivor/cardinality via a window over the fingerprint —
+    covers both the hash and the groupBy-dedup semantics at once."""
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    w = Window.partitionBy("fingerprint")
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+            .withColumn("keep_doc_id", F.min("doc_id").over(w))
+            .withColumn("n_dups", F.count(F.lit(1)).over(w)))
+
+
+SQL_DEDUP_FINGERPRINT_GROUPS = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) OVER w AS keep_doc_id,
+       count(*) OVER w AS n_dups
+FROM documents
+WINDOW w AS (PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')))
 """
 
 
@@ -1754,6 +1877,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_threshold_engine_wand": (q_bm25_threshold_engine_wand,
                                    SQL_BM25_THRESHOLD_ENGINE),
     "bm25_phrase_engine": (q_bm25_phrase_engine, SQL_BM25_PHRASE_ENGINE),
+    "bm25_boolean_engine": (q_bm25_boolean_engine, SQL_BM25_BOOLEAN_ENGINE),
+    "facet_counts": (q_facet_counts_engine, SQL_FACET_COUNTS),
     # relational operators
     "agg_pushdown": (q_agg_pushdown, SQL_AGG_PUSHDOWN),
     "topk_orderby_limit": (q_topk_orderby_limit, SQL_TOPK),
@@ -1767,15 +1892,15 @@ REGISTRY: dict[str, tuple] = {
     "having_filter": (q_having_filter, SQL_HAVING),
     "exists_subquery": (q_exists_subquery, SQL_EXISTS_SUBQUERY),
     # ingest parsers
-    "parse_price": (q_parse_price, SQL_PARSE_PRICE),
-    "parse_reviewcount": (q_parse_reviewcount, SQL_PARSE_REVIEWCOUNT),
+    "parse_price_reviewcount": (q_parse_price_reviewcount,
+                                SQL_PARSE_PRICE_REVIEWCOUNT),
     "parse_category": (q_parse_category, SQL_PARSE_CATEGORY),
     "rating_clamp": (q_rating_clamp, SQL_RATING_CLAMP),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "null_normalization": (q_null_normalization, SQL_NULL_NORMALIZATION),
     # training-data pipeline extras
-    "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
-    "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
+    "dedup_fingerprint_groups": (q_dedup_fingerprint_groups,
+                                 SQL_DEDUP_FINGERPRINT_GROUPS),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH),
     "jaccard_pair_metrics": (q_jaccard_pair_metrics, SQL_JACCARD_METRICS),
     "binary_payload_stats": (q_binary_payload_stats, SQL_BINARY_PAYLOAD),

@@ -214,3 +214,61 @@ class OracleIndex:
         hits = sorted(((did, s, matched[did]) for did, s in scores.items()),
                       key=lambda x: (-x[1], x[0]))
         return hits[:k]
+
+    # ----------------------------------------------------------- boolean
+    def boolean_matches(self, query: str) -> dict[int, float]:
+        """Websearch-boolean match set (``plans/boolean.py`` grammar):
+        doc_id → BM25 score over the query's distinct positive terms
+        present in the doc, evaluated naively per document — the
+        reference semantics the distributed kernel must reproduce."""
+        from .plans.boolean import parse_websearch, positive_terms
+
+        cfg = self.cfg
+        clauses = parse_websearch(query, cfg.max_token_len,
+                                  cfg.min_token_len)
+        if not clauses:
+            return {}
+        vocab = sorted(self.postings)
+        prefixes = sorted({p for c in clauses
+                           for p in c.req_prefixes + c.neg_prefixes})
+        exp = {p: [t for t in vocab if t.startswith(p)] for p in prefixes}
+        pos_terms = positive_terms(clauses, exp)
+
+        out: dict[int, float] = {}
+        for did, tpos in self.doc_positions.items():
+            present = set(tpos)
+            ok = False
+            for c in clauses:
+                if not all(t in present for t in c.req_terms):
+                    continue
+                if not all(any(t in present for t in exp[p])
+                           for p in c.req_prefixes):
+                    continue
+                if any(t in present for t in c.neg_terms):
+                    continue
+                if any(any(t in present for t in exp[p])
+                       for p in c.neg_prefixes):
+                    continue
+                if not all(phrase_match_count(tpos, list(ph)) > 0
+                           for ph in c.req_phrases):
+                    continue
+                if any(phrase_match_count(tpos, list(ph)) > 0
+                       for ph in c.neg_phrases):
+                    continue
+                ok = True
+                break
+            if not ok:
+                continue
+            s = 0.0
+            dl = self.doc_len[did]
+            for t in pos_terms:  # sorted-term fold — the engine's order
+                if t in tpos:
+                    s += self.idf(t) * self.tf_norm(len(tpos[t]), dl)
+            out[did] = s
+        return out
+
+    def boolean_top_k(self, query: str, k: int = 10
+                      ) -> list[tuple[int, float]]:
+        hits = sorted(self.boolean_matches(query).items(),
+                      key=lambda x: (-x[1], x[0]))
+        return hits[:k]

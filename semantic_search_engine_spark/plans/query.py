@@ -581,6 +581,217 @@ class QueryEngine:
         return [(int(r["doc_id"]), float(r["score"]), int(r["n_matches"]))
                 for r in rows]
 
+    # ----------------------------------------------------- boolean search
+    def _expand_prefixes(self, prefixes: list[str],
+                         max_expansions: int = 256
+                         ) -> dict[str, list[str]]:
+        """Prefix stem → matching dictionary terms, via ONE term_stats
+        scan (``StartsWith`` pushes to parquet as a min/max range on the
+        sorted term column). A stem matching more than ``max_expansions``
+        terms raises — the deterministic refusal, where Postgres would
+        silently degrade into an enormous OR."""
+        if not prefixes:
+            return {}
+        scan = self.store.read(f"term_stats{self._sfx()}").select("term")
+        pred = F.col("term").startswith(prefixes[0])
+        for p in prefixes[1:]:
+            pred = pred | F.col("term").startswith(p)
+        terms = [r["term"] for r in scan.filter(pred).collect()]
+        out: dict[str, list[str]] = {p: [] for p in prefixes}
+        for t in terms:
+            for p in prefixes:
+                if t.startswith(p):
+                    out[p].append(t)
+        for p, ts in out.items():
+            if len(ts) > max_expansions:
+                raise ValueError(
+                    f"prefix '{p}*' matches {len(ts)} dictionary terms "
+                    f"(max_expansions={max_expansions}); lengthen the "
+                    "prefix")
+            ts.sort()
+        return out
+
+    _BOOL_EMPTY = "partition_id int, doc_id long, score double"
+
+    def _boolean_survivors(self, query: str, k: int | None) -> DataFrame:
+        """Shared boolean core → (partition_id, doc_id, score), phrase
+        obligations fully resolved, NOT yet globally ranked/truncated
+        (per-bucket unconditional survivors are capped at k when given).
+
+        One kernel job over the term-pruned postings scan (same plan
+        shape as batch WAND: constant-folded bucket pruning, ``term IN``
+        pushdown, global df via broadcast join), plus — only when the
+        query carries phrases — a bounded recheck join that re-tokenizes
+        the conjunction-selective pending docs (GIN bitmap + heap
+        recheck, the X30 shape).
+        """
+        from .boolean import (
+            BOOLEAN_OUT_SCHEMA,
+            make_boolean_bucket_fn,
+            parse_websearch,
+            positive_terms,
+            scan_terms,
+        )
+
+        cfg = self.cfg
+        empty = self.spark.createDataFrame([], self._BOOL_EMPTY)
+        clauses = parse_websearch(query, cfg.max_token_len,
+                                  cfg.min_token_len)
+        if not clauses:
+            return empty
+        prefixes = sorted({p for c in clauses
+                           for p in c.req_prefixes + c.neg_prefixes})
+        expansions = self._expand_prefixes(prefixes)
+        pos = positive_terms(clauses, expansions)
+        needed = scan_terms(clauses, expansions)
+        stats = self.corpus_stats()
+        avgdl, n_docs = stats["avg_doc_len"], stats["n_docs"]
+        if not pos or avgdl <= 0:
+            return empty
+
+        clauses_c = [{
+            "req": ([(t,) for t in c.req_terms]
+                    + [tuple(expansions.get(p, ())) for p in c.req_prefixes]),
+            "neg": ([(t,) for t in c.neg_terms]
+                    + [tuple(expansions.get(p, ())) for p in c.neg_prefixes]),
+            "req_phrases": list(c.req_phrases),
+            "neg_phrases": list(c.neg_phrases),
+        } for c in clauses]
+
+        blocks = self._pruned_term_scan(f"postings{self._sfx()}",
+                                        needed).select(
+            "term", "partition_id", "block_id", "last_doc_id",
+            "doc_ids_vb", "tfs_vb", "dls_vb")
+        df_side = self._pruned_term_scan(f"term_stats{self._sfx()}",
+                                         needed).select("term", "df")
+        blocks = blocks.join(F.broadcast(df_side), "term")
+        fn = make_boolean_bucket_fn(clauses_c, pos, k, float(cfg.k1),
+                                    float(cfg.b), avgdl, n_docs)
+        local = blocks.groupBy("partition_id").applyInPandas(
+            fn, schema=BOOLEAN_OUT_SCHEMA)
+
+        has_phrases = any(c.req_phrases or c.neg_phrases for c in clauses)
+        if not has_phrases:
+            return local.select("partition_id", "doc_id", "score")
+
+        # resolve phrase obligations: re-tokenize ONLY the pending docs
+        # (each already contains every term of its clause's phrases —
+        # conjunction-selective), pruned to their buckets by the
+        # broadcast join on (partition_id, doc_id) like _hydrate_hits
+        from pyspark.sql.functions import pandas_udf
+
+        from ..textproc import phrase_match_count, token_positions
+
+        uncond = (local.filter(F.col("pending_mask") == 0)
+                  .select("partition_id", "doc_id", "score"))
+        pend = local.filter(F.col("pending_mask") != 0)
+        field_col = "text" if self.field == "text" else self.field
+        feats = self.store.read(f"doc_features{self._sfx()}").select(
+            "partition_id", "doc_id", F.col(field_col).alias("_text"))
+        mtl, mnl = cfg.max_token_len, cfg.min_token_len
+        req_ph = [list(map(list, c.req_phrases)) for c in clauses]
+        neg_ph = [list(map(list, c.neg_phrases)) for c in clauses]
+
+        @pandas_udf("boolean")
+        def verify(text: pd.Series, mask: pd.Series) -> pd.Series:
+            out = []
+            for t, m in zip(text, mask):
+                pos_map = token_positions(t, mtl, mnl)
+                ok = False
+                ci, mm = 0, int(m)
+                while mm and not ok:
+                    if mm & 1:
+                        ok = (all(phrase_match_count(pos_map, ph) > 0
+                                  for ph in req_ph[ci])
+                              and not any(
+                                  phrase_match_count(pos_map, ph) > 0
+                                  for ph in neg_ph[ci]))
+                    ci += 1
+                    mm >>= 1
+                out.append(ok)
+            return pd.Series(out, dtype="boolean")
+
+        resolved = (F.broadcast(pend).join(feats,
+                                           ["partition_id", "doc_id"])
+                    .filter(verify("_text", "pending_mask"))
+                    .select("partition_id", "doc_id", "score"))
+        return uncond.unionByName(resolved)
+
+    def boolean_top_k_df(self, query: str, k: int | None = None
+                         ) -> DataFrame:
+        """Websearch-style boolean top-k (``plans/boolean.py`` documents
+        the grammar and semantics): (partition_id, doc_id, score) ranked
+        (score DESC, doc_id ASC), score = BM25 over the query's distinct
+        positive terms present in the doc. The global merge is
+        ``TakeOrderedAndProject`` over ≤ P·k unconditional rows plus the
+        phrase-verified survivors."""
+        cfg = self.cfg
+        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        if k <= 0:
+            return self.spark.createDataFrame([], self._BOOL_EMPTY)
+        return (self._boolean_survivors(query, k)
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    def boolean_top_k(self, query: str, k: int = 10
+                      ) -> list[tuple[int, float]]:
+        """Materialized [(doc_id, score)] boolean top-k."""
+        rows = self.boolean_top_k_df(query, k=k).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    def boolean_matches_df(self, query: str) -> DataFrame:
+        """The FULL boolean match set (no top-k cut) — the facet/count
+        input. Same one-kernel plan with the per-bucket cap disabled."""
+        return self._boolean_survivors(query, None)
+
+    # ------------------------------------------------------------- facets
+    def facet_counts(self, query: str, by: str = "lang",
+                     mode: str = "any") -> DataFrame:
+        """Facet histogram over the match set: (facet value, n_docs),
+        descending — the aggregation a search UI renders next to results
+        (the reference's category sidebar would be this over its
+        ``category`` column). ``by`` is any doc_meta column.
+
+        ``mode="any"``: a doc matches if it contains ≥1 query term (the
+        disjunctive candidate set BM25 ranks — matches what the WAND page
+        draws from). ``mode="boolean"``: full websearch semantics via
+        :meth:`boolean_matches_df`.
+
+        Plan: distinct match (partition_id, doc_id) pairs join doc_meta
+        on the bucket-colocated key, then a two-level aggregate: partial
+        per-partition counts combine map-side, so the shuffle carries ≤
+        |facet values| × P rows, never the match set."""
+        if mode == "boolean":
+            matched = (self.boolean_matches_df(query)
+                       .select("partition_id", "doc_id"))
+        elif mode == "any":
+            cfg = self.cfg
+            qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                         cfg.min_token_len)))
+            if not qterms:
+                return self.spark.createDataFrame(
+                    [], f"{by} string, n_docs long")
+            scan = self._pruned_term_scan(f"postings{self._sfx()}",
+                                          qterms).select(
+                "term", "doc_ids_vb", "tfs_vb", "dls_vb", "n_postings")
+            matched = (scan.mapInPandas(decode_postings,
+                                        schema=DECODED_SCHEMA)
+                       .select("doc_id").distinct())
+            # doc_bucket(doc_id) is derivable, but the decoded rows do
+            # not carry partition_id — join on doc_id alone and let the
+            # distinct shrink the probe side first
+            meta = self.store.read(f"doc_meta{self._sfx()}").select(
+                "doc_id", by)
+            return (matched.join(meta, "doc_id")
+                    .groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
+                    .orderBy(F.desc("n_docs"), F.asc(by)))
+        else:
+            raise ValueError(f"unknown facet mode: {mode!r}")
+        meta = self.store.read(f"doc_meta{self._sfx()}").select(
+            "partition_id", "doc_id", by)
+        return (matched.join(meta, ["partition_id", "doc_id"])
+                .groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
+                .orderBy(F.desc("n_docs"), F.asc(by)))
+
     # ----------------------------------------------------------- snippets
     def snippets(self, doc_ids: list[int], query: str,
                  max_words: int = 35) -> dict[int, str]:
