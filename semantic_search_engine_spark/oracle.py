@@ -272,3 +272,67 @@ class OracleIndex:
         hits = sorted(self.boolean_matches(query).items(),
                       key=lambda x: (-x[1], x[0]))
         return hits[:k]
+
+    # ---------------------------------------------------- more-like-this
+    def mlt_terms(self, doc_id: int, max_query_terms: int = 20,
+                  min_tf: int = 2, min_df: int = 2,
+                  max_df_ratio: float = 0.25) -> list[str]:
+        """Representative query terms of a document, Lucene
+        MoreLikeThis-style: rank the doc's terms by tf·idf, drop terms
+        with tf < min_tf, df < min_df (noise), or df > max_df_ratio·N
+        (stopword-ish), keep the top ``max_query_terms``.
+        Deterministic tie-break: (tf·idf DESC, term ASC)."""
+        tpos = self.doc_positions.get(doc_id)
+        if tpos is None:
+            return []
+        cand = []
+        for t, ps in tpos.items():
+            tf, df = len(ps), self.df(t)
+            if tf < min_tf or df < min_df or df > max_df_ratio * self.n_docs:
+                continue
+            cand.append((-(tf * self.idf(t)), t))
+        cand.sort()
+        return [t for _, t in cand[:max_query_terms]]
+
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_query_terms: int = 20, min_tf: int = 2,
+                       min_df: int = 2, max_df_ratio: float = 0.25
+                       ) -> list[tuple[int, float]]:
+        """Related docs: BM25 top-k for the doc's MLT terms, the source
+        doc itself excluded."""
+        terms = self.mlt_terms(doc_id, max_query_terms, min_tf, min_df,
+                               max_df_ratio)
+        if not terms:
+            return []
+        hits = self.top_k(" ".join(terms), k=k + 1)
+        return [(d, s) for d, s in hits if d != doc_id][:k]
+
+
+def bm25f_top_k(field_indexes: dict[str, tuple["OracleIndex", float]],
+                query: str, k: int = 10) -> list[tuple[int, float]]:
+    """Weighted multi-field ("BM25F"-style) reference ranking: score(d) =
+    Σ_fields w_f · BM25_f(d, query), each field scored against its own
+    index (its own df/avgdl/doc_len — Postgres ``setweight`` composition).
+
+    Float fold order is the DISTRIBUTED KERNEL's order — contributions
+    accumulate over qualified ``(field, term)`` keys sorted
+    lexicographically, weight applied per contribution — so engine scores
+    must match bit-for-bit, making strict rank-identity assertions safe.
+    """
+    cfg = next(iter(field_indexes.values()))[0].cfg
+    qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                 cfg.min_token_len)))
+    if not qterms:
+        return []
+    keys = sorted((f, t) for f in field_indexes for t in qterms)
+    scores: dict[int, float] = defaultdict(float)
+    for f, t in keys:
+        idx, w = field_indexes[f]
+        pl = idx.postings.get(t)
+        if not pl or idx.avg_doc_len <= 0:
+            continue
+        wt = w * idx.idf(t)
+        for did, tf in pl:
+            scores[did] += wt * idx.tf_norm(tf, idx.doc_len[did])
+    hits = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return hits[:k]

@@ -674,6 +674,12 @@ class QueryEngine:
         if not has_phrases:
             return local.select("partition_id", "doc_id", "score")
 
+        # the uncond/pend split below references `local` twice — an eager
+        # localCheckpoint runs the kernel job ONCE and stores its bounded
+        # output (capped uncond top-k's + conjunction-selective pending
+        # rows) instead of re-executing the scan+intersection per branch
+        local = local.localCheckpoint()
+
         # resolve phrase obligations: re-tokenize ONLY the pending docs
         # (each already contains every term of its clause's phrases —
         # conjunction-selective), pruned to their buckets by the
@@ -791,6 +797,167 @@ class QueryEngine:
         return (matched.join(meta, ["partition_id", "doc_id"])
                 .groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
                 .orderBy(F.desc("n_docs"), F.asc(by)))
+
+    # ------------------------------------------------- weighted (BM25F)
+    def weighted_top_k_df(self, query: str,
+                          field_weights: dict[str, float],
+                          k: int | None = None) -> DataFrame:
+        """Weighted multi-field top-k — the Postgres
+        ``setweight(to_tsvector(title),'A') || setweight(body,'D')``
+        composition the reference's per-field endpoints
+        (``SearchService.java:95-118``, SURVEY Q11) stop short of:
+        score(d) = Σ_f w_f · BM25_f(d, query), each field scored against
+        its OWN index (its own df / avgdl / doc lengths).
+
+        ONE WAND job over the union of every field's pruned postings
+        scan: terms are qualified as ``field\\x00term`` so the standard
+        per-bucket kernel treats each (field, term) pair as an
+        independent cursor whose weight is w_f·idf_f and whose block-max
+        bounds are the field's own — pruning stays exact (see
+        ``make_weighted_field_fn``). Fields' doc buckets align because
+        every field index buckets by the same doc-id hash.
+        """
+        from .wand import WEIGHTED_OUT_SCHEMA, make_weighted_field_fn
+
+        cfg = self.cfg
+        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        empty = self.spark.createDataFrame([], self._BOOL_EMPTY)
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len)))
+        if not qterms or not field_weights or k <= 0:
+            return empty
+
+        def sfx(f: str) -> str:
+            return "" if f == "text" else f"_{f}"
+
+        field_avgdl: dict[str, float] = {}
+        field_n_docs: dict[str, int] = {}
+        for f in field_weights:
+            table = f"corpus_stats{sfx(f)}"
+            if not self.store.exists(table):
+                raise ValueError(
+                    f"no index built for field {f!r} (missing {table}); "
+                    f"run IndexBuilder.build(field={f!r}) first")
+            row = self.store.read(table).collect()[0]
+            field_n_docs[f] = int(row["n_docs"])
+            field_avgdl[f] = float(row["avg_doc_len"] or 0.0)
+        if all(a <= 0 for a in field_avgdl.values()):
+            return empty
+
+        scans = []
+        for f in sorted(field_weights):
+            blocks = self._pruned_term_scan(f"postings{sfx(f)}",
+                                            qterms).select(
+                "term", "partition_id", "block_id", "last_doc_id",
+                "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
+            df_side = self._pruned_term_scan(f"term_stats{sfx(f)}",
+                                             qterms).select("term", "df")
+            blocks = blocks.join(F.broadcast(df_side), "term")
+            # qualify AFTER pruning: the bucket/IN predicates fold on the
+            # raw term strings, the kernel sees field-qualified keys
+            scans.append(blocks.withColumn(
+                "term", F.concat_ws("\x00", F.lit(f), F.col("term"))))
+        union = scans[0]
+        for s in scans[1:]:
+            union = union.unionByName(s)
+        fn = make_weighted_field_fn(dict(field_weights), field_avgdl,
+                                    field_n_docs, k, float(cfg.k1),
+                                    float(cfg.b))
+        local = union.groupBy("partition_id").applyInPandas(
+            fn, schema=WEIGHTED_OUT_SCHEMA)
+        return (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .select("partition_id", "doc_id", "score"))
+
+    def weighted_top_k(self, query: str, field_weights: dict[str, float],
+                       k: int = 10) -> list[tuple[int, float]]:
+        """Materialized [(doc_id, score)] weighted multi-field top-k."""
+        rows = self.weighted_top_k_df(query, field_weights, k=k).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    # ---------------------------------------------------- more-like-this
+    def mlt_terms(self, doc_id: int, max_query_terms: int = 20,
+                  min_tf: int = 2, min_df: int = 2,
+                  max_df_ratio: float = 0.25) -> list[str]:
+        """Representative query terms of an indexed doc (Lucene
+        MoreLikeThis selection, mirrored by ``OracleIndex.mlt_terms``):
+        rank the doc's terms by tf·idf after dropping tf < min_tf
+        (weak evidence), df < min_df (noise), and df > max_df_ratio·N
+        (stopword-ish). Two tiny jobs: the tf_map row read prunes to the
+        doc's bucket (doc_bucket is a pure function of doc_id) and the
+        df lookup prunes term_stats to the doc's surviving terms."""
+        from ..textproc import doc_bucket
+
+        cfg = self.cfg
+        bucket = doc_bucket(doc_id, cfg.n_doc_buckets)
+        rows = (self.store.read(f"doc_features{self._sfx()}")
+                .filter((F.col("partition_id") == F.lit(bucket))
+                        & (F.col("doc_id") == F.lit(doc_id)))
+                .select("tf_map").collect())
+        if not rows:
+            return []
+        tf_map = {t: int(v) for t, v in (rows[0]["tf_map"] or {}).items()
+                  if int(v) >= min_tf}
+        if not tf_map:
+            return []
+        n = self.corpus_stats()["n_docs"]
+        dfs = {r["term"]: int(r["df"])
+               for r in self._pruned_term_scan(f"term_stats{self._sfx()}",
+                                               sorted(tf_map))
+               .select("term", "df").collect()}
+        cand = []
+        for t, tf in tf_map.items():
+            df = dfs.get(t, 0)
+            if df < min_df or df > max_df_ratio * n:
+                continue
+            cand.append((-(tf * bm25_idf(n, df)), t))
+        cand.sort()
+        return [t for _, t in cand[:max_query_terms]]
+
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_query_terms: int = 20, min_tf: int = 2,
+                       min_df: int = 2, max_df_ratio: float = 0.25
+                       ) -> list[tuple[int, float]]:
+        """Related documents: block-max WAND top-k for the doc's MLT
+        terms, the source doc excluded from its own results."""
+        terms = self.mlt_terms(doc_id, max_query_terms, min_tf, min_df,
+                               max_df_ratio)
+        if not terms:
+            return []
+        rows = self.wand_top_k_df(" ".join(terms), k=k + 1).collect()
+        hits = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        return [h for h in hits if h[0] != doc_id][:k]
+
+    # -------------------------------------------------------- index stats
+    def index_stats(self) -> dict:
+        """Operational index summary — the engine-side analogue of the
+        reference's health probe (U4, ``HealthController.java``):
+        corpus scalars, dictionary/postings cardinalities, compressed
+        size, and doc-bucket skew, via three small aggregations."""
+        cs = self.corpus_stats()
+        t = (self.store.read(f"term_stats{self._sfx()}")
+             .agg(F.count(F.lit(1)).alias("n_terms"),
+                  F.sum("df").alias("n_postings")).collect()[0])
+        p = (self.store.read(f"postings{self._sfx()}")
+             .agg(F.count(F.lit(1)).alias("n_blocks"),
+                  F.sum(F.length("doc_ids_vb") + F.length("tfs_vb")
+                        + F.length("dls_vb")).alias("postings_bytes"),
+                  F.countDistinct("partition_id").alias("n_buckets"))
+             .collect()[0])
+        b = (self.store.read(f"doc_meta{self._sfx()}")
+             .groupBy("partition_id").agg(F.count(F.lit(1)).alias("n"))
+             .agg(F.min("n").alias("mn"), F.max("n").alias("mx"))
+             .collect()[0])
+        return {
+            "n_docs": cs["n_docs"],
+            "avg_doc_len": cs["avg_doc_len"],
+            "n_terms": int(t["n_terms"]),
+            "n_postings": int(t["n_postings"] or 0),
+            "n_blocks": int(p["n_blocks"]),
+            "postings_bytes": int(p["postings_bytes"] or 0),
+            "n_buckets": int(p["n_buckets"]),
+            "min_bucket_docs": int(b["mn"]),
+            "max_bucket_docs": int(b["mx"]),
+        }
 
     # ----------------------------------------------------------- snippets
     def snippets(self, doc_ids: list[int], query: str,

@@ -150,6 +150,7 @@ def wand_top_k(
     avgdl: float,
     allowed: "np.ndarray | None" = None,
     min_score: float = 0.0,
+    avgdl_by_term: "dict[str, float] | None" = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact block-max WAND top-k over one doc-id-sorted posting slice.
 
@@ -169,6 +170,14 @@ def wand_top_k(
     still gets evaluated (inclusive ``>=`` preserved), and evaluated docs
     scoring below min_score never enter the heap (they can't be results,
     and keeping them out keeps the heap's k-th score an honest theta).
+    ``avgdl_by_term``: per-term average-doc-length override (the
+    multi-field path qualifies terms as ``field\\x00term`` and each
+    field's cursors normalize against THAT field's avgdl — the dls baked
+    into a field's blocks are that field's doc lengths, and its
+    block_max_tf_norm bounds were computed under its own avgdl, so
+    block-skip exactness is preserved per cursor). Terms absent from the
+    dict use the global ``avgdl``.
+
     Returns ``(hits, stats)``: hits as ``(doc_id, score)`` in
     ``(score DESC, doc_id ASC)`` order; stats reports pruning counters.
     """
@@ -179,8 +188,10 @@ def wand_top_k(
     if k > 0:  # k<=0: empty result, not an empty-heap indexing error
         for rank, term in enumerate(sorted(term_blocks)):
             blocks = term_blocks[term]
-            if blocks and term in weights and avgdl > 0:
-                c = BlockCursor(blocks, weights[term], k1, b, avgdl,
+            t_avgdl = (avgdl_by_term.get(term, avgdl)
+                       if avgdl_by_term else avgdl)
+            if blocks and term in weights and t_avgdl > 0:
+                c = BlockCursor(blocks, weights[term], k1, b, t_avgdl,
                                 term_rank=rank)
                 if c.cur_doc != EXHAUSTED:
                     cursors.append(c)
@@ -373,5 +384,65 @@ def make_wand_batch_cogroup_fn(query_terms: dict[int, list[str]],
         allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
         return _run_bucket_batch(blocks_pdf, allowed, query_terms,
                                  k, k1, b, avgdl, n_docs, min_score)
+
+    return run_bucket
+
+
+WEIGHTED_OUT_SCHEMA = "partition_id int, doc_id long, score double"
+
+
+def make_weighted_field_fn(field_weights: dict[str, float],
+                           field_avgdl: dict[str, float],
+                           field_n_docs: dict[str, int],
+                           k: int, k1: float, b: float):
+    """``applyInPandas`` body for WEIGHTED MULTI-FIELD ranking (BM25F
+    shape — the Postgres ``setweight(title,'A') || setweight(body,'D')``
+    composition): one doc bucket's block rows drawn from EVERY field's
+    postings table, each row's ``term`` pre-qualified as
+    ``field\\x00term`` and carrying that field's global ``df``.
+
+    score(d) = Σ_{(field, term)} w_field · idf_field(term) ·
+    tf_norm_field(tf, dl) — a sum of per-cursor contributions, so the
+    standard block-max WAND argument holds unchanged: each cursor's
+    upper bound is its own field's block_max_tf_norm (computed under
+    that field's avgdl at build time) times its weight. Cursors
+    normalize against their field's avgdl via ``avgdl_by_term``.
+
+    Contributions fold in qualified-key sorted order (field first, then
+    term — ``at_pivot`` enumerates cursors by term_rank), matching
+    ``oracle.bm25f_top_k`` bit-for-bit.
+    """
+
+    def run_bucket(pdf):
+        import pandas as pd
+
+        pids: list[int] = []
+        docs: list[int] = []
+        scores: list[float] = []
+        if len(pdf):
+            pdf = pdf.sort_values(["term", "partition_id", "block_id"],
+                                  kind="mergesort")
+            by_term = group_blocks_by_term(pdf)
+            uniq = pdf[["term", "df"]].drop_duplicates("term")
+            weights: dict[str, float] = {}
+            avgdls: dict[str, float] = {}
+            for qt, df in zip(uniq["term"], uniq["df"]):
+                fld = qt.split("\x00", 1)[0]
+                # same float op order as the oracle: w * idf, then * norm
+                weights[qt] = field_weights[fld] * bm25_idf(
+                    field_n_docs[fld], int(df))
+                avgdls[qt] = field_avgdl[fld]
+            pid = int(pdf["partition_id"].iloc[0])
+            hits, _ = wand_top_k(by_term, weights, k, k1, b, avgdl=1.0,
+                                 avgdl_by_term=avgdls)
+            for d, s in hits:
+                pids.append(pid)
+                docs.append(d)
+                scores.append(s)
+        return pd.DataFrame({
+            "partition_id": pd.Series(pids, dtype="int32"),
+            "doc_id": pd.Series(docs, dtype="int64"),
+            "score": pd.Series(scores, dtype="float64"),
+        })
 
     return run_bucket
