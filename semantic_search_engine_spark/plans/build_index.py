@@ -568,6 +568,43 @@ class IndexBuilder:
         runner.commit_lineage(self.spark)
         return runner
 
+    def build_fuzzy(self, field: str = "text", max_edit: int = 1,
+                    run_id: str | None = None) -> StageRunner:
+        """Opt-in SymSpell deletion index (operators/fuzzy.py) — typo
+        tolerance the reference lacks (Postgres users bolt on pg_trgm).
+        A static by-product of term_stats: every dictionary term explodes
+        into its ≤ ``max_edit``-deletion variants, partitioned by
+        variant hash bucket so a query term's ~L+1 variants prune to
+        their buckets at lookup. Pure JVM generation (sequence/transform
+        exprs), resumable like every stage, invalidated whenever
+        term_stats changes (merge/delete reruns it)."""
+        from ..functions.udfs import term_bucket_expr
+        from ..operators.fuzzy import build_deletes_df
+
+        cfg = self.cfg
+        sfx = "" if field == "text" else f"_{field}"
+        if not self.store.exists(f"term_stats{sfx}"):
+            raise ValueError(
+                f"no term_stats{sfx} table — build the {field!r} index "
+                "before its fuzzy index")
+        runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
+                             run_id=run_id)
+
+        def _deletes():
+            d = build_deletes_df(self.store.read(f"term_stats{sfx}"),
+                                 max_edit=max_edit)
+            return d.withColumn(
+                "variant_bucket",
+                term_bucket_expr("variant", cfg.n_term_buckets))
+
+        runner.run(f"term_deletes{sfx}", f"term_deletes{sfx}",
+                   [f"term_stats{sfx}"],
+                   _deletes,
+                   partition_by=["variant_bucket"],
+                   extra_key=f"/me{max_edit}")
+        runner.commit_lineage(self.spark)
+        return runner
+
     def _positions_current(self, sfx: str, field: str) -> bool:
         """Positional-index analogue of :meth:`_postings_current`: may an
         incremental maintenance pass carry untouched buckets forward?"""

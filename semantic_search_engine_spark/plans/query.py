@@ -927,6 +927,77 @@ class QueryEngine:
         hits = [(int(r["doc_id"]), float(r["score"])) for r in rows]
         return [h for h in hits if h[0] != doc_id][:k]
 
+    # ------------------------------------------------ fuzzy / suggestion
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """Typeahead: dictionary terms with the given prefix, most
+        frequent first — [(term, df)] ordered (df DESC, term ASC). One
+        term_stats scan; ``StartsWith`` pushes down as a min/max range
+        on the sorted term column."""
+        p = prefix.lower()
+        if not p:
+            return []
+        rows = (self.store.read(f"term_stats{self._sfx()}")
+                .filter(F.col("term").startswith(p))
+                .orderBy(F.desc("df"), F.asc("term")).limit(n)
+                .select("term", "df").collect())
+        return [(r["term"], int(r["df"])) for r in rows]
+
+    def fuzzy_terms(self, term: str, max_edit: int = 1, limit: int = 16
+                    ) -> list[tuple[str, int, int]]:
+        """Dictionary terms within ``max_edit`` edits (SymSpell deletes
+        lookup + Damerau-Levenshtein verify): [(term, distance, df)]
+        ordered (distance ASC, df DESC, term ASC). Requires
+        ``IndexBuilder.build_fuzzy()``; the scan prunes by
+        constant-folded variant_bucket literals + ``variant IN``."""
+        from ..functions.udfs import term_bucket_lit
+        from ..operators.fuzzy import delete_variants, fuzzy_candidates
+
+        table = f"term_deletes{self._sfx()}"
+        if not self.store.exists(table):
+            raise ValueError(
+                "no term_deletes table — run IndexBuilder.build_fuzzy() "
+                "first")
+        deletes = self.store.read(table)
+        qvars = delete_variants(term.lower(), max_edit)
+        if "variant_bucket" in deletes.columns:
+            deletes = deletes.filter(F.col("variant_bucket").isin(
+                *[term_bucket_lit(v, self.cfg.n_term_buckets)
+                  for v in qvars]))
+        return fuzzy_candidates(self.spark, deletes, term,
+                                max_edit=max_edit, limit=limit)
+
+    def fuzzy_top_k(self, query: str, k: int = 10, max_edit: int = 1
+                    ) -> tuple[list[tuple[int, float]], dict[str, str]]:
+        """Typo-tolerant top-k ("did you mean"): query terms absent from
+        the dictionary are replaced by their best fuzzy match (distance
+        ASC, df DESC) before the standard WAND path. Returns
+        ``(hits, corrections)`` — corrections maps original → substituted
+        term (only for terms that were actually replaced)."""
+        cfg = self.cfg
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len)))
+        if not qterms:
+            return [], {}
+        present = {r["term"] for r in
+                   self._pruned_term_scan(f"term_stats{self._sfx()}",
+                                          qterms).select("term").collect()}
+        corrections: dict[str, str] = {}
+        final: list[str] = []
+        for t in qterms:
+            if t in present:
+                final.append(t)
+                continue
+            cand = self.fuzzy_terms(t, max_edit=max_edit, limit=1)
+            if cand:
+                corrections[t] = cand[0][0]
+                final.append(cand[0][0])
+        if not final:
+            return [], corrections
+        rows = self.wand_top_k_df(" ".join(sorted(set(final))),
+                                  k=k).collect()
+        return ([(int(r["doc_id"]), float(r["score"])) for r in rows],
+                corrections)
+
     # -------------------------------------------------------- index stats
     def index_stats(self) -> dict:
         """Operational index summary — the engine-side analogue of the
