@@ -142,3 +142,46 @@ def test_accepted_divergences_are_pinned():
     a = b'<p title="a>b">text</p>'
     assert extract_html(a) == ("", 'b">text')
     assert extract_html_reference(a) == ("", "text")
+
+
+def test_normalize_ws_equivalence():
+    """The split/join fast form of _normalize_ws must equal the original
+    regex form on adversarial unicode whitespace — SRE's \\s and
+    str.split() both use Py_UNICODE_ISSPACE, which this test pins."""
+    import random
+    import re
+
+    from semantic_search_engine_spark.textproc import _normalize_ws
+
+    ws_re = re.compile(r"\s+")
+    chars = [" ", "\t", "\n", "\r", "\x0b", "\x0c", "\x1c", "\x1d",
+             "\x1e", "\x1f", "\x85", "\xa0", " ", " ",
+             "　", "a", "b", "<", ">", "é"]
+    rng = random.Random(7)
+    for _ in range(5000):
+        s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 30)))
+        assert _normalize_ws(s) == ws_re.sub(" ", s).strip(), repr(s)
+
+
+def test_tokenize_overlong_fast_path():
+    """tokenize()'s unfiltered fast path (no overlong run present) must
+    equal the filtering form for every (min, max) combination, including
+    runs straddling the 64-char default cap."""
+    import random
+
+    from semantic_search_engine_spark.textproc import TOKEN_RE
+
+    def ref(text, mx=64, mn=1):
+        return [t for t in TOKEN_RE.findall(text.lower())
+                if mn <= len(t) <= mx]
+
+    rng = random.Random(3)
+    cases = ["A" * 70, "a" * 64, "a" * 65, "x " + "b" * 200 + " y", "",
+             "ü" * 70, "a1" * 40, "a1" * 33]
+    for _ in range(3000):
+        cases.append("".join(rng.choice("ab0 .A-Z")
+                             for _ in range(rng.randint(0, 120))))
+    for c in cases:
+        assert tokenize(c) == ref(c), repr(c[:80])
+        assert tokenize(c, 10, 2) == ref(c, 10, 2), repr(c[:80])
+        assert tokenize(c, 100, 1) == ref(c, 100, 1), repr(c[:80])
