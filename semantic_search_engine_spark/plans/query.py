@@ -613,7 +613,9 @@ class QueryEngine:
 
     _BOOL_EMPTY = "partition_id int, doc_id long, score double"
 
-    def _boolean_survivors(self, query: str, k: int | None) -> DataFrame:
+    def _boolean_survivors(self, query: str, k: int | None,
+                           synonyms: dict[str, tuple[str, ...]] | None = None
+                           ) -> DataFrame:
         """Shared boolean core → (partition_id, doc_id, score), phrase
         obligations fully resolved, NOT yet globally ranked/truncated
         (per-bucket unconditional survivors are capped at k when given).
@@ -637,6 +639,9 @@ class QueryEngine:
         empty = self.spark.createDataFrame([], self._BOOL_EMPTY)
         clauses = parse_websearch(query, cfg.max_token_len,
                                   cfg.min_token_len)
+        if synonyms:
+            from ..operators.synonyms import rewrite_clauses
+            clauses = rewrite_clauses(clauses, synonyms)
         if not clauses:
             return empty
         prefixes = sorted({p for c in clauses
@@ -723,19 +728,25 @@ class QueryEngine:
                     .select("partition_id", "doc_id", "score"))
         return uncond.unionByName(resolved)
 
-    def boolean_top_k_df(self, query: str, k: int | None = None
+    def boolean_top_k_df(self, query: str, k: int | None = None,
+                         synonyms: dict[str, tuple[str, ...]] | None = None
                          ) -> DataFrame:
         """Websearch-style boolean top-k (``plans/boolean.py`` documents
         the grammar and semantics): (partition_id, doc_id, score) ranked
         (score DESC, doc_id ASC), score = BM25 over the query's distinct
         positive terms present in the doc. The global merge is
         ``TakeOrderedAndProject`` over ≤ P·k unconditional rows plus the
-        phrase-verified survivors."""
+        phrase-verified survivors.
+
+        ``synonyms``: optional normalized rewrite map
+        (``operators/synonyms.py`` — the engine's ``ts_rewrite``): each
+        DNF clause cross-products its required terms with their synonym
+        groups before planning."""
         cfg = self.cfg
         k = cfg.default_k if k is None else min(k, cfg.max_k)
         if k <= 0:
             return self.spark.createDataFrame([], self._BOOL_EMPTY)
-        return (self._boolean_survivors(query, k)
+        return (self._boolean_survivors(query, k, synonyms=synonyms)
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
     def boolean_top_k(self, query: str, k: int = 10
@@ -751,11 +762,19 @@ class QueryEngine:
 
     # ------------------------------------------------------------- facets
     def facet_counts(self, query: str, by: str = "lang",
-                     mode: str = "any") -> DataFrame:
+                     mode: str = "any",
+                     granularity: str | None = None) -> DataFrame:
         """Facet histogram over the match set: (facet value, n_docs),
         descending — the aggregation a search UI renders next to results
         (the reference's category sidebar would be this over its
         ``category`` column). ``by`` is any doc_meta column.
+
+        ``granularity``: date-histogram mode (the Elasticsearch
+        ``date_histogram`` / results-over-time widget): bucket a
+        timestamp column by ``date_trunc(granularity, by)`` —
+        "year"/"month"/"week"/"day"/"hour"/... — ordered by bucket
+        ascending (a timeline, not a top-list). Same two-level
+        aggregate; the shuffle carries ≤ |buckets| × P rows.
 
         ``mode="any"``: a doc matches if it contains ≥1 query term (the
         disjunctive candidate set BM25 ranks — matches what the WAND page
@@ -766,6 +785,10 @@ class QueryEngine:
         on the bucket-colocated key, then a two-level aggregate: partial
         per-partition counts combine map-side, so the shuffle carries ≤
         |facet values| × P rows, never the match set."""
+        facet = (F.date_trunc(granularity, F.col(by)).alias(by)
+                 if granularity else F.col(by))
+        order = ((F.asc(by),) if granularity
+                 else (F.desc("n_docs"), F.asc(by)))
         if mode == "boolean":
             matched = (self.boolean_matches_df(query)
                        .select("partition_id", "doc_id"))
@@ -786,17 +809,17 @@ class QueryEngine:
             # not carry partition_id — join on doc_id alone and let the
             # distinct shrink the probe side first
             meta = self.store.read(f"doc_meta{self._sfx()}").select(
-                "doc_id", by)
+                "doc_id", facet)
             return (matched.join(meta, "doc_id")
                     .groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
-                    .orderBy(F.desc("n_docs"), F.asc(by)))
+                    .orderBy(*order))
         else:
             raise ValueError(f"unknown facet mode: {mode!r}")
         meta = self.store.read(f"doc_meta{self._sfx()}").select(
-            "partition_id", "doc_id", by)
+            "partition_id", "doc_id", facet)
         return (matched.join(meta, ["partition_id", "doc_id"])
                 .groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
-                .orderBy(F.desc("n_docs"), F.asc(by)))
+                .orderBy(*order))
 
     # ------------------------------------------------- weighted (BM25F)
     def weighted_top_k_df(self, query: str,
@@ -997,6 +1020,74 @@ class QueryEngine:
                                   k=k).collect()
         return ([(int(r["doc_id"]), float(r["score"])) for r in rows],
                 corrections)
+
+    # -------------------------------------------------- synonyms / explain
+    def synonym_top_k_df(self, query: str,
+                         synonyms: dict[str, tuple[str, ...]],
+                         k: int | None = None) -> DataFrame:
+        """Ranked retrieval with ts_rewrite-style query expansion
+        (``operators/synonyms.py``): the query's term set is unioned with
+        each term's synonym group and handed to the standard block-max
+        WAND path — a synonym is one more scored cursor, down-weighted by
+        its own idf. The expanded terms are [a-z0-9]+ tokens, so the
+        space-join round-trips losslessly through the tokenizer."""
+        from ..operators.synonyms import expand_terms
+
+        cfg = self.cfg
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len)))
+        expanded = expand_terms(qterms, synonyms or {})
+        if not expanded:
+            return self.spark.createDataFrame([], self._BOOL_EMPTY)
+        return self.wand_top_k_df(" ".join(expanded), k=k)
+
+    def explain_score(self, query: str, doc_id: int) -> dict:
+        """Per-term BM25 breakdown for one (query, document) pair — the
+        engine's Elasticsearch-``_explain`` / Lucene ``Explanation``
+        analogue, for relevance debugging. Two tiny pruned jobs (the
+        doc's bucket-pinned feature row; the query terms' df rows); the
+        arithmetic replays scoring EXACTLY — same parenthesization, same
+        sorted-term fold order — so ``total`` is bit-identical to the
+        score the ranked paths emit for this doc (pinned by test).
+
+        Returns ``{doc_id, doc_len, avgdl, n_docs, total, terms: [{term,
+        tf, df, idf, contrib}]}`` with absent-from-doc or absent-from-
+        dictionary query terms listed at tf/df 0 and contrib 0.0."""
+        from ..textproc import doc_bucket
+
+        cfg = self.cfg
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len)))
+        stats = self.corpus_stats()
+        n, avgdl = stats["n_docs"], stats["avg_doc_len"]
+        bucket = doc_bucket(doc_id, cfg.n_doc_buckets)
+        rows = (self.store.read(f"doc_features{self._sfx()}")
+                .filter((F.col("partition_id") == F.lit(bucket))
+                        & (F.col("doc_id") == F.lit(doc_id)))
+                .select("doc_len", "tf_map").collect())
+        if not rows:
+            raise ValueError(f"doc_id {doc_id} is not indexed")
+        dl = int(rows[0]["doc_len"])
+        tf_map = {t: int(v) for t, v in (rows[0]["tf_map"] or {}).items()}
+        dfs = ({r["term"]: int(r["df"]) for r in
+                self._pruned_term_scan(f"term_stats{self._sfx()}", qterms)
+                .select("term", "df").collect()} if qterms else {})
+        k1, b = float(cfg.k1), float(cfg.b)
+        total = 0.0
+        terms = []
+        for t in qterms:  # sorted-term fold order == the scoring paths'
+            tf, df = tf_map.get(t, 0), dfs.get(t, 0)
+            if tf > 0 and df > 0 and avgdl > 0:
+                idf = bm25_idf(n, df)
+                denom = tf + k1 * ((1.0 - b) + b * dl / avgdl)
+                contrib = idf * (tf / denom)
+                total += contrib
+            else:
+                idf, contrib = (bm25_idf(n, df) if df > 0 else 0.0), 0.0
+            terms.append({"term": t, "tf": tf, "df": df, "idf": idf,
+                          "contrib": contrib})
+        return {"doc_id": doc_id, "doc_len": dl, "avgdl": avgdl,
+                "n_docs": n, "total": total, "terms": terms}
 
     # -------------------------------------------------------- index stats
     def index_stats(self) -> dict:
