@@ -37,6 +37,12 @@ def main(argv=None) -> int:
     p.add_argument("--term-buckets", type=int, default=None)
     p.add_argument("--k1", type=float, default=None)
     p.add_argument("--b", type=float, default=None)
+    p.add_argument("--positions", action="store_true",
+                   help="also build the positional index "
+                        "(phrase/proximity retrieval)")
+    p.add_argument("--fuzzy", action="store_true",
+                   help="also build the SymSpell deletion index "
+                        "(typo-tolerant lookup / --mode fuzzy)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -70,14 +76,22 @@ def main(argv=None) -> int:
     else:
         docs = spark.read.table(args.input)
 
-    runner = IndexBuilder(spark, store, cfg).build(
+    builder = IndexBuilder(spark, store, cfg)
+    runner = builder.build(
         docs, field=args.field, run_id=args.run_id,
         input_version=args.input_version)
+    stages = list(runner.metrics)
+    if args.positions:
+        stages += builder.build_positions(field=args.field,
+                                          run_id=args.run_id).metrics
+    if args.fuzzy:
+        stages += builder.build_fuzzy(field=args.field,
+                                      run_id=args.run_id).metrics
     print(json.dumps({"run_id": runner.run_id,
                       "stages": [{k: m[k] for k in
                                   ("stage", "skipped", "wall_ms",
                                    "output_rows")}
-                                 for m in runner.metrics]}, default=str))
+                                 for m in stages]}, default=str))
     if not preexisting:
         spark.stop()
     return 0

@@ -5,11 +5,15 @@ Usage:
     spark-submit --py-files sse_spark.zip scripts/query.py \
         --warehouse <path-or-catalog> [--store hadoop|iceberg] \
         [--field text|title] [--k 10] [--offset 0] [--min-score 0] \
-        [--lang en] [--mode wand|exhaustive] [--count exact|none] \
+        [--lang en] [--mode wand|exhaustive|boolean|fuzzy] \
+        [--count exact|approx|none] [--synonyms JSON|@file] \
+        [--facet COL[:GRANULARITY]] [--suggest] [--explain DOC_ID] \
         [--log-dir <query-log dir>] "query text" ["another query" ...]
 
 Prints one JSON line per query: the result envelope (results, total_count,
 limit, offset, query, execution_time_ms) — the SearchResponse analogue.
+--suggest/--explain/--facet switch the output to typeahead suggestions,
+a per-term BM25 breakdown, or a facet histogram respectively.
 """
 
 from __future__ import annotations
@@ -28,9 +32,26 @@ def main(argv=None) -> int:
     p.add_argument("--offset", type=int, default=0)
     p.add_argument("--min-score", type=float, default=0.0)
     p.add_argument("--lang", default=None)
-    p.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+    p.add_argument("--mode", default="wand",
+                   choices=["wand", "exhaustive", "boolean", "fuzzy"],
+                   help="boolean = websearch syntax (AND/OR/-/\"phrase\"/"
+                        "word*); fuzzy = typo-tolerant (needs the --fuzzy "
+                        "build)")
     p.add_argument("--count", default="none",
                    choices=["exact", "approx", "none"])
+    p.add_argument("--synonyms", default=None, metavar="JSON",
+                   help="ts_rewrite map {\"term\": [\"syn\", ...]} or "
+                        "@file.json; expands wand and boolean queries")
+    p.add_argument("--facet", default=None, metavar="COL[:GRANULARITY]",
+                   help="print the match set's facet histogram instead of "
+                        "hits (GRANULARITY = year/month/day/... for "
+                        "timestamp columns)")
+    p.add_argument("--suggest", action="store_true",
+                   help="positional args are prefixes; print typeahead "
+                        "suggestions")
+    p.add_argument("--explain", type=int, default=None, metavar="DOC_ID",
+                   help="print the per-term BM25 breakdown of "
+                        "(query, DOC_ID)")
     p.add_argument("--batch", action="store_true",
                    help="answer ALL queries in one Spark job "
                         "(multi-query WAND; bare top-k only — "
@@ -54,10 +75,52 @@ def main(argv=None) -> int:
     qe = QueryEngine(spark, store, cfg=None, field=args.field,
                      query_log_dir=args.log_dir)
 
+    synonyms = None
+    if args.synonyms:
+        from semantic_search_engine_spark.operators.synonyms import (
+            normalize_synonyms,
+        )
+        raw = args.synonyms
+        if raw.startswith("@"):
+            with open(raw[1:]) as f:
+                raw = f.read()
+        synonyms = normalize_synonyms(json.loads(raw))
+
+    if args.suggest:
+        for prefix in args.queries:
+            print(json.dumps({"prefix": prefix, "suggestions": [
+                {"term": t, "df": df}
+                for t, df in qe.suggest(prefix, n=args.k)]}))
+        if not preexisting:
+            spark.stop()
+        return 0
+
+    if args.explain is not None:
+        for q in args.queries:
+            print(json.dumps(qe.explain_score(q, args.explain),
+                             default=str))
+        if not preexisting:
+            spark.stop()
+        return 0
+
+    if args.facet is not None:
+        by, _, gran = args.facet.partition(":")
+        mode = "boolean" if args.mode == "boolean" else "any"
+        for q in args.queries:
+            rows = qe.facet_counts(q, by=by, mode=mode,
+                                   granularity=gran or None).collect()
+            print(json.dumps({"query": q, "facet": args.facet,
+                              "counts": [{by: r[by],
+                                          "n_docs": int(r["n_docs"])}
+                                         for r in rows]}, default=str))
+        if not preexisting:
+            spark.stop()
+        return 0
+
     if args.batch:
         if (args.lang is not None or args.min_score != 0.0
                 or args.offset != 0 or args.count != "none"
-                or args.mode != "wand"):
+                or args.mode != "wand" or synonyms):
             print("--batch supports bare WAND top-k only "
                   "(no filters/offset/count/exhaustive)", file=sys.stderr)
             return 2
@@ -73,7 +136,27 @@ def main(argv=None) -> int:
         return 0
 
     for q in args.queries:
-        if (args.lang is None and args.min_score == 0.0
+        if args.mode == "boolean":
+            rows = qe.boolean_top_k_df(q, k=args.k,
+                                       synonyms=synonyms).collect()
+            hits = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+            out = {"results": [{"doc_id": d, "score": s} for d, s in hits],
+                   "total_count": len(hits), "limit": args.k, "offset": 0,
+                   "query": q}
+        elif args.mode == "fuzzy":
+            hits, corrections = qe.fuzzy_top_k(q, k=args.k)
+            out = {"results": [{"doc_id": d, "score": s} for d, s in hits],
+                   "total_count": len(hits), "limit": args.k, "offset": 0,
+                   "query": q, "corrections": corrections}
+        elif synonyms is not None and (
+                args.lang is None and args.min_score == 0.0
+                and args.offset == 0 and args.count == "none"):
+            rows = qe.synonym_top_k_df(q, synonyms, k=args.k).collect()
+            hits = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+            out = {"results": [{"doc_id": d, "score": s} for d, s in hits],
+                   "total_count": len(hits), "limit": args.k, "offset": 0,
+                   "query": q}
+        elif (args.lang is None and args.min_score == 0.0
                 and args.offset == 0 and args.count == "none"):
             # simple case: bare top-k honoring --mode (wand OR exhaustive)
             hits = qe.top_k(q, k=args.k, mode=args.mode)
@@ -81,6 +164,10 @@ def main(argv=None) -> int:
                    "total_count": len(hits), "limit": args.k, "offset": 0,
                    "query": q}
         else:
+            if synonyms is not None:
+                print("--synonyms supports bare top-k and boolean mode "
+                      "only (no filters/offset/count)", file=sys.stderr)
+                return 2
             out = qe.search(q, k=args.k, offset=args.offset,
                             min_score=args.min_score, lang=args.lang,
                             count_mode=args.count, mode=args.mode)

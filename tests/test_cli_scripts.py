@@ -83,3 +83,66 @@ def test_batch_query_cli_matches_per_query(spark, cli_env, capsys):
     # --batch rejects filters
     rc = query_main(["--warehouse", wh, "--batch", "--lang", "en", "x"])
     assert rc == 2
+
+
+def test_query_cli_round3_modes(spark, cli_env, capsys, tmp_path):
+    """boolean/fuzzy/suggest/explain/facet/synonyms CLI surfaces."""
+    wh, corpus = cli_env
+    from scripts.build_index import main as build_main
+    from scripts.query import main as query_main
+
+    rc = build_main(["--input", corpus, "--warehouse", wh,
+                     "--shuffle-partitions", "4", "--doc-buckets", "4",
+                     "--term-buckets", "4", "--input-version", "v1",
+                     "--fuzzy"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "term_deletes" in {s["stage"] for s in out["stages"]}
+
+    # boolean mode
+    rc = query_main(["--warehouse", wh, "--k", "5", "--mode", "boolean",
+                     "zipfhead0 OR zipfhead1 -zipfhead2"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["results"] and env["results"][0]["score"] > 0
+
+    # fuzzy mode corrects a typo'd term
+    rc = query_main(["--warehouse", wh, "--k", "5", "--mode", "fuzzy",
+                     "zipfhead0x"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["corrections"].get("zipfhead0x")
+    assert env["results"]
+
+    # suggest
+    rc = query_main(["--warehouse", wh, "--k", "3", "--suggest", "zipf"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["suggestions"] and all(
+        s["term"].startswith("zipf") for s in env["suggestions"])
+
+    # explain for the top hit of a query
+    rc = query_main(["--warehouse", wh, "--k", "1", "zipfhead0"])
+    top = json.loads(capsys.readouterr().out.strip()
+                     .splitlines()[-1])["results"][0]
+    rc = query_main(["--warehouse", wh, "--explain", str(top["doc_id"]),
+                     "zipfhead0"])
+    assert rc == 0
+    ex = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ex["total"] == top["score"]  # bit-identical replay
+
+    # facet histogram (timeline granularity)
+    rc = query_main(["--warehouse", wh, "--facet", "warc_ts:day",
+                     "zipfhead0"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["counts"] and sum(c["n_docs"] for c in env["counts"]) > 0
+
+    # synonyms expand retrieval (typo'd-absent term draws hits via synonym)
+    syn_file = tmp_path / "syn.json"
+    syn_file.write_text(json.dumps({"qqqabsent": ["zipfhead0"]}))
+    rc = query_main(["--warehouse", wh, "--k", "5",
+                     "--synonyms", f"@{syn_file}", "qqqabsent"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["results"]
