@@ -58,6 +58,24 @@ def decode_postings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
+def decode_doc_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: block rows → doc_id rows ONLY — decodes a single
+    stream (delta+varbyte doc ids), skipping the tf/dl streams and the
+    scoring pipeline entirely. The cheap kernel behind candidate counting
+    (``approx_count`` with no score threshold), where the answer is
+    "how many docs contain ≥1 query term", not "what do they score"."""
+    import numpy as np
+
+    from ..functions.varbyte import decode_varbyte, delta_decode
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        ids = [delta_decode(decode_varbyte(bytes(dvb))).astype(np.int64)
+               for dvb in pdf["doc_ids_vb"]]
+        yield pd.DataFrame({"doc_id": np.concatenate(ids)})
+
+
 # one definition, shared with the in-job idf computation
 from .wand import bm25_idf  # noqa: E402
 
@@ -1199,16 +1217,44 @@ class QueryEngine:
         P = self.cfg.n_doc_buckets
         sample = (list(range(max(1, P // 4)))
                   if sample_buckets is None else list(sample_buckets))
-        cand = self.scores_df(query, buckets=sample)
         if min_score > 0.0:
-            cand = cand.filter(F.col("score") >= F.lit(min_score))
-        meta = (self.store.read(f"doc_meta{self._sfx()}")
-                .filter(F.col("partition_id")
-                        .isin([int(b) for b in sample]))
-                .select("doc_id", "lang", "warc_ts"))
-        n = self._apply_meta_filters(cand.join(meta, "doc_id"), lang,
-                                     warc_ts_min, warc_ts_max).count()
+            cand = self.scores_df(query, buckets=sample).filter(
+                F.col("score") >= F.lit(min_score))
+        else:
+            # No threshold ⇒ the count never needs scores: decode ONLY the
+            # doc-id stream (one varbyte stream instead of three, no BM25
+            # pipeline, parquet reads a single binary column) and count
+            # distinct candidates. Same estimate, ~3x less decode work.
+            cand = self.candidate_ids_df(query, buckets=sample)
+        if lang is None and warc_ts_min is None and warc_ts_max is None:
+            n = cand.count()
+        else:
+            meta = (self.store.read(f"doc_meta{self._sfx()}")
+                    .filter(F.col("partition_id")
+                            .isin([int(b) for b in sample]))
+                    .select("doc_id", "lang", "warc_ts"))
+            n = self._apply_meta_filters(cand.join(meta, "doc_id"), lang,
+                                         warc_ts_min, warc_ts_max).count()
         return int(round(n * P / len(sample)))
+
+    def candidate_ids_df(self, query: str,
+                         buckets: list[int] | None = None) -> DataFrame:
+        """Distinct doc_ids containing ≥1 query term — the scoreless
+        candidate set. Prunes like :meth:`scores_df` (term-bucket
+        partition pruning + ``term IN`` pushdown, optional doc-range
+        bucket subset) but decodes only ``doc_ids_vb``."""
+        cfg = self.cfg
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len)))
+        if not qterms:
+            return self.spark.createDataFrame([], "doc_id long")
+        scan = self._pruned_term_scan(f"postings{self._sfx()}", qterms)
+        if buckets is not None:
+            scan = scan.filter(
+                F.col("partition_id").isin([int(b) for b in buckets]))
+        return (scan.select("doc_ids_vb")
+                .mapInPandas(decode_doc_ids, schema="doc_id long")
+                .distinct())
 
     def _hydrate_hits(self, top: DataFrame) -> DataFrame:
         """Decorate WAND hits (partition_id, doc_id, score) with doc_meta
