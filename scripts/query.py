@@ -86,6 +86,25 @@ def main(argv=None) -> int:
                 raw = f.read()
         synonyms = normalize_synonyms(json.loads(raw))
 
+    # surfaces that answer over the FULL match set (or a bare top-k)
+    # must refuse filter/paging flags rather than silently drop them
+    filters_set = (args.lang is not None or args.min_score != 0.0
+                   or args.offset != 0 or args.count != "none")
+    if args.mode in ("boolean", "fuzzy") and filters_set:
+        print(f"--mode {args.mode} supports bare top-k only "
+              "(no --lang/--min-score/--offset/--count)", file=sys.stderr)
+        return 2
+    if args.facet is not None:
+        if filters_set:
+            print("--facet histograms the full match set "
+                  "(no --lang/--min-score/--offset/--count)",
+                  file=sys.stderr)
+            return 2
+        if args.mode not in ("wand", "boolean"):
+            print("--facet supports --mode wand (disjunctive match set) "
+                  "or boolean only", file=sys.stderr)
+            return 2
+
     if args.suggest:
         for prefix in args.queries:
             print(json.dumps({"prefix": prefix, "suggestions": [

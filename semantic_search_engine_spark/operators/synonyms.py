@@ -78,13 +78,15 @@ def expand_terms(qterms: list[str],
 
 def rewrite_clauses(clauses: list[BooleanClause],
                     synonyms: dict[str, tuple[str, ...]],
-                    max_clauses: int = 64) -> list[BooleanClause]:
+                    max_clauses: int = 63) -> list[BooleanClause]:
     """Boolean-path rewrite: distribute each clause's required terms over
     their synonym groups (cross product), preserving prefixes/phrases/
     negations untouched per alternative. Negated terms are NOT expanded:
     ``-spam`` keeps excluding exactly ``spam`` (ts_rewrite likewise only
     rewrites what the rule's left side names). Result clauses are deduped
-    while preserving first-appearance order."""
+    while preserving first-appearance order. ``max_clauses`` defaults to
+    the boolean kernel's own 63-clause ceiling (plans/boolean.py) so the
+    refusal fires here, with the actionable message, never downstream."""
     rewritten: list[BooleanClause] = []
     seen: set[tuple] = set()
     for c in clauses:

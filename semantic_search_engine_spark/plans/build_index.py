@@ -696,13 +696,20 @@ class IndexBuilder:
         changed: list[int] | None = None
         pos_changed: list[int] | None = None
         if incremental:
-            touched = sorted({int(r["partition_id"]) for r in
-                              ex.select("partition_id").distinct()
-                              .collect()})
-            if self._postings_current(sfx, field):
-                changed = touched
-            if self._positions_current(sfx, field):
-                pos_changed = touched
+            # currency checks first (cheap manifest reads): when neither
+            # postings nor positions can carry, skip the touched-buckets
+            # job over the batch entirely — the fallback path must not
+            # pay a scan it then discards
+            post_ok = self._postings_current(sfx, field)
+            pos_ok = self._positions_current(sfx, field)
+            if post_ok or pos_ok:
+                touched = sorted({int(r["partition_id"]) for r in
+                                  ex.select("partition_id").distinct()
+                                  .collect()})
+                if post_ok:
+                    changed = touched
+                if pos_ok:
+                    pos_changed = touched
         self.store.merge_by_key(
             f"doc_features{sfx}", ex, key="url",
             partition_by=(["partition_id"] if cfg.partition_doc_features

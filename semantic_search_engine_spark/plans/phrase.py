@@ -47,6 +47,7 @@ from ..functions.varbyte import (
     delta_encode,
     encode_varbyte,
 )
+from ..textproc import min_window_span_lists
 
 POSITIONS_SCHEMA = (
     "term string, partition_id int, block_id int, n_docs int, "
@@ -235,24 +236,9 @@ def _phrase_starts(doc_slices: list[np.ndarray]) -> int:
 
 def _min_window(doc_slices: list[np.ndarray]) -> int:
     """Minimum inclusive token span covering one position from every
-    array — numpy merge variant of textproc.min_window_span."""
-    if len(doc_slices) == 1:
-        return 1
-    import heapq
-    heads = [(int(pl[0]), i, 0) for i, pl in enumerate(doc_slices)]
-    heapq.heapify(heads)
-    cur_max = max(h[0] for h in heads)
-    best = None
-    while True:
-        pos, li, pi = heads[0]
-        span = cur_max - pos + 1
-        if best is None or span < best:
-            best = span
-        if pi + 1 >= len(doc_slices[li]):
-            return best
-        nxt = int(doc_slices[li][pi + 1])
-        heapq.heapreplace(heads, (nxt, li, pi + 1))
-        cur_max = max(cur_max, nxt)
+    array — delegates to THE shared sweep core so the positional and
+    recheck/snippet paths can never drift apart."""
+    return min_window_span_lists(doc_slices)
 
 
 def make_positional_bucket_fn(phrase_terms: list[str], k: int, k1: float,

@@ -76,6 +76,28 @@ def decode_doc_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": np.concatenate(ids)})
 
 
+def decode_term_doc_ids(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+    """mapInPandas: block rows → (term, doc_id) rows — the doc-id stream
+    labeled by term, for conjunction/membership questions (phrase-recheck
+    candidate selection) that never look at tf/dl."""
+    import numpy as np
+
+    from ..functions.varbyte import decode_varbyte, delta_decode
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        terms, ids = [], []
+        for term, dvb in zip(pdf["term"], pdf["doc_ids_vb"]):
+            i = delta_decode(decode_varbyte(bytes(dvb))).astype(np.int64)
+            terms.append(np.repeat(np.array([term], dtype=object),
+                                   i.size))
+            ids.append(i)
+        yield pd.DataFrame({"term": np.concatenate(terms),
+                            "doc_id": np.concatenate(ids)})
+
+
 # one definition, shared with the in-job idf computation
 from .wand import bm25_idf  # noqa: E402
 
@@ -538,10 +560,12 @@ class QueryEngine:
         if len(idfs) < len(uniq) or avgdl <= 0:
             # some phrase term absent from the corpus → no match anywhere
             return self.spark.createDataFrame([], self._PHRASE_EMPTY)
+        # conjunction over (term, doc_id) only — the light decode (no
+        # tf/dl streams; the survivors re-tokenize anyway)
         scan = self._pruned_term_scan(f"postings{self._sfx()}",
-                                      uniq).select(
-            "term", "doc_ids_vb", "tfs_vb", "dls_vb", "n_postings")
-        decoded = scan.mapInPandas(decode_postings, schema=DECODED_SCHEMA)
+                                      uniq).select("term", "doc_ids_vb")
+        decoded = scan.mapInPandas(decode_term_doc_ids,
+                                   schema="term string, doc_id long")
         cands = (decoded.groupBy("doc_id")
                  .agg(F.countDistinct("term").alias("_nt"))
                  .filter(F.col("_nt") == len(uniq)).select("doc_id"))
@@ -614,7 +638,25 @@ class QueryEngine:
         pred = F.col("term").startswith(prefixes[0])
         for p in prefixes[1:]:
             pred = pred | F.col("term").startswith(p)
-        terms = [r["term"] for r in scan.filter(pred).collect()]
+        # Bound the driver collect BEFORE paying it: at most
+        # max_expansions matches per prefix can be legal, so if the
+        # combined scan exceeds cap = max_expansions * |prefixes|, some
+        # prefix must exceed max_expansions (pigeonhole) — refuse after a
+        # cheap aggregation names it, without ever collecting the
+        # expansion ('a*' over a web-scale dictionary must not OOM the
+        # driver on its way to the refusal).
+        cap = max_expansions * len(prefixes)
+        rows = scan.filter(pred).limit(cap + 1).collect()
+        if len(rows) > cap:
+            cnts = scan.filter(pred).agg(*[
+                F.sum(F.col("term").startswith(p).cast("long")).alias(p)
+                for p in prefixes]).collect()[0]
+            worst = max(prefixes, key=lambda p: int(cnts[p] or 0))
+            raise ValueError(
+                f"prefix '{worst}*' matches {int(cnts[worst])} dictionary "
+                f"terms (max_expansions={max_expansions}); lengthen the "
+                "prefix")
+        terms = [r["term"] for r in rows]
         out: dict[str, list[str]] = {p: [] for p in prefixes}
         for t in terms:
             for p in prefixes:
@@ -817,12 +859,10 @@ class QueryEngine:
             if not qterms:
                 return self.spark.createDataFrame(
                     [], f"{by} string, n_docs long")
-            scan = self._pruned_term_scan(f"postings{self._sfx()}",
-                                          qterms).select(
-                "term", "doc_ids_vb", "tfs_vb", "dls_vb", "n_postings")
-            matched = (scan.mapInPandas(decode_postings,
-                                        schema=DECODED_SCHEMA)
-                       .select("doc_id").distinct())
+            # "contains ≥1 query term" needs no scores: the scoreless
+            # doc-id-only decode (one varbyte stream, one binary column
+            # read — see candidate_ids_df/decode_doc_ids)
+            matched = self.candidate_ids_df(query)
             # doc_bucket(doc_id) is derivable, but the decoded rows do
             # not carry partition_id — join on doc_id alone and let the
             # distinct shrink the probe side first
@@ -1388,7 +1428,12 @@ class QueryEngine:
         try:
             rows = (out.orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(k + offset).collect())[offset:]
-            total = out.count() if count_mode == "exact" else len(rows)
+            # the exhaustive plan has already scored every candidate (and
+            # cached them), so the exact pre-limit count is one cheap
+            # cached count — "approx" is honored with the exact value
+            # rather than silently degrading to the page size
+            total = (out.count() if count_mode in ("exact", "approx")
+                     else len(rows))
         finally:
             out.unpersist()
         snips = (self.snippets([r["doc_id"] for r in rows], query)

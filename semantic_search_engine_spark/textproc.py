@@ -356,10 +356,21 @@ def min_window_span(positions: dict[str, list[int]],
         if not pl:
             return None
         lists.append(pl)
+    return min_window_span_lists(lists)
+
+
+def min_window_span_lists(lists) -> int:
+    """THE k-sorted-lists minimum-window sweep core — smallest inclusive
+    span covering one element from every list. One definition shared by
+    :func:`min_window_span` (dict form, snippets/recheck path) and the
+    positional kernel (``plans/phrase.py``, numpy position arrays): the
+    two retrieval paths are pinned result-identical, so their window
+    semantics must come from the same code. Lists must be sorted
+    ascending and non-empty; accepts plain lists or numpy arrays."""
     if len(lists) == 1:
         return 1
     import heapq as _hq
-    heads = [(pl[0], i, 0) for i, pl in enumerate(lists)]
+    heads = [(int(pl[0]), i, 0) for i, pl in enumerate(lists)]
     _hq.heapify(heads)
     cur_max = max(h[0] for h in heads)
     best = None
@@ -370,7 +381,7 @@ def min_window_span(positions: dict[str, list[int]],
             best = span
         if pi + 1 >= len(lists[li]):
             return best
-        nxt = lists[li][pi + 1]
+        nxt = int(lists[li][pi + 1])
         _hq.heapreplace(heads, (nxt, li, pi + 1))
         cur_max = max(cur_max, nxt)
 

@@ -146,3 +146,15 @@ def test_query_cli_round3_modes(spark, cli_env, capsys, tmp_path):
     assert rc == 0
     env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert env["results"]
+
+    # filter/paging flags REFUSE (exit 2) on surfaces that would
+    # otherwise silently drop them (review r3)
+    assert query_main(["--warehouse", wh, "--mode", "boolean",
+                       "--lang", "en", "x OR y"]) == 2
+    assert query_main(["--warehouse", wh, "--mode", "fuzzy",
+                       "--offset", "5", "x"]) == 2
+    assert query_main(["--warehouse", wh, "--facet", "lang",
+                       "--count", "exact", "x"]) == 2
+    assert query_main(["--warehouse", wh, "--facet", "lang",
+                       "--mode", "exhaustive", "x"]) == 2
+    capsys.readouterr()

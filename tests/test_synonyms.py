@@ -79,6 +79,15 @@ def test_rewrite_clauses_refuses_explosion():
                         max_clauses=64)
 
 
+def test_rewrite_default_cap_matches_boolean_kernel():
+    """The default refusal fires HERE (actionable message) before the
+    boolean kernel's own 63-clause ceiling can (review r3): a 64-clause
+    expansion must not pass the synonym guard and then crash downstream."""
+    syn = {"t0": tuple(f"s{j}" for j in range(63))}  # 1 term → 64 alts
+    with pytest.raises(ValueError, match="synonym"):
+        rewrite_clauses(parse_websearch("t0"), syn)
+
+
 # ------------------------------------------------------------ engine paths
 
 def test_synonym_top_k_equals_expanded_wand(built_syn, syn_oracle):
