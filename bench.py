@@ -70,15 +70,24 @@ def _calibrate_python_width(cpus: int, n_docs: int = 600) -> int:
     from semantic_search_engine_spark.corpus import generate_rows
 
     rows = [r["html"] for r in generate_rows(n_docs)]
-    best_w, best_rate = cpus, 0.0
-    for w in sorted({min(8, cpus), min(16, cpus), cpus}):
-        t0 = time.time()
-        with mp.Pool(w) as pool:
-            pool.map(_cal_work, rows, chunksize=8)
-        rate = len(rows) / (time.time() - t0)
-        if rate > best_rate:
-            best_w, best_rate = w, rate
-    return best_w
+    cands = sorted({min(8, cpus), min(16, cpus), cpus})
+    # TWO interleaved rounds, best rate per width: a single sample per
+    # width is one scheduler transient away from picking a width that
+    # then runs a multi-minute stage 2x slow (observed this round: a
+    # one-shot probe chose 16 minutes before quiet re-probes showed 8
+    # winning). Interleaving means a transient hits adjacent widths, not
+    # one; max() discards it.
+    best: dict[int, float] = {w: 0.0 for w in cands}
+    for _ in range(2):
+        for w in cands:
+            t0 = time.time()
+            with mp.Pool(w) as pool:
+                pool.map(_cal_work, rows, chunksize=8)
+            best[w] = max(best[w], len(rows) / (time.time() - t0))
+    # ties break toward the SMALLER width: equal measured rate means the
+    # extra workers buy nothing, and fewer busy Python workers is the
+    # safe side of this host's churn pathology
+    return min(cands, key=lambda w: (-best[w], w))
 
 
 def main() -> None:
