@@ -258,6 +258,26 @@ def main() -> None:
     t0 = time.time()
     qe.facet_counts("wireless bluetooth headphones", by="lang").collect()
     queries["q_facet_lang"] = round(time.time() - t0, 3)
+    # hashed doc embeddings (opt-in, timed separately like positions) +
+    # hybrid BM25 ⊕ cosine RRF retrieval (round 3)
+    t0 = time.time()
+    builder.build_embeddings(dim=64)
+    queries["embeddings_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    qe.hybrid_top_k("wireless bluetooth headphones", k=10)
+    queries["q_hybrid_rrf"] = round(time.time() - t0, 3)
+    # keyset pagination: the next page via cursor costs one k-deep WAND
+    # job at any depth (vs OFFSET's k+offset materialization)
+    env = qe.search_after("wireless bluetooth headphones", k=10)
+    if env["next_cursor"]:
+        t0 = time.time()
+        qe.search_after("wireless bluetooth headphones", k=10,
+                        cursor=env["next_cursor"])
+        queries["q_search_after"] = round(time.time() - t0, 3)
+    # PRF expansion: seed WAND + two bounded reads + boosted requery
+    t0 = time.time()
+    qe.prf_top_k("wireless bluetooth headphones", k=10)
+    queries["q_prf"] = round(time.time() - t0, 3)
 
     total = build_sec + sum(qtimes) + queries["q_filtered_exact_count"]
     out = {

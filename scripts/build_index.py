@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     p.add_argument("--fuzzy", action="store_true",
                    help="also build the SymSpell deletion index "
                         "(typo-tolerant lookup / --mode fuzzy)")
+    p.add_argument("--embeddings", type=int, default=None, metavar="DIM",
+                   help="also build DIM-dimensional hashed doc embeddings "
+                        "(hybrid / --mode hybrid retrieval)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -87,6 +90,10 @@ def main(argv=None) -> int:
     if args.fuzzy:
         stages += builder.build_fuzzy(field=args.field,
                                       run_id=args.run_id).metrics
+    if args.embeddings:
+        stages += builder.build_embeddings(field=args.field,
+                                           dim=args.embeddings,
+                                           run_id=args.run_id).metrics
     print(json.dumps({"run_id": runner.run_id,
                       "stages": [{k: m[k] for k in
                                   ("stage", "skipped", "wall_ms",

@@ -33,10 +33,13 @@ def main(argv=None) -> int:
     p.add_argument("--min-score", type=float, default=0.0)
     p.add_argument("--lang", default=None)
     p.add_argument("--mode", default="wand",
-                   choices=["wand", "exhaustive", "boolean", "fuzzy"],
+                   choices=["wand", "exhaustive", "boolean", "fuzzy",
+                            "hybrid", "prf"],
                    help="boolean = websearch syntax (AND/OR/-/\"phrase\"/"
                         "word*); fuzzy = typo-tolerant (needs the --fuzzy "
-                        "build)")
+                        "build); hybrid = BM25 ⊕ embedding-cosine RRF "
+                        "(needs the --embeddings build); prf = "
+                        "pseudo-relevance-feedback expansion")
     p.add_argument("--count", default="none",
                    choices=["exact", "approx", "none"])
     p.add_argument("--synonyms", default=None, metavar="JSON",
@@ -56,6 +59,10 @@ def main(argv=None) -> int:
                    help="answer ALL queries in one Spark job "
                         "(multi-query WAND; bare top-k only — "
                         "incompatible with filters/offset/count)")
+    p.add_argument("--after", default=None, metavar="SCORE:DOC_ID",
+                   help="keyset-pagination cursor — the previous page's "
+                        "next_cursor; pages cost O(k) at any depth "
+                        "(incompatible with --offset and --count)")
     p.add_argument("--log-dir", default=None)
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
@@ -90,6 +97,27 @@ def main(argv=None) -> int:
     # must refuse filter/paging flags rather than silently drop them
     filters_set = (args.lang is not None or args.min_score != 0.0
                    or args.offset != 0 or args.count != "none")
+    if args.after is not None:
+        if args.offset != 0 or args.count != "none" or args.mode != "wand":
+            print("--after is cursor paging on the WAND fast path "
+                  "(no --offset/--count/other modes)", file=sys.stderr)
+            return 2
+        s, _, d = args.after.partition(":")
+        cursor = (float(s), int(d))
+        for q in args.queries:
+            print(json.dumps(qe.search_after(
+                q, k=args.k, cursor=cursor, min_score=args.min_score,
+                lang=args.lang), default=str))
+        if not preexisting:
+            spark.stop()
+        return 0
+
+    if args.mode in ("hybrid", "prf") and (filters_set or synonyms):
+        print(f"--mode {args.mode} supports bare top-k only "
+              "(no --lang/--min-score/--offset/--count/--synonyms)",
+              file=sys.stderr)
+        return 2
+
     if args.mode in ("boolean", "fuzzy") and filters_set:
         print(f"--mode {args.mode} supports bare top-k only "
               "(no --lang/--min-score/--offset/--count)", file=sys.stderr)
@@ -167,6 +195,20 @@ def main(argv=None) -> int:
             out = {"results": [{"doc_id": d, "score": s} for d, s in hits],
                    "total_count": len(hits), "limit": args.k, "offset": 0,
                    "query": q, "corrections": corrections}
+        elif args.mode == "hybrid":
+            rows = qe.hybrid_top_k_df(q, k=args.k).collect()
+            out = {"results": [{"doc_id": int(r["doc_id"]),
+                                "rrf_score": float(r["rrf_score"]),
+                                "lex_rank": r["lex_rank"],
+                                "sem_rank": r["sem_rank"]} for r in rows],
+                   "total_count": len(rows), "limit": args.k, "offset": 0,
+                   "query": q}
+        elif args.mode == "prf":
+            expansion = qe.expansion_terms(q)
+            hits = qe.prf_top_k(q, k=args.k, expansion=expansion)
+            out = {"results": [{"doc_id": d, "score": s} for d, s in hits],
+                   "total_count": len(hits), "limit": args.k, "offset": 0,
+                   "query": q, "expansion_terms": expansion}
         elif synonyms is not None and (
                 args.lang is None and args.min_score == 0.0
                 and args.offset == 0 and args.count == "none"):

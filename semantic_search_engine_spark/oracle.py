@@ -336,3 +336,134 @@ def bm25f_top_k(field_indexes: dict[str, tuple["OracleIndex", float]],
             scores[did] += wt * idx.tf_norm(tf, idx.doc_len[did])
     hits = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
     return hits[:k]
+
+
+def doc_embedding(index: "OracleIndex", doc_id: int, dim: int
+                  ) -> list[float]:
+    """The at-rest document vector the Spark build stores: the hashing
+    featurizer's float64 fold (shared pure-Python spec,
+    operators/hybrid.embed_tf_map) rounded per-component to float32 —
+    the ONE lossy step — then widened back, exactly like reading a
+    parquet float column and casting to double."""
+    import numpy as np
+
+    from .operators.hybrid import embed_tf_map
+
+    tf_map = {t: len(ps)
+              for t, ps in index.doc_positions.get(doc_id, {}).items()}
+    return [float(np.float32(x)) for x in embed_tf_map(tf_map, dim)]
+
+
+def semantic_top_k(index: "OracleIndex", query: str, dim: int,
+                   k: int = 10) -> list[tuple[int, float]]:
+    """Embedding-cosine reference ranking, float-op-identical to the
+    Spark plan (operators/ann.cosine_col): left-to-right folds for dot
+    and row norm, probe norm as a Python-side constant with the same
+    ``or 1.0`` guard, one final division. Zero-norm docs are skipped
+    (the plan filters their NaN cosine)."""
+    from collections import Counter as _Counter
+
+    from .operators.hybrid import embed_tf_map
+
+    toks = tokenize(query, index.cfg.max_token_len,
+                    index.cfg.min_token_len)
+    probe = list(embed_tf_map(dict(_Counter(toks)), dim))
+    if not any(probe):
+        return []
+    pnorm = math.sqrt(sum(x * x for x in probe)) or 1.0
+    hits: list[tuple[int, float]] = []
+    for did in index.doc_len:
+        v = doc_embedding(index, did, dim)
+        dot, sq = 0.0, 0.0
+        for a, b in zip(v, probe):
+            dot = dot + a * b
+        for a in v:
+            sq = sq + a * a
+        norm = math.sqrt(sq)
+        if norm == 0.0:
+            continue
+        hits.append((did, dot / (norm * pnorm)))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return hits[:k]
+
+
+def hybrid_rrf_top_k(index: "OracleIndex", query: str, dim: int,
+                     k: int = 10, k_each: int | None = None,
+                     rrf_k: float = 60.0, w_lex: float = 1.0,
+                     w_sem: float = 1.0) -> list[tuple[int, float]]:
+    """Reciprocal-rank fusion reference (Cormack/Clarke/Buettcher '09):
+    score(d) = Σ_paths w/(rrf_k + rank). Each doc gets at most one
+    contribution per path and two-term IEEE addition is commutative, so
+    the engine's groupBy-sum reproduces these floats bit-for-bit."""
+    k_each = k_each or 2 * k
+    fused: dict[int, float] = defaultdict(float)
+    if w_lex:
+        for r, (did, _s) in enumerate(index.top_k(query, k=k_each), 1):
+            fused[did] += w_lex / (rrf_k + r)
+    if w_sem:
+        for r, (did, _c) in enumerate(
+                semantic_top_k(index, query, dim, k=k_each), 1):
+            fused[did] += w_sem / (rrf_k + r)
+    hits = sorted(fused.items(), key=lambda x: (-x[1], x[0]))
+    return hits[:k]
+
+
+def prf_expansion_terms(index: "OracleIndex", query: str,
+                        fb_docs: int = 5, fb_terms: int = 10,
+                        min_df: int = 2, max_df_ratio: float = 0.25
+                        ) -> list[str]:
+    """PRF expansion-term selection mirror (QueryEngine.expansion_terms):
+    pooled tf·idf over the top ``fb_docs`` docs' terms, MLT df cuts,
+    original query terms excluded, (-score, term) order."""
+    qterms = set(tokenize(query, index.cfg.max_token_len,
+                          index.cfg.min_token_len))
+    seed = index.top_k(query, k=fb_docs)
+    if not seed:
+        return []
+    pooled: dict[str, int] = defaultdict(int)
+    for did, _s in seed:
+        for t, ps in index.doc_positions.get(did, {}).items():
+            if t not in qterms:
+                pooled[t] += len(ps)
+    n = index.n_docs
+    cand = []
+    for t, tf in pooled.items():
+        df = index.df(t)
+        if df < min_df or df > max_df_ratio * n:
+            continue
+        cand.append((-(tf * index.idf(t)), t))
+    cand.sort()
+    return [t for _, t in cand[:fb_terms]]
+
+
+def boosted_top_k(index: "OracleIndex", terms: list[str],
+                  boosts: dict[str, float], k: int = 10
+                  ) -> list[tuple[int, float]]:
+    """Weighted-term BM25 ranking mirror: weight = boost·idf (the
+    kernel's float-op order), contributions folded in sorted-term
+    order — bit-identical to the boosted WAND path."""
+    scores: dict[int, float] = defaultdict(float)
+    for t in sorted(set(terms)):
+        pl = index.postings.get(t)
+        if not pl or index.avg_doc_len <= 0:
+            continue
+        w = boosts.get(t, 1.0) * index.idf(t) if boosts else index.idf(t)
+        for did, tf in pl:
+            scores[did] += w * index.tf_norm(tf, index.doc_len[did])
+    hits = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return hits[:k]
+
+
+def prf_top_k(index: "OracleIndex", query: str, k: int = 10,
+              fb_docs: int = 5, fb_terms: int = 10, boost: float = 0.4,
+              min_df: int = 2, max_df_ratio: float = 0.25
+              ) -> list[tuple[int, float]]:
+    """Full PRF reference ranking (QueryEngine.prf_top_k mirror)."""
+    exp = prf_expansion_terms(index, query, fb_docs, fb_terms, min_df,
+                              max_df_ratio)
+    qterms = sorted(set(tokenize(query, index.cfg.max_token_len,
+                                 index.cfg.min_token_len)))
+    if not exp:
+        return index.top_k(query, k=k)
+    return boosted_top_k(index, sorted(set(qterms) | set(exp)),
+                         {t: float(boost) for t in exp}, k=k)

@@ -605,6 +605,57 @@ class IndexBuilder:
         runner.commit_lineage(self.spark)
         return runner
 
+    # ------------------------------------------------------------------
+    def build_embeddings(self, field: str = "text", dim: int = 64,
+                         run_id: str | None = None) -> StageRunner:
+        """Opt-in hashed document embeddings (operators/hybrid.py) — the
+        semantic leg of hybrid retrieval (the reference's pgvector column,
+        ``ProductRepository.java:66-93``, re-expressed with a public
+        trained-model-free featurizer; swap the UDF for a model to get the
+        reference's exact semantics — layout and query path are unchanged).
+
+        One map-side pass over the committed ``doc_features`` table: the
+        per-doc ``tf_map`` is already materialized, so no re-extraction,
+        no re-tokenization and NO shuffle — the output writes under the
+        same ``partition_id`` buckets it was read with. Resumable like
+        every stage; invalidated when doc_features changes (merge/delete
+        reruns it) or when ``dim`` changes (folded into the fingerprint).
+        """
+        from ..operators.hybrid import make_hashed_embedding_udf
+
+        cfg = self.cfg
+        sfx = "" if field == "text" else f"_{field}"
+        if not self.store.exists(f"doc_features{sfx}"):
+            raise ValueError(
+                f"no doc_features{sfx} table — build the {field!r} index "
+                "before its embeddings")
+        runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
+                             run_id=run_id)
+        embed = make_hashed_embedding_udf(dim)
+
+        def _emb():
+            feats = self.store.read(f"doc_features{sfx}")
+            # Width cap: same rationale as the extract stage — this is a
+            # Python(Arrow) stage, and the configured cap bounds the number
+            # of busy worker processes on hosts where that degrades.
+            pyw = cfg.python_stage_parallelism
+            if pyw and feats.rdd.getNumPartitions() > pyw:
+                feats = feats.repartition(pyw)
+            return feats.select(
+                "doc_id", "partition_id",
+                embed(F.col("tf_map")).alias("emb"))
+
+        runner.run(f"doc_embeddings{sfx}", f"doc_embeddings{sfx}",
+                   [f"doc_features{sfx}"],
+                   _emb,
+                   partition_by=(["partition_id"]
+                                 if cfg.partition_doc_features else None),
+                   partition_col="partition_id",
+                   n_partitions=cfg.n_doc_buckets,
+                   extra_key=f"/dim{dim}")
+        runner.commit_lineage(self.spark)
+        return runner
+
     def _positions_current(self, sfx: str, field: str) -> bool:
         """Positional-index analogue of :meth:`_postings_current`: may an
         incremental maintenance pass carry untouched buckets forward?"""

@@ -372,8 +372,16 @@ class QueryEngine:
                            k: int | None = None,
                            lang: str | None = None, warc_ts_min=None,
                            warc_ts_max=None,
-                           min_score: float = 0.0) -> DataFrame:
+                           min_score: float = 0.0,
+                           after: tuple[float, int] | None = None,
+                           term_boosts: dict[str, float] | None = None
+                           ) -> DataFrame:
         """Batch WAND core: (query_id, partition_id, doc_id, score).
+
+        ``after`` is the keyset-pagination cursor (see
+        :func:`..wand.wand_top_k`); it applies to every query in the
+        batch, so only the single-query serve path exposes it publicly
+        (:meth:`search_after`).
 
         ``min_score`` seeds each per-bucket WAND's theta (see
         :func:`..wand.wand_top_k`): a score threshold STRENGTHENS pruning
@@ -440,14 +448,18 @@ class QueryEngine:
             fn = make_wand_batch_cogroup_fn(query_terms, k,
                                             float(cfg.k1), float(cfg.b),
                                             avgdl, n_docs,
-                                            min_score=float(min_score))
+                                            min_score=float(min_score),
+                                            after=after,
+                                            term_boosts=term_boosts)
             local = (blocks.groupBy("partition_id")
                      .cogroup(allowed.groupBy("partition_id"))
                      .applyInPandas(fn, schema=BATCH_WAND_OUT_SCHEMA))
         else:
             fn = make_wand_batch_group_fn(query_terms, k, float(cfg.k1),
                                           float(cfg.b), avgdl, n_docs,
-                                          min_score=float(min_score))
+                                          min_score=float(min_score),
+                                          after=after,
+                                          term_boosts=term_boosts)
             local = blocks.groupBy("partition_id").applyInPandas(
                 fn, schema=BATCH_WAND_OUT_SCHEMA)
         if len(rep_of) == 1:
@@ -994,6 +1006,84 @@ class QueryEngine:
         cand.sort()
         return [t for _, t in cand[:max_query_terms]]
 
+    def expansion_terms(self, query: str, fb_docs: int = 5,
+                        fb_terms: int = 10, min_df: int = 2,
+                        max_df_ratio: float = 0.25) -> list[str]:
+        """Pseudo-relevance-feedback expansion terms (Rocchio'71 /
+        Lucene-MLT selection over the top ``fb_docs`` results): terms
+        from the feedback docs ranked by pooled tf·idf after the MLT df
+        cuts, the original query terms excluded. Three bounded jobs:
+        the seed WAND top-k, one tf_map read pruned to the feedback
+        docs' buckets (≤ fb_docs rows), and one term-pruned df lookup —
+        never a corpus-scale scan."""
+        from collections import Counter
+
+        from ..textproc import doc_bucket
+
+        cfg = self.cfg
+        qterms = set(tokenize(query, cfg.max_token_len, cfg.min_token_len))
+        seed = self.top_k(query, k=fb_docs)
+        if not seed:
+            return []
+        ids = [d for d, _ in seed]
+        buckets = sorted({doc_bucket(d, cfg.n_doc_buckets) for d in ids})
+        rows = (self.store.read(f"doc_features{self._sfx()}")
+                .filter(F.col("partition_id").isin(buckets)
+                        & F.col("doc_id").isin(ids))
+                .select("tf_map").collect())
+        pooled: Counter = Counter()
+        for r in rows:
+            for t, tf in (r["tf_map"] or {}).items():
+                if t not in qterms:
+                    pooled[t] += int(tf)
+        if not pooled:
+            return []
+        n = self.corpus_stats()["n_docs"]
+        dfs = {r["term"]: int(r["df"])
+               for r in self._pruned_term_scan(f"term_stats{self._sfx()}",
+                                               sorted(pooled))
+               .select("term", "df").collect()}
+        cand = []
+        for t, tf in pooled.items():
+            df = dfs.get(t, 0)
+            if df < min_df or df > max_df_ratio * n:
+                continue
+            cand.append((-(tf * bm25_idf(n, df)), t))
+        cand.sort()
+        return [t for _, t in cand[:fb_terms]]
+
+    def prf_top_k_df(self, query: str, k: int | None = None,
+                     fb_docs: int = 5, fb_terms: int = 10,
+                     boost: float = 0.4, min_df: int = 2,
+                     max_df_ratio: float = 0.25,
+                     expansion: list[str] | None = None) -> DataFrame:
+        """PRF-expanded retrieval: requery with the original terms at
+        full weight plus the expansion terms down-weighted by ``boost``
+        (weight = boost·idf — the kernel's per-term boost hook, which
+        only scales cursor upper bounds, so WAND pruning stays exact).
+        ``fb_terms=0`` degenerates to the plain WAND ranking."""
+        cfg = self.cfg
+        exp = (expansion if expansion is not None
+               else self.expansion_terms(query, fb_docs, fb_terms,
+                                         min_df, max_df_ratio)
+               if fb_terms else [])
+        if not exp:
+            return self.wand_top_k_df(query, k=k)
+        # dictionary terms round-trip losslessly through the tokenizer
+        # (same invariant the synonym path relies on)
+        expanded = " ".join(sorted(set(tokenize(
+            query, cfg.max_token_len, cfg.min_token_len)) | set(exp)))
+        boosts = {t: float(boost) for t in exp}
+        return (self._batch_wand_ranked([expanded], k=k,
+                                        term_boosts=boosts)
+                .select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+
+    def prf_top_k(self, query: str, k: int = 10, **kw
+                  ) -> list[tuple[int, float]]:
+        rows = self.prf_top_k_df(query, k=k, **kw).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_query_terms: int = 20, min_tf: int = 2,
                        min_df: int = 2, max_df_ratio: float = 0.25
@@ -1235,6 +1325,94 @@ class QueryEngine:
             out[queries[qi]] = sorted(hits, key=lambda h: (-h[1], h[0]))
         return out
 
+    # ------------------------------------------------------------------
+    def _embedding_dim(self) -> int:
+        """Dimensionality of the built doc_embeddings table (one tiny
+        head read, cached per engine instance)."""
+        cached = getattr(self, "_embedding_dim_cache", None)
+        if cached is not None:
+            return cached
+        row = (self.store.read(f"doc_embeddings{self._sfx()}")
+               .select(F.size("emb").alias("d")).limit(1).collect())
+        dim = int(row[0]["d"]) if row else 0
+        object.__setattr__(self, "_embedding_dim_cache", dim)
+        return dim
+
+    def semantic_top_k_df(self, query: str, k: int | None = None
+                          ) -> DataFrame:
+        """Embedding-cosine top-k over the hashed doc_embeddings table
+        (operators/hybrid.py) — the reference's actual ranking signal
+        (``ProductRepository.java:72``: ``1 - (embedding <=> ?)``),
+        with the hashing featurizer standing in for the model.
+
+        Brute path: a two-column (doc_id, emb) scan with the cosine as a
+        pure JVM fold — the O(n) exact baseline. The 10^12-doc path is an
+        IVF over the same table (``IVFIndex.build`` takes it verbatim);
+        fusion and hydration don't change. Zero-norm docs (empty field)
+        carry no signal and are excluded via a CASE WHEN guard — under
+        ANSI SQL (Spark 4 default) an unguarded 0/0 is a runtime error,
+        not NaN.
+        """
+        import math as _math
+
+        from ..operators.ann import _dot, _norm
+        from ..operators.hybrid import embed_query_tokens
+
+        cfg = self.cfg
+        k = min(k or 10, cfg.max_k + cfg.max_offset)
+        dim = self._embedding_dim()
+        toks = tokenize(query, cfg.max_token_len, cfg.min_token_len)
+        probe = embed_query_tokens(toks, dim) if dim else []
+        if not any(probe):
+            return self.spark.createDataFrame(
+                [], "doc_id long, cosine double")
+        e = (self.store.read(f"doc_embeddings{self._sfx()}")
+             .select("doc_id", F.col("emb").cast("array<double>")
+                     .alias("v")))
+        # same float ops as operators/ann.cosine_col (oracle parity):
+        # dot / (row_norm * probe_norm), probe norm a Python constant
+        p = F.array(*[F.lit(float(x)) for x in probe])
+        pnorm = _math.sqrt(sum(float(x) * float(x) for x in probe)) or 1.0
+        nrm = _norm(F.col("v"))
+        cos = F.when(nrm > 0.0,
+                     _dot(F.col("v"), p) / (nrm * F.lit(pnorm)))
+        return (e.select("doc_id", cos.alias("cosine"))
+                .filter(F.col("cosine").isNotNull())
+                .orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k))
+
+    def hybrid_top_k_df(self, query: str, k: int | None = None,
+                        k_each: int | None = None, rrf_k: float = 60.0,
+                        w_lex: float = 1.0, w_sem: float = 1.0
+                        ) -> DataFrame:
+        """Hybrid retrieval: BM25 WAND ranks ⊕ embedding-cosine ranks via
+        reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09).
+        Returns (doc_id, rrf_score, lex_rank, sem_rank) — the per-path
+        ranks ride along for explainability (NULL = not in that path's
+        top ``k_each``). Rank-only arithmetic makes the fusion float-exact
+        to reproduce; ties break on doc_id. ``w_sem=0`` degenerates to
+        WAND order, ``w_lex=0`` to pure cosine order (tests pin both)."""
+        from ..operators.hybrid import rrf_fused_df
+
+        cfg = self.cfg
+        k = min(k or 10, cfg.max_k + cfg.max_offset)
+        k_each = k_each or 2 * k
+        ranked = []
+        if w_lex:
+            ranked.append((self.wand_top_k_df(query, k=k_each)
+                           .select("doc_id", "score"), "score", w_lex))
+        if w_sem:
+            sem = self.semantic_top_k_df(query, k=k_each)
+            if "cosine" in sem.columns:
+                ranked.append((sem, "cosine", w_sem))
+        if not ranked:
+            raise ValueError("hybrid_top_k_df needs w_lex or w_sem != 0")
+        return rrf_fused_df(ranked, k=k, rrf_k=rrf_k)
+
+    def hybrid_top_k(self, query: str, k: int = 10, **kw
+                     ) -> list[tuple[int, float]]:
+        rows = self.hybrid_top_k_df(query, k=k, **kw).collect()
+        return [(int(r["doc_id"]), float(r["rrf_score"])) for r in rows]
+
     def approx_count(self, query: str, min_score: float = 0.0,
                      lang: str | None = None, warc_ts_min=None,
                      warc_ts_max=None,
@@ -1447,6 +1625,51 @@ class QueryEngine:
             "total_count": total,
             "limit": k,
             "offset": offset,
+            "query": query,
+            "execution_time_ms": elapsed_ms,
+        }
+
+    def search_after(self, query: str, k: int | None = None,
+                     cursor: tuple[float, int] | None = None,
+                     min_score: float = 0.0, lang: str | None = None,
+                     warc_ts_min=None, warc_ts_max=None,
+                     highlight: bool = False) -> dict:
+        """Keyset ("search_after") pagination — the deep-paging path OFFSET
+        can't serve at web scale. The reference paginates by LIMIT/OFFSET
+        (``ProductRepository.java:81``), which materializes and discards
+        ``offset`` rows per page — page 10,000 costs 10,000× page 1 and
+        ``max_offset`` exists purely to cap that. Here the client passes
+        the previous page's ``next_cursor`` ``(score, doc_id)`` back and
+        the WAND kernel admits only docs strictly after it in
+        (score DESC, doc_id ASC) order: every page costs the same one
+        WAND job with a k-deep heap, at any depth. Cursor equality on the
+        score is sound because this engine's scores are bit-reproducible.
+
+        Returns the :meth:`search` envelope (count_mode="none" semantics)
+        plus ``next_cursor`` — ``None`` once the result set is exhausted.
+        """
+        t0 = time.time()
+        cfg = self.cfg
+        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        top = self._batch_wand_ranked(
+            [query], k=k, lang=lang, warc_ts_min=warc_ts_min,
+            warc_ts_max=warc_ts_max, min_score=min_score,
+            after=(float(cursor[0]), int(cursor[1])) if cursor else None
+        ).select("partition_id", "doc_id", "score")
+        rows = self._hydrate_hits(top).collect()
+        snips = (self.snippets([r["doc_id"] for r in rows], query)
+                 if highlight else None)
+        elapsed_ms = int((time.time() - t0) * 1000)
+        self._log_search(query, len(rows), elapsed_ms)
+        return {
+            "results": [
+                (r.asDict() | {"snippet": snips.get(r["doc_id"], "")})
+                if snips is not None else r.asDict() for r in rows],
+            "total_count": len(rows),
+            "limit": k,
+            "next_cursor": ((float(rows[-1]["score"]),
+                             int(rows[-1]["doc_id"]))
+                            if len(rows) == k else None),
             "query": query,
             "execution_time_ms": elapsed_ms,
         }

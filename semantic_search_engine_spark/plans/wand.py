@@ -151,6 +151,7 @@ def wand_top_k(
     allowed: "np.ndarray | None" = None,
     min_score: float = 0.0,
     avgdl_by_term: "dict[str, float] | None" = None,
+    after: "tuple[float, int] | None" = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact block-max WAND top-k over one doc-id-sorted posting slice.
 
@@ -170,6 +171,18 @@ def wand_top_k(
     still gets evaluated (inclusive ``>=`` preserved), and evaluated docs
     scoring below min_score never enter the heap (they can't be results,
     and keeping them out keeps the heap's k-th score an honest theta).
+    ``after``: keyset-pagination cursor ``(score, doc_id)`` — the last hit
+    of the previous page. Only docs strictly AFTER it in the result order
+    qualify: ``score < after[0]`` or (``score == after[0]`` and
+    ``doc_id > after[1]``). Like ``allowed``, this only shrinks the
+    candidate set, so the pivot/block-skip argument is unchanged; unlike
+    OFFSET pagination (which must materialize and discard k+offset rows —
+    O(page_depth) per page), the heap holds exactly k qualifying docs at
+    any depth. Exact-equality on the score is sound because scores are
+    bit-reproducible (the cursor comes from this engine's own previous
+    page). Disqualified docs never enter the heap, so theta stays an
+    honest lower bound for *qualifying* docs.
+
     ``avgdl_by_term``: per-term average-doc-length override (the
     multi-field path qualifies terms as ``field\\x00term`` and each
     field's cursors normalize against THAT field's avgdl — the dls baked
@@ -201,6 +214,7 @@ def wand_top_k(
     evaluated = 0
     skipped_evals = 0
     filtered_out = 0
+    before_cursor = 0
 
     while cursors:
         # secondary key term_rank: docs tie across cursors, and at_pivot
@@ -250,6 +264,10 @@ def wand_top_k(
                 entry = (score, -pivot_doc)
                 if score < min_score:
                     pass  # below the threshold: never a result
+                elif after is not None and not (
+                        score < after[0]
+                        or (score == after[0] and pivot_doc > after[1])):
+                    before_cursor += 1  # at or before the page cursor
                 elif len(heap) < k:
                     heapq.heappush(heap, entry)
                 elif entry > heap[0]:
@@ -269,6 +287,7 @@ def wand_top_k(
         "evaluated_docs": evaluated,
         "skipped_evals": skipped_evals,      # block-max UB prunes only
         "filtered_out": filtered_out,        # structured-filter exclusions
+        "before_cursor": before_cursor,      # keyset-pagination exclusions
         "decoded_blocks": sum(c.decoded_blocks for c in all_cursors),
         "total_blocks": sum(len(v) for v in term_blocks.values()),
     }
@@ -298,7 +317,9 @@ BATCH_WAND_OUT_SCHEMA = ("query_id int, partition_id int, doc_id long, "
 
 def make_wand_batch_group_fn(query_terms: dict[int, list[str]],
                              k: int, k1: float, b: float, avgdl: float,
-                             n_docs: int, min_score: float = 0.0):
+                             n_docs: int, min_score: float = 0.0,
+                             after: "tuple[float, int] | None" = None,
+                             term_boosts: "dict[str, float] | None" = None):
     """``applyInPandas`` body for MULTI-QUERY WAND: one doc bucket's blocks
     (the union of every query's term postings) → per-query local top-k.
 
@@ -322,13 +343,13 @@ def make_wand_batch_group_fn(query_terms: dict[int, list[str]],
 
     def run_bucket(pdf):
         return _run_bucket_batch(pdf, None, query_terms, k, k1, b, avgdl,
-                                 n_docs, min_score)
+                                 n_docs, min_score, after, term_boosts)
 
     return run_bucket
 
 
 def _run_bucket_batch(pdf, allowed, query_terms, k, k1, b, avgdl, n_docs,
-                      min_score=0.0):
+                      min_score=0.0, after=None, term_boosts=None):
     """Shared body for the batch group/cogroup forms: one bucket's blocks
     (+ optional sorted allowed-doc array) → per-query local top-k."""
     import pandas as pd
@@ -349,12 +370,21 @@ def _run_bucket_batch(pdf, allowed, query_terms, k, k1, b, avgdl, n_docs,
                for t, d in zip(uniq["term"], uniq["df"])}
         pid = int(pdf["partition_id"].iloc[0])
         for qid, terms in query_terms.items():
-            weights = {t: idf[t] for t in terms if t in idf}
+            # per-term boost multipliers (PRF expansion down-weighting,
+            # user `term^boost` weighting): weight = boost * idf, the
+            # float-op order the oracle replays. Boosts only scale each
+            # cursor's upper bounds, so WAND pruning stays exact.
+            if term_boosts:
+                weights = {t: term_boosts.get(t, 1.0) * idf[t]
+                           for t in terms if t in idf}
+            else:
+                weights = {t: idf[t] for t in terms if t in idf}
             sub = {t: by_term[t] for t in weights}
             if not sub:
                 continue
             hits, _ = wand_top_k(sub, weights, k, k1, b, avgdl,
-                                 allowed=allowed, min_score=min_score)
+                                 allowed=allowed, min_score=min_score,
+                                 after=after)
             for d, s in hits:
                 qids.append(qid)
                 pids.append(pid)
@@ -370,7 +400,10 @@ def _run_bucket_batch(pdf, allowed, query_terms, k, k1, b, avgdl, n_docs,
 
 def make_wand_batch_cogroup_fn(query_terms: dict[int, list[str]],
                                k: int, k1: float, b: float, avgdl: float,
-                               n_docs: int, min_score: float = 0.0):
+                               n_docs: int, min_score: float = 0.0,
+                               after: "tuple[float, int] | None" = None,
+                               term_boosts: "dict[str, float] | None" = None
+                               ):
     """Cogrouped batch form: left = one bucket's blocks, right = the same
     bucket's structured-filter survivor doc ids (one filter, shared by the
     whole batch — the offline-retrieval shape: same corpus slice, many
@@ -380,10 +413,11 @@ def make_wand_batch_cogroup_fn(query_terms: dict[int, list[str]],
         if len(allowed_pdf) == 0:
             return _run_bucket_batch(blocks_pdf.iloc[:0], None,
                                      query_terms, k, k1, b, avgdl, n_docs,
-                                     min_score)
+                                     min_score, after, term_boosts)
         allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
         return _run_bucket_batch(blocks_pdf, allowed, query_terms,
-                                 k, k1, b, avgdl, n_docs, min_score)
+                                 k, k1, b, avgdl, n_docs, min_score, after,
+                                 term_boosts)
 
     return run_bucket
 

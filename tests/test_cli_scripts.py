@@ -158,3 +158,61 @@ def test_query_cli_round3_modes(spark, cli_env, capsys, tmp_path):
     assert query_main(["--warehouse", wh, "--facet", "lang",
                        "--mode", "exhaustive", "x"]) == 2
     capsys.readouterr()
+
+
+def test_query_cli_hybrid_prf_after(spark, cli_env, capsys):
+    """--embeddings build flag + hybrid/prf modes + --after cursor paging."""
+    wh, corpus = cli_env
+    from scripts.build_index import main as build_main
+    from scripts.query import main as query_main
+
+    rc = build_main(["--input", corpus, "--warehouse", wh,
+                     "--shuffle-partitions", "4", "--doc-buckets", "4",
+                     "--term-buckets", "4", "--input-version", "v1",
+                     "--embeddings", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "doc_embeddings" in {s["stage"] for s in out["stages"]}
+
+    # hybrid mode carries per-path ranks for explainability
+    rc = query_main(["--warehouse", wh, "--k", "5", "--mode", "hybrid",
+                     "wireless bluetooth headphones"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["results"] and env["results"][0]["rrf_score"] > 0
+    assert any(r["lex_rank"] is not None for r in env["results"])
+
+    # prf mode reports its expansion terms
+    rc = query_main(["--warehouse", wh, "--k", "5", "--mode", "prf",
+                     "wireless bluetooth headphones"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["results"] and isinstance(env["expansion_terms"], list)
+
+    # cursor chain: page 1 (no --after) then page 2 via next_cursor;
+    # pages must not overlap
+    rc = query_main(["--warehouse", wh, "--k", "3", "zipfhead0"])
+    p1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # bare top-k path has no cursor; re-fetch page 1 through search_after
+    rc = query_main(["--warehouse", wh, "--k", "3",
+                     "--after", "1e18:0", "zipfhead0"])
+    assert rc == 0
+    p1b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ([r["doc_id"] for r in p1b["results"]]
+            == [r["doc_id"] for r in p1["results"]])
+    s, d = p1b["next_cursor"]
+    rc = query_main(["--warehouse", wh, "--k", "3",
+                     "--after", f"{s}:{d}", "zipfhead0"])
+    assert rc == 0
+    p2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ids1 = {r["doc_id"] for r in p1b["results"]}
+    assert p2["results"] and not ids1 & {r["doc_id"] for r in p2["results"]}
+
+    # refusals: hybrid/prf are bare top-k; --after excludes offset/count
+    assert query_main(["--warehouse", wh, "--mode", "hybrid",
+                       "--lang", "en", "x"]) == 2
+    assert query_main(["--warehouse", wh, "--mode", "prf",
+                       "--count", "exact", "x"]) == 2
+    assert query_main(["--warehouse", wh, "--after", "1.0:5",
+                       "--offset", "3", "x"]) == 2
+    capsys.readouterr()
