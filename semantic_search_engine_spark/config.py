@@ -22,6 +22,14 @@ class EngineConfig:
     # --- tokenization ---
     min_token_len: int = 1
     max_token_len: int = 64  # guard against pathological unbroken runs
+    # Named analyzer applied to the token stream at build AND query time.
+    # "simple" (default): raw lowercase alnum tokens — Postgres's `simple`
+    # config, bit-identical to the pre-analyzer engine. "english": Snowball
+    # stopword removal + Porter stemming (functions/stem.py) — the
+    # normalization inside the reference's actual index DDL,
+    # to_tsvector('english', ...) at data-pipeline/database.py:60.
+    # Part of the fingerprint: changing it changes every index artifact.
+    analyzer: str = "simple"
 
     # --- document resolution ---
     # When the `text` column is non-NULL, trust it; otherwise extract from

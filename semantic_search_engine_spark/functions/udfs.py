@@ -63,26 +63,33 @@ def make_resolve_extract_udf(prefer_provided: bool = True,
     return resolve_extract
 
 
-def make_term_freqs_udf(max_token_len: int = 64, min_token_len: int = 1):
+def make_term_freqs_udf(max_token_len: int = 64, min_token_len: int = 1,
+                        analyzer: str = "simple"):
     """text -> map<term, tf>. One tokenization pass per document.
 
     Emitting the per-doc tf map directly (instead of exploding raw tokens
     and running groupBy(doc_id, term)) removes an entire shuffle from the
     build: tf aggregation happens inside the Arrow batch, and doc_len is a
     JVM-side ``aggregate(map_values(...))`` afterwards.
+
+    ``analyzer``: the build-time token normalization (EngineConfig.analyzer
+    — "english" = Snowball stopwords + Porter stemming, the reference's
+    to_tsvector('english') configuration).
     """
 
     @pandas_udf("map<string,int>")
     def term_freqs(text: pd.Series) -> pd.Series:
         return pd.Series(
-            [dict(Counter(tokenize(t, max_token_len, min_token_len)))
+            [dict(Counter(tokenize(t, max_token_len, min_token_len,
+                                   analyzer)))
              if t else {} for t in text])
 
     return term_freqs
 
 
 def make_token_positions_udf(max_token_len: int = 64,
-                             min_token_len: int = 1):
+                             min_token_len: int = 1,
+                             analyzer: str = "simple"):
     """text -> map<term, array<int>> of kept-token positions — the
     tsvector payload behind the positional index (plans/phrase.py).
     Same tokenization pass as ``make_term_freqs_udf``; by construction
@@ -91,7 +98,7 @@ def make_token_positions_udf(max_token_len: int = 64,
     @pandas_udf("map<string,array<int>>")
     def term_positions(text: pd.Series) -> pd.Series:
         return pd.Series(
-            [token_positions(t, max_token_len, min_token_len)
+            [token_positions(t, max_token_len, min_token_len, analyzer)
              if t else {} for t in text])
 
     return term_positions

@@ -37,7 +37,9 @@ from ..plans.boolean import BooleanClause
 
 def normalize_synonyms(synonyms: dict[str, list[str] | tuple[str, ...]],
                        max_token_len: int = 64,
-                       min_token_len: int = 1) -> dict[str, tuple[str, ...]]:
+                       min_token_len: int = 1,
+                       analyzer: str = "simple"
+                       ) -> dict[str, tuple[str, ...]]:
     """Canonicalize a user synonym map through the ENGINE tokenizer so
     every key and value is an indexed-term form. Multi-token entries
     ("hot dog") are rejected — the flat grammar has no phrase-synonym
@@ -45,7 +47,7 @@ def normalize_synonyms(synonyms: dict[str, list[str] | tuple[str, ...]],
     Identity entries are removed; values are deduped and sorted."""
     out: dict[str, tuple[str, ...]] = {}
     for key, vals in synonyms.items():
-        kt = tokenize(key, max_token_len, min_token_len)
+        kt = tokenize(key, max_token_len, min_token_len, analyzer)
         if len(kt) != 1:
             raise ValueError(
                 f"synonym key {key!r} is not a single indexed term "
@@ -53,7 +55,7 @@ def normalize_synonyms(synonyms: dict[str, list[str] | tuple[str, ...]],
         k = kt[0]
         group: set[str] = set()
         for v in vals:
-            vt = tokenize(v, max_token_len, min_token_len)
+            vt = tokenize(v, max_token_len, min_token_len, analyzer)
             if len(vt) > 1:
                 raise ValueError(
                     f"synonym value {v!r} for {key!r} is not a single "

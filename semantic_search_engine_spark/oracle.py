@@ -66,7 +66,8 @@ class OracleIndex:
                 best[r["url"]] = (rank, r, text)
         for _rank, r, text in best.values():
             did = doc_id_for_url(r["url"])
-            toks = tokenize(text, cfg.max_token_len, cfg.min_token_len)
+            toks = tokenize(text, cfg.max_token_len, cfg.min_token_len,
+                            cfg.analyzer)
             idx.doc_len[did] = len(toks)
             idx.doc_meta[did] = {
                 "url": r["url"], "warc_ts": r.get("warc_ts"),
@@ -107,6 +108,7 @@ class OracleIndex:
         lang: str | None = None,
         warc_ts_min: _dt.datetime | None = None,
         warc_ts_max: _dt.datetime | None = None,
+        min_match: int = 1,
     ) -> dict:
         """Filtered BM25 top-k with pagination + totalCount.
 
@@ -120,8 +122,9 @@ class OracleIndex:
         offset = min(max(offset, 0), cfg.max_offset)
 
         qterms = sorted(set(tokenize(query, cfg.max_token_len,
-                                     cfg.min_token_len)))
+                                     cfg.min_token_len, cfg.analyzer)))
         scores: dict[int, float] = defaultdict(float)
+        nmatch: dict[int, int] = defaultdict(int)
         for t in qterms:  # fixed term order → deterministic float summation
             pl = self.postings.get(t)
             if not pl:
@@ -129,10 +132,13 @@ class OracleIndex:
             w = self.idf(t)
             for did, tf in pl:
                 scores[did] += w * self.tf_norm(tf, self.doc_len[did])
+                nmatch[did] += 1
 
         hits = []
         for did, s in scores.items():
             if s < min_score:
+                continue
+            if nmatch[did] < min_match:  # minimum-should-match (X49)
                 continue
             m = self.doc_meta[did]
             if lang is not None and m["lang"] != lang:
@@ -156,8 +162,9 @@ class OracleIndex:
             "query": query,
         }
 
-    def top_k(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        r = self.search(query, k=k)
+    def top_k(self, query: str, k: int = 10, min_match: int = 1
+              ) -> list[tuple[int, float]]:
+        r = self.search(query, k=k, min_match=min_match)
         return [(h["doc_id"], h["score"]) for h in r["results"]]
 
     # ------------------------------------------------------- phrase/proximity
@@ -183,7 +190,8 @@ class OracleIndex:
         phrase's terms. Returns [(doc_id, score, n_matches)] in
         (score DESC, doc_id ASC) order."""
         cfg = self.cfg
-        pterms = tokenize(phrase, cfg.max_token_len, cfg.min_token_len)
+        pterms = tokenize(phrase, cfg.max_token_len, cfg.min_token_len,
+                          cfg.analyzer)
         if not pterms:
             return []
         matched: dict[int, int] = {}
@@ -202,7 +210,8 @@ class OracleIndex:
         ``max_span`` tokens (inclusive span), ranked by BM25. Returns
         [(doc_id, score, span)]."""
         cfg = self.cfg
-        qterms = tokenize(query, cfg.max_token_len, cfg.min_token_len)
+        qterms = tokenize(query, cfg.max_token_len, cfg.min_token_len,
+                          cfg.analyzer)
         if not qterms:
             return []
         matched: dict[int, int] = {}
@@ -225,7 +234,7 @@ class OracleIndex:
 
         cfg = self.cfg
         clauses = parse_websearch(query, cfg.max_token_len,
-                                  cfg.min_token_len)
+                                  cfg.min_token_len, cfg.analyzer)
         if not clauses:
             return {}
         vocab = sorted(self.postings)
@@ -321,7 +330,7 @@ def bm25f_top_k(field_indexes: dict[str, tuple["OracleIndex", float]],
     """
     cfg = next(iter(field_indexes.values()))[0].cfg
     qterms = sorted(set(tokenize(query, cfg.max_token_len,
-                                 cfg.min_token_len)))
+                                 cfg.min_token_len, cfg.analyzer)))
     if not qterms:
         return []
     keys = sorted((f, t) for f in field_indexes for t in qterms)
@@ -366,7 +375,7 @@ def semantic_top_k(index: "OracleIndex", query: str, dim: int,
     from .operators.hybrid import embed_tf_map
 
     toks = tokenize(query, index.cfg.max_token_len,
-                    index.cfg.min_token_len)
+                    index.cfg.min_token_len, index.cfg.analyzer)
     probe = list(embed_tf_map(dict(_Counter(toks)), dim))
     if not any(probe):
         return []
@@ -416,7 +425,7 @@ def prf_expansion_terms(index: "OracleIndex", query: str,
     pooled tf·idf over the top ``fb_docs`` docs' terms, MLT df cuts,
     original query terms excluded, (-score, term) order."""
     qterms = set(tokenize(query, index.cfg.max_token_len,
-                          index.cfg.min_token_len))
+                          index.cfg.min_token_len, index.cfg.analyzer))
     seed = index.top_k(query, k=fb_docs)
     if not seed:
         return []
@@ -462,8 +471,48 @@ def prf_top_k(index: "OracleIndex", query: str, k: int = 10,
     exp = prf_expansion_terms(index, query, fb_docs, fb_terms, min_df,
                               max_df_ratio)
     qterms = sorted(set(tokenize(query, index.cfg.max_token_len,
-                                 index.cfg.min_token_len)))
+                                 index.cfg.min_token_len,
+                                 index.cfg.analyzer)))
     if not exp:
         return index.top_k(query, k=k)
     return boosted_top_k(index, sorted(set(qterms) | set(exp)),
                          {t: float(boost) for t in exp}, k=k)
+
+
+def significant_terms(index: "OracleIndex", query: str, n: int = 10,
+                      min_fg_df: int = 2,
+                      exclude_query_terms: bool = True
+                      ) -> list[tuple[str, int, int, float]]:
+    """Significant-terms mirror (QueryEngine.significant_terms, mode="any",
+    no sampling): foreground = docs containing ≥1 query term, per-term
+    fg_df over each matched doc's DISTINCT terms, JLH score with the same
+    float expression shape. Returns [(term, fg_df, bg_df, score)] in
+    (score DESC, term ASC) order."""
+    cfg = index.cfg
+    qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                 cfg.min_token_len, cfg.analyzer)))
+    fg_docs: set[int] = set()
+    for t in qterms:
+        for did, _tf in index.postings.get(t, ()):
+            fg_docs.add(did)
+    if not fg_docs:
+        return []
+    fg_size = float(len(fg_docs))
+    counts: Counter = Counter()
+    for did in fg_docs:
+        counts.update(index.doc_positions[did].keys())
+    n_docs = float(index.n_docs)
+    out = []
+    for term, fg in counts.items():
+        if fg < min_fg_df:
+            continue
+        if exclude_query_terms and term in qterms:
+            continue
+        df = index.df(term)
+        fgp = fg / fg_size
+        bgp = df / n_docs
+        if not fgp > bgp:
+            continue
+        out.append((term, fg, df, (fgp - bgp) * (fgp / bgp)))
+    out.sort(key=lambda x: (-x[3], x[0]))
+    return out[:n]

@@ -123,7 +123,8 @@ class _ClauseDraft:
 
 
 def parse_websearch(query: str, max_token_len: int = 64,
-                    min_token_len: int = 1) -> list[BooleanClause]:
+                    min_token_len: int = 1,
+                    analyzer: str = "simple") -> list[BooleanClause]:
     """Parse websearch syntax into DNF clauses (may be empty).
 
     Tokenization of words and phrases uses the engine tokenizer, so the
@@ -145,7 +146,8 @@ def parse_websearch(query: str, max_token_len: int = 64,
     for m in _LEX_RE.finditer(query):
         if m.group(2) is not None:  # quoted
             neg = m.group(1) == "-"
-            toks = tokenize(m.group(2), max_token_len, min_token_len)
+            toks = tokenize(m.group(2), max_token_len, min_token_len,
+                            analyzer)
             if not toks:
                 continue
             if len(toks) == 1:
@@ -158,7 +160,8 @@ def parse_websearch(query: str, max_token_len: int = 64,
             flush()
             continue
         prefix = word.endswith("*")
-        toks = tokenize(word.rstrip("*"), max_token_len, min_token_len)
+        toks = tokenize(word.rstrip("*"), max_token_len,
+                        min_token_len, analyzer)
         if not toks:
             continue
         if prefix:

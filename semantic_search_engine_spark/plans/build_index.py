@@ -265,7 +265,8 @@ class IndexBuilder:
         extract = make_resolve_extract_udf(cfg.prefer_provided_text,
                                            cfg.max_token_len)
         term_freqs = make_term_freqs_udf(cfg.max_token_len,
-                                         cfg.min_token_len)
+                                         cfg.min_token_len,
+                                         cfg.analyzer)
         # Width of the Python-UDF stages: the configured cap when set
         # (see EngineConfig.python_stage_parallelism), else the stage's
         # natural shuffle width.
@@ -329,7 +330,8 @@ class IndexBuilder:
         so bit-identical to a from-scratch build of the same field),
         with only tf_map/doc_len recomputed over the ``field`` column."""
         term_freqs = make_term_freqs_udf(self.cfg.max_token_len,
-                                         self.cfg.min_token_len)
+                                         self.cfg.min_token_len,
+                                         self.cfg.analyzer)
         src = self.store.read("doc_features")
         if self.cfg.python_stage_parallelism:   # tokenize is a UDF stage
             src = src.repartition(self.cfg.python_stage_parallelism)
@@ -697,7 +699,8 @@ class IndexBuilder:
         if cfg.python_stage_parallelism:  # tokenize is a UDF stage
             src = src.repartition(pyw)
         pos_udf = make_token_positions_udf(cfg.max_token_len,
-                                           cfg.min_token_len)
+                                           cfg.min_token_len,
+                                           cfg.analyzer)
         pairs = (src.withColumn("pmap", pos_udf(F.col(col)))
                  .select("partition_id", "doc_id",
                          F.col("doc_len").alias("dl"),

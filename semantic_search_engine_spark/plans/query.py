@@ -229,7 +229,8 @@ class QueryEngine:
         are unchanged for the docs covered (idf/avgdl stay global).
         """
         cfg = self.cfg
-        qterms = sorted(set(tokenize(query, cfg.max_token_len, cfg.min_token_len)))
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len, cfg.analyzer)))
         idfs = self.term_lookup(qterms)
         stats = self.corpus_stats()
         avgdl = stats["avg_doc_len"]
@@ -294,7 +295,8 @@ class QueryEngine:
     def wand_top_k_df(self, query: str, k: int | None = None,
                       lang: str | None = None, warc_ts_min=None,
                       warc_ts_max=None,
-                      min_score: float = 0.0) -> DataFrame:
+                      min_score: float = 0.0,
+                      min_match: int = 1) -> DataFrame:
         """Block-max WAND top-k (E10), optionally filtered (E11) — the fast
         query path.
 
@@ -322,7 +324,8 @@ class QueryEngine:
         return (self._batch_wand_ranked([query], k=k, lang=lang,
                                         warc_ts_min=warc_ts_min,
                                         warc_ts_max=warc_ts_max,
-                                        min_score=min_score)
+                                        min_score=min_score,
+                                        min_match=min_match)
                 .select("doc_id", "score")
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
@@ -338,7 +341,8 @@ class QueryEngine:
     def batch_wand_top_k_df(self, queries: list[str],
                             k: int | None = None,
                             lang: str | None = None, warc_ts_min=None,
-                            warc_ts_max=None) -> DataFrame:
+                            warc_ts_max=None,
+                            min_match: int = 1) -> DataFrame:
         """Multi-query block-max WAND: N queries, ONE Spark job.
 
         Returns (query_id, doc_id, score) — query_id is the position in
@@ -365,7 +369,8 @@ class QueryEngine:
         """
         return (self._batch_wand_ranked(queries, k=k, lang=lang,
                                         warc_ts_min=warc_ts_min,
-                                        warc_ts_max=warc_ts_max)
+                                        warc_ts_max=warc_ts_max,
+                                        min_match=min_match)
                 .select("query_id", "doc_id", "score"))
 
     def _batch_wand_ranked(self, queries: list[str],
@@ -374,8 +379,8 @@ class QueryEngine:
                            warc_ts_max=None,
                            min_score: float = 0.0,
                            after: tuple[float, int] | None = None,
-                           term_boosts: dict[str, float] | None = None
-                           ) -> DataFrame:
+                           term_boosts: dict[str, float] | None = None,
+                           min_match: int = 1) -> DataFrame:
         """Batch WAND core: (query_id, partition_id, doc_id, score).
 
         ``after`` is the keyset-pagination cursor (see
@@ -409,7 +414,7 @@ class QueryEngine:
         empty = self.spark.createDataFrame(
             [], "query_id int, partition_id int, doc_id long, score double")
         per_q = [sorted(set(tokenize(q, cfg.max_token_len,
-                                     cfg.min_token_len)))
+                                     cfg.min_token_len, cfg.analyzer)))
                  for q in queries]
         all_terms = sorted(set().union(*per_q)) if per_q else []
         if not all_terms or k <= 0:
@@ -450,7 +455,8 @@ class QueryEngine:
                                             avgdl, n_docs,
                                             min_score=float(min_score),
                                             after=after,
-                                            term_boosts=term_boosts)
+                                            term_boosts=term_boosts,
+                                            min_match=int(min_match))
             local = (blocks.groupBy("partition_id")
                      .cogroup(allowed.groupBy("partition_id"))
                      .applyInPandas(fn, schema=BATCH_WAND_OUT_SCHEMA))
@@ -459,7 +465,8 @@ class QueryEngine:
                                           float(cfg.b), avgdl, n_docs,
                                           min_score=float(min_score),
                                           after=after,
-                                          term_boosts=term_boosts)
+                                          term_boosts=term_boosts,
+                                          min_match=int(min_match))
             local = blocks.groupBy("partition_id").applyInPandas(
                 fn, schema=BATCH_WAND_OUT_SCHEMA)
         if len(rep_of) == 1:
@@ -516,7 +523,8 @@ class QueryEngine:
         """
         cfg = self.cfg
         k = cfg.default_k if k is None else min(k, cfg.max_k)
-        pterms = tokenize(phrase, cfg.max_token_len, cfg.min_token_len)
+        pterms = tokenize(phrase, cfg.max_token_len, cfg.min_token_len,
+                          cfg.analyzer)
         empty = self.spark.createDataFrame([], self._PHRASE_EMPTY)
         if not pterms or k <= 0:
             return empty
@@ -588,13 +596,14 @@ class QueryEngine:
         cand_docs = feats.join(cands, "doc_id")
 
         mtl, mnl = cfg.max_token_len, cfg.min_token_len
+        anlz = cfg.analyzer
         terms, span = list(pterms), max_span
 
         @pandas_udf("int")
         def verify(text: pd.Series) -> pd.Series:
             out = []
             for t in text:
-                pos = token_positions(t, mtl, mnl)
+                pos = token_positions(t, mtl, mnl, anlz)
                 if span is None:
                     out.append(phrase_match_count(pos, terms))
                 else:
@@ -710,7 +719,7 @@ class QueryEngine:
         cfg = self.cfg
         empty = self.spark.createDataFrame([], self._BOOL_EMPTY)
         clauses = parse_websearch(query, cfg.max_token_len,
-                                  cfg.min_token_len)
+                                  cfg.min_token_len, cfg.analyzer)
         if synonyms:
             from ..operators.synonyms import rewrite_clauses
             clauses = rewrite_clauses(clauses, synonyms)
@@ -772,6 +781,7 @@ class QueryEngine:
         feats = self.store.read(f"doc_features{self._sfx()}").select(
             "partition_id", "doc_id", F.col(field_col).alias("_text"))
         mtl, mnl = cfg.max_token_len, cfg.min_token_len
+        anlz = cfg.analyzer
         req_ph = [list(map(list, c.req_phrases)) for c in clauses]
         neg_ph = [list(map(list, c.neg_phrases)) for c in clauses]
 
@@ -779,7 +789,7 @@ class QueryEngine:
         def verify(text: pd.Series, mask: pd.Series) -> pd.Series:
             out = []
             for t, m in zip(text, mask):
-                pos_map = token_positions(t, mtl, mnl)
+                pos_map = token_positions(t, mtl, mnl, anlz)
                 ok = False
                 ci, mm = 0, int(m)
                 while mm and not ok:
@@ -867,7 +877,8 @@ class QueryEngine:
         elif mode == "any":
             cfg = self.cfg
             qterms = sorted(set(tokenize(query, cfg.max_token_len,
-                                         cfg.min_token_len)))
+                                         cfg.min_token_len,
+                                         cfg.analyzer)))
             if not qterms:
                 return self.spark.createDataFrame(
                     [], f"{by} string, n_docs long")
@@ -890,6 +901,99 @@ class QueryEngine:
         return (matched.join(meta, ["partition_id", "doc_id"])
                 .groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
                 .orderBy(*order))
+
+    # ------------------------------------------- significant terms (X50)
+    def significant_terms(self, query: str, n: int = 10,
+                          mode: str = "any",
+                          sample_ratio: float | None = None,
+                          min_fg_df: int = 2,
+                          exclude_query_terms: bool = True) -> DataFrame:
+        """Terms overrepresented in the match set vs the corpus — the
+        Elasticsearch ``significant_terms`` aggregation (JLH score), the
+        "what is this result set ABOUT" widget next to facets.
+
+        Foreground = docs matching ``query`` (``mode`` as in
+        :meth:`facet_counts`: "any" = contains ≥1 query term via the
+        scoreless doc-id decode, "boolean" = websearch semantics);
+        background = the whole corpus (term_stats.df). For each term,
+        with fg_pct = fg_df/|fg| and bg_pct = df/N:
+
+            jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)   if fg_pct > bg_pct
+
+        Plan: the match ids join doc_features on the bucket-colocated
+        (partition_id, doc_id) key; ``explode(map_keys(tf_map))`` emits
+        each matched doc's DISTINCT terms (tf_map keys — no re-tokenize),
+        a two-level groupBy counts fg_df map-side, and ONE shuffle on
+        ``term`` joins term_stats for bg df. The only corpus-scale
+        movement is that term-keyed join, and its left side is bounded by
+        |fg docs| · distinct-terms/doc — cap it with ``sample_ratio``
+        (the Elasticsearch ``sampler`` analogue): a DETERMINISTIC
+        doc-id-hash filter keeps ≈ratio of the match set, and fg_size
+        shrinks with it, so scores stay unbiased estimates.
+
+        ``min_fg_df`` drops one-off terms (ES ``min_doc_count``);
+        ``exclude_query_terms`` removes the query's own terms (trivially
+        significant). Returns (term, fg_df, bg_df, score), score DESC,
+        term ASC, limit ``n``.
+        """
+        from ..functions.udfs import doc_bucket_expr
+
+        cfg = self.cfg
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len, cfg.analyzer)))
+        empty = self.spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, score double")
+        if not qterms:
+            return empty
+        if mode == "boolean":
+            matched = (self.boolean_matches_df(query)
+                       .select("partition_id", "doc_id"))
+        elif mode == "any":
+            matched = (self.candidate_ids_df(query)
+                       .withColumn("partition_id",
+                                   doc_bucket_expr("doc_id",
+                                                   cfg.n_doc_buckets)))
+        else:
+            raise ValueError(f"unknown mode: {mode!r}")
+        if sample_ratio is not None:
+            if not (0.0 < sample_ratio <= 1.0):
+                raise ValueError("sample_ratio must be in (0, 1]")
+            d = 1 << 16
+            matched = matched.filter(
+                F.pmod(F.xxhash64("doc_id"), F.lit(d))
+                < F.lit(int(sample_ratio * d)))
+        matched = matched.cache()  # two uses: the size scalar + the join
+        try:
+            fg_size = matched.count()
+            if fg_size == 0:
+                return empty
+            feats = self.store.read(f"doc_features{self._sfx()}").select(
+                "partition_id", "doc_id",
+                F.map_keys("tf_map").alias("_terms"))
+            fg = (matched.join(feats, ["partition_id", "doc_id"])
+                  .select(F.explode("_terms").alias("term"))
+                  .groupBy("term")
+                  .agg(F.count(F.lit(1)).alias("fg_df"))
+                  .filter(F.col("fg_df") >= int(min_fg_df)))
+            if exclude_query_terms:
+                fg = fg.filter(~F.col("term").isin(qterms))
+            n_docs = self.corpus_stats()["n_docs"]
+            bg = self.store.read(f"term_stats{self._sfx()}").select(
+                "term", F.col("df").alias("bg_df"))
+            fgp = F.col("fg_df") / F.lit(float(fg_size))
+            bgp = F.col("bg_df") / F.lit(float(n_docs))
+            out = (fg.join(bg, "term")
+                   .withColumn("score", (fgp - bgp) * (fgp / bgp))
+                   .filter(fgp > bgp)
+                   .select("term", "fg_df", "bg_df", "score")
+                   .orderBy(F.desc("score"), F.asc("term"))
+                   .limit(int(n)))
+            # materialize before unpersisting the cached match set
+            rows = out.collect()
+        finally:
+            matched.unpersist()
+        return self.spark.createDataFrame(
+            rows, "term string, fg_df long, bg_df long, score double")
 
     # ------------------------------------------------- weighted (BM25F)
     def weighted_top_k_df(self, query: str,
@@ -916,7 +1020,7 @@ class QueryEngine:
         k = cfg.default_k if k is None else min(k, cfg.max_k)
         empty = self.spark.createDataFrame([], self._BOOL_EMPTY)
         qterms = sorted(set(tokenize(query, cfg.max_token_len,
-                                     cfg.min_token_len)))
+                                     cfg.min_token_len, cfg.analyzer)))
         if not qterms or not field_weights or k <= 0:
             return empty
 
@@ -1021,7 +1125,8 @@ class QueryEngine:
         from ..textproc import doc_bucket
 
         cfg = self.cfg
-        qterms = set(tokenize(query, cfg.max_token_len, cfg.min_token_len))
+        qterms = set(tokenize(query, cfg.max_token_len, cfg.min_token_len,
+                              cfg.analyzer))
         seed = self.top_k(query, k=fb_docs)
         if not seed:
             return []
@@ -1072,7 +1177,8 @@ class QueryEngine:
         # dictionary terms round-trip losslessly through the tokenizer
         # (same invariant the synonym path relies on)
         expanded = " ".join(sorted(set(tokenize(
-            query, cfg.max_token_len, cfg.min_token_len)) | set(exp)))
+            query, cfg.max_token_len, cfg.min_token_len,
+            cfg.analyzer)) | set(exp)))
         boosts = {t: float(boost) for t in exp}
         return (self._batch_wand_ranked([expanded], k=k,
                                         term_boosts=boosts)
@@ -1146,7 +1252,7 @@ class QueryEngine:
         term (only for terms that were actually replaced)."""
         cfg = self.cfg
         qterms = sorted(set(tokenize(query, cfg.max_token_len,
-                                     cfg.min_token_len)))
+                                     cfg.min_token_len, cfg.analyzer)))
         if not qterms:
             return [], {}
         present = {r["term"] for r in
@@ -1183,7 +1289,7 @@ class QueryEngine:
 
         cfg = self.cfg
         qterms = sorted(set(tokenize(query, cfg.max_token_len,
-                                     cfg.min_token_len)))
+                                     cfg.min_token_len, cfg.analyzer)))
         expanded = expand_terms(qterms, synonyms or {})
         if not expanded:
             return self.spark.createDataFrame([], self._BOOL_EMPTY)
@@ -1205,7 +1311,7 @@ class QueryEngine:
 
         cfg = self.cfg
         qterms = sorted(set(tokenize(query, cfg.max_token_len,
-                                     cfg.min_token_len)))
+                                     cfg.min_token_len, cfg.analyzer)))
         stats = self.corpus_stats()
         n, avgdl = stats["n_docs"], stats["avg_doc_len"]
         bucket = doc_bucket(doc_id, cfg.n_doc_buckets)
@@ -1285,7 +1391,7 @@ class QueryEngine:
 
         cfg = self.cfg
         qterms = sorted(set(tokenize(query, cfg.max_token_len,
-                                     cfg.min_token_len)))
+                                     cfg.min_token_len, cfg.analyzer)))
         buckets = sorted({doc_bucket(d, cfg.n_doc_buckets)
                           for d in doc_ids})
         field_col = "text" if self.field == "text" else self.field
@@ -1295,12 +1401,14 @@ class QueryEngine:
         ids = self.spark.createDataFrame([(int(d),) for d in doc_ids],
                                          "doc_id long")
         mw, mtl, mnl = max_words, cfg.max_token_len, cfg.min_token_len
+        anlz = cfg.analyzer  # qterms above are already analyzed
 
         @pandas_udf("string")
         def snip(text: pd.Series) -> pd.Series:
             return pd.Series([make_snippet(t, qterms, mw,
                                            max_token_len=mtl,
-                                           min_token_len=mnl)
+                                           min_token_len=mnl,
+                                           analyzer=anlz)
                               for t in text])
 
         rows = (feats.join(F.broadcast(ids), "doc_id")
@@ -1361,7 +1469,8 @@ class QueryEngine:
         cfg = self.cfg
         k = min(k or 10, cfg.max_k + cfg.max_offset)
         dim = self._embedding_dim()
-        toks = tokenize(query, cfg.max_token_len, cfg.min_token_len)
+        toks = tokenize(query, cfg.max_token_len, cfg.min_token_len,
+                        cfg.analyzer)
         probe = embed_query_tokens(toks, dim) if dim else []
         if not any(probe):
             return self.spark.createDataFrame(
@@ -1463,7 +1572,7 @@ class QueryEngine:
         bucket subset) but decodes only ``doc_ids_vb``."""
         cfg = self.cfg
         qterms = sorted(set(tokenize(query, cfg.max_token_len,
-                                     cfg.min_token_len)))
+                                     cfg.min_token_len, cfg.analyzer)))
         if not qterms:
             return self.spark.createDataFrame([], "doc_id long")
         scan = self._pruned_term_scan(f"postings{self._sfx()}", qterms)

@@ -152,6 +152,7 @@ def wand_top_k(
     min_score: float = 0.0,
     avgdl_by_term: "dict[str, float] | None" = None,
     after: "tuple[float, int] | None" = None,
+    min_match: int = 1,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact block-max WAND top-k over one doc-id-sorted posting slice.
 
@@ -191,6 +192,18 @@ def wand_top_k(
     block-skip exactness is preserved per cursor). Terms absent from the
     dict use the global ``avgdl``.
 
+    ``min_match``: minimum-should-match over the query's terms
+    (Elasticsearch ``minimum_should_match`` / Lucene ``MinShouldMatchSumScorer``
+    semantics): a doc qualifies only if at least ``min_match`` DISTINCT
+    query terms occur in it; its score is still the BM25 sum over the
+    terms it matches. Exactness: the constraint only DISQUALIFIES
+    candidates (like ``allowed``/``after``), so theta remains a lower
+    bound over qualifying docs and pivot/block-skip stay lossless; docs
+    are disqualified by the cursor count standing on the pivot — exactly
+    the distinct matching terms — before any scoring. Once fewer than
+    ``min_match`` cursors remain un-exhausted no future doc can qualify
+    and the scan stops early (a pruning rule plain WAND doesn't have).
+
     Returns ``(hits, stats)``: hits as ``(doc_id, score)`` in
     ``(score DESC, doc_id ASC)`` order; stats reports pruning counters.
     """
@@ -215,8 +228,11 @@ def wand_top_k(
     skipped_evals = 0
     filtered_out = 0
     before_cursor = 0
+    under_min_match = 0
 
     while cursors:
+        if min_match > 1 and len(cursors) < min_match:
+            break  # no future doc can match enough distinct terms
         # secondary key term_rank: docs tie across cursors, and at_pivot
         # must enumerate them in sorted-term order (oracle float order) —
         # stability alone would carry over an arbitrary earlier order
@@ -249,6 +265,8 @@ def wand_top_k(
                 and int(allowed[i]) == pivot_doc)
             if excluded:
                 filtered_out += 1
+            elif min_match > 1 and len(at_pivot) < min_match:
+                under_min_match += 1  # too few distinct terms: disqualified
             elif block_ub <= theta:
                 # theta is -inf until the heap fills (so this branch is
                 # unreachable then) UNLESS min_score seeded it — a doc
@@ -288,6 +306,7 @@ def wand_top_k(
         "skipped_evals": skipped_evals,      # block-max UB prunes only
         "filtered_out": filtered_out,        # structured-filter exclusions
         "before_cursor": before_cursor,      # keyset-pagination exclusions
+        "under_min_match": under_min_match,  # min-should-match exclusions
         "decoded_blocks": sum(c.decoded_blocks for c in all_cursors),
         "total_blocks": sum(len(v) for v in term_blocks.values()),
     }
@@ -319,7 +338,8 @@ def make_wand_batch_group_fn(query_terms: dict[int, list[str]],
                              k: int, k1: float, b: float, avgdl: float,
                              n_docs: int, min_score: float = 0.0,
                              after: "tuple[float, int] | None" = None,
-                             term_boosts: "dict[str, float] | None" = None):
+                             term_boosts: "dict[str, float] | None" = None,
+                             min_match: int = 1):
     """``applyInPandas`` body for MULTI-QUERY WAND: one doc bucket's blocks
     (the union of every query's term postings) → per-query local top-k.
 
@@ -343,13 +363,15 @@ def make_wand_batch_group_fn(query_terms: dict[int, list[str]],
 
     def run_bucket(pdf):
         return _run_bucket_batch(pdf, None, query_terms, k, k1, b, avgdl,
-                                 n_docs, min_score, after, term_boosts)
+                                 n_docs, min_score, after, term_boosts,
+                                 min_match)
 
     return run_bucket
 
 
 def _run_bucket_batch(pdf, allowed, query_terms, k, k1, b, avgdl, n_docs,
-                      min_score=0.0, after=None, term_boosts=None):
+                      min_score=0.0, after=None, term_boosts=None,
+                      min_match=1):
     """Shared body for the batch group/cogroup forms: one bucket's blocks
     (+ optional sorted allowed-doc array) → per-query local top-k."""
     import pandas as pd
@@ -384,7 +406,7 @@ def _run_bucket_batch(pdf, allowed, query_terms, k, k1, b, avgdl, n_docs,
                 continue
             hits, _ = wand_top_k(sub, weights, k, k1, b, avgdl,
                                  allowed=allowed, min_score=min_score,
-                                 after=after)
+                                 after=after, min_match=min_match)
             for d, s in hits:
                 qids.append(qid)
                 pids.append(pid)
@@ -402,8 +424,8 @@ def make_wand_batch_cogroup_fn(query_terms: dict[int, list[str]],
                                k: int, k1: float, b: float, avgdl: float,
                                n_docs: int, min_score: float = 0.0,
                                after: "tuple[float, int] | None" = None,
-                               term_boosts: "dict[str, float] | None" = None
-                               ):
+                               term_boosts: "dict[str, float] | None" = None,
+                               min_match: int = 1):
     """Cogrouped batch form: left = one bucket's blocks, right = the same
     bucket's structured-filter survivor doc ids (one filter, shared by the
     whole batch — the offline-retrieval shape: same corpus slice, many
@@ -413,11 +435,12 @@ def make_wand_batch_cogroup_fn(query_terms: dict[int, list[str]],
         if len(allowed_pdf) == 0:
             return _run_bucket_batch(blocks_pdf.iloc[:0], None,
                                      query_terms, k, k1, b, avgdl, n_docs,
-                                     min_score, after, term_boosts)
+                                     min_score, after, term_boosts,
+                                     min_match)
         allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
         return _run_bucket_batch(blocks_pdf, allowed, query_terms,
                                  k, k1, b, avgdl, n_docs, min_score, after,
-                                 term_boosts)
+                                 term_boosts, min_match)
 
     return run_bucket
 

@@ -287,32 +287,45 @@ _OVERLONG_RE = re.compile(r"[a-z0-9]{%d,}" % (MAX_TOKEN_LEN + 1))
 
 
 def tokenize(text: str | None, max_token_len: int = MAX_TOKEN_LEN,
-             min_token_len: int = 1) -> list[str]:
+             min_token_len: int = 1,
+             analyzer: str = "simple") -> list[str]:
     if not text:
         return []
     low = text.lower()
     toks = TOKEN_RE.findall(low)
     # default-config fast path: min<=1 never drops, and if no run of
     # MAX_TOKEN_LEN+1 exists then every token is <= MAX_TOKEN_LEN <= max
-    if (min_token_len <= 1 and max_token_len >= MAX_TOKEN_LEN
+    if not (min_token_len <= 1 and max_token_len >= MAX_TOKEN_LEN
             and _OVERLONG_RE.search(low) is None):
-        return toks
-    return [t for t in toks if min_token_len <= len(t) <= max_token_len]
+        toks = [t for t in toks
+                if min_token_len <= len(t) <= max_token_len]
+    if analyzer != "simple":
+        from .functions.stem import analyze_tokens
+        toks = analyze_tokens(toks, analyzer)
+    return toks
 
 
 def token_positions(text: str | None, max_token_len: int = MAX_TOKEN_LEN,
-                    min_token_len: int = 1) -> dict[str, list[int]]:
+                    min_token_len: int = 1,
+                    analyzer: str = "simple") -> dict[str, list[int]]:
     """term → sorted 0-based positions in the *kept* token stream.
 
     Positions index the output of :func:`tokenize` (after the length
-    filter), so ``positions`` and ``tf_map`` agree exactly:
-    ``len(positions[t]) == tf_map[t]`` and max position == doc_len-1.
-    This is the tsvector-style payload behind phrase ("a <-> b") and
-    proximity search — the capability Postgres adds on top of the GIN
-    term index the reference creates (``data-pipeline/database.py:60``).
+    filter and the configured analyzer), so ``positions`` and ``tf_map``
+    agree exactly: ``len(positions[t]) == tf_map[t]`` and max position ==
+    doc_len-1. This is the tsvector-style payload behind phrase
+    ("a <-> b") and proximity search — the capability Postgres adds on
+    top of the GIN term index the reference creates
+    (``data-pipeline/database.py:60``). Analyzer note: with
+    ``analyzer="english"`` positions index the post-stopword KEPT stream
+    (renumbered), unlike Postgres, which preserves original word
+    offsets across removed stopwords — adjacency here means "adjacent
+    after stopword removal", so the phrase "jump fox" matches text
+    "jumped over the fox" (documented divergence).
     """
     out: dict[str, list[int]] = {}
-    for i, t in enumerate(tokenize(text, max_token_len, min_token_len)):
+    for i, t in enumerate(tokenize(text, max_token_len, min_token_len,
+                                   analyzer)):
         out.setdefault(t, []).append(i)
     return out
 
@@ -394,7 +407,8 @@ def make_snippet(text: str | None, query_terms: list[str],
                  max_words: int = 35, start_sel: str = "<b>",
                  stop_sel: str = "</b>",
                  max_token_len: int = MAX_TOKEN_LEN,
-                 min_token_len: int = 1) -> str:
+                 min_token_len: int = 1,
+                 analyzer: str = "simple") -> str:
     """Highlighted fragment around the best query-term window — the
     engine's ``ts_headline`` (the result-decoration half of the Postgres
     full-text stack whose index half the reference builds,
@@ -407,6 +421,12 @@ def make_snippet(text: str | None, query_terms: list[str],
     in ``start_sel``/``stop_sel``, and an ellipsis marking each clipped
     side. No query term present → the leading ``max_words`` tokens,
     unhighlighted.
+
+    ``analyzer``: with ``"english"``, ``query_terms`` are expected in
+    analyzed (stemmed) form and each text token is stemmed before the
+    hit test, so a query term ``run`` highlights ``running`` in the
+    original text — exactly ``ts_headline`` over an english
+    configuration. Stopwords never highlight (they are not index terms).
     """
     if not text:
         return ""
@@ -416,6 +436,13 @@ def make_snippet(text: str | None, query_terms: list[str],
     spans = [(m.start(), m.end(), m.group())
              for m in TOKEN_RE.finditer(text.lower())
              if min_token_len <= len(m.group()) <= max_token_len]
+    if analyzer != "simple":
+        from .functions.stem import analyze_tokens
+        memo: dict[str, str] = {}
+        for t in {t for _a, _b, t in spans}:
+            a = analyze_tokens([t], analyzer)
+            memo[t] = a[0] if a else ""
+        spans = [(a, b, memo[t]) for a, b, t in spans]
     if not spans:
         return ""
     n = len(spans)
