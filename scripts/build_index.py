@@ -37,6 +37,11 @@ def main(argv=None) -> int:
     p.add_argument("--term-buckets", type=int, default=None)
     p.add_argument("--k1", type=float, default=None)
     p.add_argument("--b", type=float, default=None)
+    p.add_argument("--analyzer", default=None,
+                   choices=["simple", "english"],
+                   help="token normalization: 'english' = Snowball "
+                        "stopwords + Porter stemming (Postgres "
+                        "to_tsvector('english') parity); default simple")
     p.add_argument("--positions", action="store_true",
                    help="also build the positional index "
                         "(phrase/proximity retrieval)")
@@ -67,6 +72,7 @@ def main(argv=None) -> int:
         "n_term_buckets": args.term_buckets,
         "k1": args.k1,
         "b": args.b,
+        "analyzer": args.analyzer,
     }.items() if v is not None}
     import dataclasses
     cfg = dataclasses.replace(DEFAULT_CONFIG, **overrides) \

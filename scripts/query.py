@@ -91,7 +91,12 @@ def main(argv=None) -> int:
         if raw.startswith("@"):
             with open(raw[1:]) as f:
                 raw = f.read()
-        synonyms = normalize_synonyms(json.loads(raw))
+        # canonicalize through the INDEX's analyzer (persisted config), so
+        # synonym entries land in indexed-term form on an english index
+        synonyms = normalize_synonyms(json.loads(raw),
+                                      qe.cfg.max_token_len,
+                                      qe.cfg.min_token_len,
+                                      qe.cfg.analyzer)
 
     # surfaces that answer over the FULL match set (or a bare top-k)
     # must refuse filter/paging flags rather than silently drop them

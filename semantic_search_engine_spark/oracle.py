@@ -516,3 +516,32 @@ def significant_terms(index: "OracleIndex", query: str, n: int = 10,
         out.append((term, fg, df, (fgp - bgp) * (fgp / bgp)))
     out.sort(key=lambda x: (-x[3], x[0]))
     return out[:n]
+
+
+def collapse_top_k(index: "OracleIndex", query: str, by: str = "lang",
+                   k: int = 10) -> list[tuple[object, int, float]]:
+    """Field-collapse mirror (QueryEngine.collapse_top_k_df): best doc per
+    ``by`` value (string form; None keys one group), top k values,
+    (score DESC, doc_id ASC) at both levels."""
+    cfg = index.cfg
+    qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                 cfg.min_token_len, cfg.analyzer)))
+    scores: dict[int, float] = defaultdict(float)
+    for t in qterms:
+        pl = index.postings.get(t)
+        if not pl:
+            continue
+        w = index.idf(t)
+        for did, tf in pl:
+            scores[did] += w * index.tf_norm(tf, index.doc_len[did])
+    best: dict = {}
+    for did in sorted(scores):  # increasing doc_id: ties keep earlier doc
+        v = index.doc_meta[did].get(by)
+        key = None if v is None else str(v)
+        s = scores[did]
+        old = best.get(key)
+        if old is None or s > old[0]:
+            best[key] = (s, did)
+    hits = sorted(((key, did, s) for key, (s, did) in best.items()),
+                  key=lambda x: (-x[2], x[1]))
+    return hits[:k]

@@ -995,6 +995,83 @@ class QueryEngine:
         return self.spark.createDataFrame(
             rows, "term string, fg_df long, bg_df long, score double")
 
+    # ------------------------------------------------ field collapse (X51)
+    def collapse_top_k_df(self, query: str, by: str = "lang",
+                          k: int | None = None,
+                          mode: str = "wand") -> DataFrame:
+        """Collapsed top-k: the best-scoring doc per ``by`` value, top k
+        VALUES — Elasticsearch field collapsing / Google's one-result-
+        per-site, the dedup-at-serve-time a web index needs (collapse by
+        url host). Keys compare by their string form; NULL keys form one
+        group. Returns (``by``, doc_id, score) in (score DESC, doc_id
+        ASC) order.
+
+        ``mode="wand"`` (default): ONE job — the pruned posting scan
+        cogroups with doc_meta's (doc_id, key) slice per doc bucket and
+        a collapsed WAND kernel (``wand_collapse_top_k``) emits each
+        bucket's top-k KEYS with block-max pruning against a key-level
+        theta. Cross-bucket merge is a per-key window over ≤ P·k rows —
+        exact by the superset lemma in the kernel docstring.
+        ``mode="exhaustive"``: scores every candidate then windows —
+        the correctness baseline (pinned identical by test).
+        """
+        from pyspark.sql.window import Window
+
+        from ..functions.udfs import doc_bucket_expr
+        from .wand import COLLAPSE_OUT_SCHEMA, make_wand_collapse_cogroup_fn
+
+        cfg = self.cfg
+        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len, cfg.analyzer)))
+        empty = self.spark.createDataFrame(
+            [], f"`{by}` string, doc_id long, score double")
+        if not qterms or k <= 0:
+            return empty
+        if mode == "wand":
+            stats = self.corpus_stats()
+            avgdl, n_docs = stats["avg_doc_len"], stats["n_docs"]
+            if avgdl <= 0:
+                return empty
+            blocks = self._pruned_term_scan(f"postings{self._sfx()}",
+                                            qterms).select(
+                "term", "partition_id", "block_id", "last_doc_id",
+                "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
+            df_side = self._pruned_term_scan(f"term_stats{self._sfx()}",
+                                             qterms).select("term", "df")
+            blocks = blocks.join(F.broadcast(df_side), "term")
+            meta = self.store.read(f"doc_meta{self._sfx()}").select(
+                "partition_id", "doc_id",
+                F.col(by).cast("string").alias("ckey"))
+            fn = make_wand_collapse_cogroup_fn(qterms, k, float(cfg.k1),
+                                               float(cfg.b), avgdl, n_docs)
+            local = (blocks.groupBy("partition_id")
+                     .cogroup(meta.groupBy("partition_id"))
+                     .applyInPandas(fn, schema=COLLAPSE_OUT_SCHEMA))
+        elif mode == "exhaustive":
+            scored = self.scores_df(query).withColumn(
+                "partition_id", doc_bucket_expr("doc_id",
+                                                cfg.n_doc_buckets))
+            meta = self.store.read(f"doc_meta{self._sfx()}").select(
+                "partition_id", "doc_id",
+                F.col(by).cast("string").alias("ckey"))
+            local = scored.join(meta, ["partition_id", "doc_id"])
+        else:
+            raise ValueError(f"unknown collapse mode: {mode!r}")
+        w = Window.partitionBy("ckey").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+        return (local.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .select(F.col("ckey").alias(by), "doc_id", "score"))
+
+    def collapse_top_k(self, query: str, by: str = "lang", k: int = 10,
+                       mode: str = "wand"
+                       ) -> list[tuple[object, int, float]]:
+        """Materialized [(key, doc_id, score)] field collapse."""
+        rows = self.collapse_top_k_df(query, by=by, k=k, mode=mode).collect()
+        return [(r[by], int(r["doc_id"]), float(r["score"])) for r in rows]
+
     # ------------------------------------------------- weighted (BM25F)
     def weighted_top_k_df(self, query: str,
                           field_weights: dict[str, float],

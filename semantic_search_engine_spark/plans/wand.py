@@ -503,3 +503,185 @@ def make_weighted_field_fn(field_weights: dict[str, float],
         })
 
     return run_bucket
+
+
+COLLAPSE_OUT_SCHEMA = ("partition_id int, doc_id long, score double, "
+                       "ckey string")
+
+
+def wand_collapse_top_k(
+    term_blocks: dict[str, list[dict]],
+    weights: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    meta_doc_ids: "np.ndarray",
+    meta_keys: list,
+) -> tuple[list[tuple[object, int, float]], dict]:
+    """Exact block-max WAND *collapsed* top-k over one doc bucket: the
+    best-scoring doc per collapse key, top ``k`` KEYS (Elasticsearch
+    field collapsing — one result per host/site/author).
+
+    ``meta_doc_ids``/``meta_keys``: the bucket's doc_id-sorted metadata
+    slice (key may be None — NULL keys form one group, SQL window
+    semantics). Docs missing from the slice fall into the None group.
+
+    Exactness of pruning: theta is the k-th best KEY score. Candidates
+    arrive in increasing doc_id order, so every current per-key best has
+    a smaller doc_id than any future candidate; a future doc bounded at
+    or below theta either loses outright or ties and loses the
+    (score DESC, doc_id ASC) tie-break — the strict ``>`` pivot test and
+    ``<=`` block-skip stay lossless, exactly the single-doc argument.
+    Per-key bests only ever improve (monotone), so the key heap uses
+    lazy invalidation: an entry is live iff it equals the key's latest
+    pushed best.
+
+    Cross-bucket merge exactness (the superset lemma): if a key's global
+    winner ranks outside its bucket's collapsed top-k, the k keys above
+    it in that bucket each have a global best at least their bucket
+    score, so all k outrank it globally — it wasn't a global winner.
+    Hence the union of per-bucket collapsed top-k contains the global
+    collapsed top-k, and a per-key window + global top-k merge is exact.
+    """
+    cursors = []
+    if k > 0:
+        for rank, term in enumerate(sorted(term_blocks)):
+            blocks = term_blocks[term]
+            if blocks and term in weights and avgdl > 0:
+                c = BlockCursor(blocks, weights[term], k1, b, avgdl,
+                                term_rank=rank)
+                if c.cur_doc != EXHAUSTED:
+                    cursors.append(c)
+    all_cursors = list(cursors)
+
+    cur: dict = {}       # key -> (score, -doc): best seen
+    intop: set = set()   # keys currently in the top-k heap
+    latest: dict = {}    # key -> entry last pushed (liveness check)
+    heap: list = []      # (score, -doc, key); stale entries allowed
+    nvalid = 0
+    evaluated = 0
+    skipped_evals = 0
+
+    def _clean():
+        while heap and ((heap[0][2] not in intop)
+                        or (heap[0][0], heap[0][1]) != latest[heap[0][2]]):
+            heapq.heappop(heap)
+
+    while cursors:
+        cursors.sort(key=lambda c: (c.cur_doc, c.term_rank))
+        if nvalid >= k:
+            _clean()
+            theta = heap[0][0]
+        else:
+            theta = float("-inf")
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(cursors):
+            acc += c.max_block_ub
+            if acc > theta:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break
+        pivot_doc = cursors[pivot_idx].cur_doc
+
+        if cursors[0].cur_doc == pivot_doc:
+            at_pivot = [c for c in cursors if c.cur_doc == pivot_doc]
+            block_ub = sum(c.block_ub() for c in at_pivot)
+            if block_ub <= theta:
+                skipped_evals += 1
+            else:
+                score = 0.0
+                for c in at_pivot:
+                    score += c.contrib()
+                evaluated += 1
+                i = int(np.searchsorted(meta_doc_ids, pivot_doc))
+                key = (meta_keys[i]
+                       if i < len(meta_doc_ids)
+                       and int(meta_doc_ids[i]) == pivot_doc else None)
+                entry = (score, -pivot_doc)
+                old = cur.get(key)
+                if old is None or entry > old:
+                    cur[key] = entry
+                    if key in intop:          # improvement: lazy re-push
+                        latest[key] = entry
+                        heapq.heappush(heap, (score, -pivot_doc, key))
+                    elif nvalid < k:          # heap not full: admit key
+                        intop.add(key)
+                        latest[key] = entry
+                        heapq.heappush(heap, (score, -pivot_doc, key))
+                        nvalid += 1
+                    else:                     # full: evict the k-th key?
+                        _clean()
+                        if entry > (heap[0][0], heap[0][1]):
+                            _es, _ed, ek = heapq.heappop(heap)
+                            intop.discard(ek)
+                            del latest[ek]
+                            intop.add(key)
+                            latest[key] = entry
+                            heapq.heappush(heap, (score, -pivot_doc, key))
+            for c in at_pivot:
+                c.next_doc()
+        else:
+            for c in cursors:
+                if c.cur_doc >= pivot_doc:
+                    break
+                c.seek(pivot_doc)
+        cursors = [c for c in cursors if c.cur_doc != EXHAUSTED]
+
+    hits = sorted(((key, -nd, s) for key, (s, nd) in latest.items()),
+                  key=lambda x: (-x[2], x[1]))
+    stats = {
+        "evaluated_docs": evaluated,
+        "skipped_evals": skipped_evals,
+        "decoded_blocks": sum(c.decoded_blocks for c in all_cursors),
+        "total_blocks": sum(len(v) for v in term_blocks.values()),
+    }
+    return hits, stats
+
+
+def make_wand_collapse_cogroup_fn(qterms: list[str], k: int, k1: float,
+                                  b: float, avgdl: float, n_docs: int):
+    """Cogrouped ``applyInPandas`` body for field collapsing: left = one
+    bucket's posting blocks (with ``df`` riding each row), right = the
+    bucket's (doc_id, ckey) metadata slice. Emits the bucket's collapsed
+    top-k (one row per key)."""
+
+    def run_bucket(blocks_pdf, meta_pdf):
+        import pandas as pd
+
+        pids: list[int] = []
+        docs: list[int] = []
+        scores: list[float] = []
+        keys: list = []
+        if len(blocks_pdf) and len(meta_pdf):
+            blocks_pdf = blocks_pdf.sort_values(
+                ["term", "partition_id", "block_id"], kind="mergesort")
+            by_term = group_blocks_by_term(blocks_pdf)
+            uniq = blocks_pdf[["term", "df"]].drop_duplicates("term")
+            idf = {t: bm25_idf(n_docs, int(d))
+                   for t, d in zip(uniq["term"], uniq["df"])}
+            weights = {t: idf[t] for t in qterms if t in idf}
+            sub = {t: by_term[t] for t in weights if t in by_term}
+            if sub:
+                pid = int(blocks_pdf["partition_id"].iloc[0])
+                meta_pdf = meta_pdf.sort_values("doc_id", kind="mergesort")
+                mids = meta_pdf["doc_id"].to_numpy(dtype=np.int64)
+                mkeys = [None if pd.isna(v) else str(v)
+                         for v in meta_pdf["ckey"]]
+                hits, _ = wand_collapse_top_k(sub, weights, k, k1, b,
+                                              avgdl, mids, mkeys)
+                for key, d, s in hits:
+                    pids.append(pid)
+                    docs.append(d)
+                    scores.append(s)
+                    keys.append(key)
+        return pd.DataFrame({
+            "partition_id": pd.Series(pids, dtype="int32"),
+            "doc_id": pd.Series(docs, dtype="int64"),
+            "score": pd.Series(scores, dtype="float64"),
+            "ckey": pd.Series(keys, dtype="object"),
+        })
+
+    return run_bucket
