@@ -537,6 +537,137 @@ class IndexBuilder:
                 "config_json string"))
 
     # ------------------------------------------------------------------
+    #: EngineConfig fields :meth:`migrate_layout` may change: physical
+    #: layout and read-side knobs whose values never reach the stage-1
+    #: CONTENT (extracted text, tf_map, doc ids, doc_len). Everything
+    #: else — analyzer, token lengths, prefer_provided_text, doc_id_bits
+    #: — changes what stage 1 computes and needs a full rebuild from the
+    #: source corpus.
+    MIGRATABLE_FIELDS = frozenset({
+        "n_doc_buckets", "n_term_buckets", "block_size",
+        "partition_doc_features", "k1", "b", "default_k", "max_k",
+        "max_offset", "default_min_score", "shuffle_partitions",
+        "python_stage_parallelism",
+    })
+
+    def migrate_layout(self, new_cfg: EngineConfig, field: str = "text",
+                       run_id: str | None = None,
+                       input_version: str = "static") -> "IndexBuilder":
+        """Re-layout a committed index under a new physical/scoring
+        config WITHOUT re-running extraction or tokenization — the
+        ``ALTER INDEX`` the reference stack lacks (Elasticsearch requires
+        a full reindex to change shard count; Postgres re-runs
+        ``to_tsvector`` inside ``REINDEX``). Operationally this is how a
+        growing corpus re-tunes ``n_doc_buckets``/``n_term_buckets`` as it
+        scales (docs/SCALE.md sizes P at docs/P ≈ 10^7 — P must grow with
+        the crawl) or adjusts BM25 ``k1``/``b`` after relevance review.
+
+        Cost model at scale: stage 1 becomes ONE JVM-only pass over the
+        committed ``doc_features`` (recompute ``partition_id`` from the
+        stable ``doc_id`` — map-only unless the partitioned layout is
+        requested; the extract+tokenize pandas UDFs, the dominant build
+        cost, never run); downstream stages rebuild as from a normal
+        build but start from the materialized tf_maps. Content is
+        bit-identical to a from-scratch build under ``new_cfg`` (pinned
+        by test) because ids, text and tf_maps are carried, and the
+        stage-1 fingerprint is wired exactly as :meth:`build` writes it —
+        a later ``build()`` under ``new_cfg`` resume-skips every stage.
+
+        Only fields in :data:`MIGRATABLE_FIELDS` may differ; the builder
+        must be bound to the index's persisted config (guards migrating
+        from a config the index was never built with). Auxiliary indexes
+        that exist are refreshed too: positions (inside the downstream
+        run), hashed embeddings (``dim`` recovered from the committed
+        table) and the SymSpell deletes (``max_edit`` recovered likewise).
+        Dual-field indexes migrate per field — primary ``"text"`` first,
+        so the secondary's fingerprint chains on the migrated base.
+
+        Returns a fresh :class:`IndexBuilder` bound to ``new_cfg``.
+        """
+        import dataclasses
+        import json as _json
+
+        sfx = "" if field == "text" else f"_{field}"
+        if not self.store.exists(f"doc_features{sfx}"):
+            raise ValueError(
+                f"no committed doc_features{sfx} — nothing to migrate")
+        persisted = _json.loads(
+            self.store.read(f"engine_config{sfx}")
+            .collect()[0]["config_json"])
+        mine = dataclasses.asdict(self.cfg)
+        if persisted != mine:
+            diff = sorted(k for k in mine if persisted.get(k) != mine[k])
+            raise ValueError(
+                "builder config differs from the index's persisted "
+                f"config on {diff}; bind the builder to the persisted "
+                "config before migrating")
+        new = dataclasses.asdict(new_cfg)
+        changed = sorted(k for k in mine if mine[k] != new[k])
+        illegal = [k for k in changed if k not in self.MIGRATABLE_FIELDS]
+        if illegal:
+            raise ValueError(
+                f"non-layout config fields changed: {illegal} — these "
+                "change stage-1 content (extraction/tokenization); "
+                "rebuild from the source corpus instead")
+
+        nb = IndexBuilder(self.spark, self.store, new_cfg)
+        runner = StageRunner(self.store,
+                             new_cfg.fingerprint() + f"/{field}",
+                             run_id=run_id)
+        df_layout = (["partition_id"]
+                     if new_cfg.partition_doc_features else None)
+
+        def _rebucket() -> DataFrame:
+            # store.write stages into a fresh snapshot dir before the
+            # atomic manifest flip, so this reads the OLD snapshot while
+            # writing the new one (same CoW pattern as merge_by_key)
+            src = self.store.read(f"doc_features{sfx}")
+            out = (src.drop("partition_id")
+                   .withColumn("partition_id",
+                               doc_bucket_expr("doc_id",
+                                               new_cfg.n_doc_buckets)))
+            if new_cfg.partition_doc_features:
+                # align write tasks with the partitioned layout (one file
+                # per bucket, not tasks × buckets)
+                out = out.repartition(new_cfg.n_doc_buckets,
+                                      "partition_id")
+            return out.select("doc_id", "url", "warc_ts", "lang", "title",
+                              "text", "extracted_sha256", "doc_len",
+                              "tf_map", "partition_id")
+
+        # fingerprint wiring mirrors build() exactly, so resume composes:
+        # primary field chains on input_version, secondary on the base
+        # table's (migrated) data identity
+        if sfx:
+            runner.run(f"doc_features{sfx}", f"doc_features{sfx}",
+                       ["doc_features"], _rebucket,
+                       partition_by=df_layout,
+                       partition_col="partition_id",
+                       n_partitions=new_cfg.n_doc_buckets)
+        else:
+            runner.run("doc_features", "doc_features", [], _rebucket,
+                       partition_by=df_layout,
+                       partition_col="partition_id",
+                       n_partitions=new_cfg.n_doc_buckets,
+                       extra_key=input_version)
+        nb._run_downstream(runner, sfx)
+        nb._persist_config(sfx)
+        runner.commit_lineage(self.spark)
+
+        # refresh opt-in derivatives whose layout is bucket-keyed,
+        # recovering their build parameters from the committed tables
+        if self.store.exists(f"doc_embeddings{sfx}"):
+            dim = int(self.store.read(f"doc_embeddings{sfx}")
+                      .select(F.size("emb").alias("d")).first()["d"])
+            nb.build_embeddings(field, dim=dim, run_id=run_id)
+        if self.store.exists(f"term_deletes{sfx}"):
+            me = int(self.store.read(f"term_deletes{sfx}")
+                     .agg(F.max(F.length("term") - F.length("variant"))
+                          .alias("me")).first()["me"])
+            nb.build_fuzzy(field, max_edit=me, run_id=run_id)
+        return nb
+
+    # ------------------------------------------------------------------
     def build_positions(self, field: str = "text",
                         run_id: str | None = None) -> StageRunner:
         """Opt-in positional index (plans/phrase.py) — the tsvector-style

@@ -216,3 +216,38 @@ def test_query_cli_hybrid_prf_after(spark, cli_env, capsys):
     assert query_main(["--warehouse", wh, "--after", "1.0:5",
                        "--offset", "3", "x"]) == 2
     capsys.readouterr()
+
+
+def test_migrate_layout_cli(spark, cli_env, capsys):
+    """migrate_layout.py rebuckets the committed index in place; queries
+    through the stock CLI bind the new persisted config and still rank."""
+    wh, corpus = cli_env
+    from scripts.build_index import main as build_main
+    from scripts.migrate_layout import main as migrate_main
+    from scripts.query import main as query_main
+
+    # ensure the index exists (module-scoped fixture order independence)
+    build_main(["--input", corpus, "--warehouse", wh,
+                "--shuffle-partitions", "4", "--doc-buckets", "4",
+                "--term-buckets", "4", "--input-version", "v1"])
+    capsys.readouterr()
+
+    rc = migrate_main(["--warehouse", wh, "--doc-buckets", "3",
+                       "--term-buckets", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "ok"
+    assert out["changed"] == {"n_doc_buckets": [4, 3],
+                              "n_term_buckets": [4, 2]}
+
+    rc = query_main(["--warehouse", wh, "--k", "5",
+                     "wireless bluetooth headphones"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["results"] and res["results"][0]["score"] > 0
+
+    # no overrides → explicit noop, not an accidental rebuild
+    rc = migrate_main(["--warehouse", wh])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "noop"
