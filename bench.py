@@ -278,6 +278,17 @@ def main() -> None:
     t0 = time.time()
     qe.prf_top_k("wireless bluetooth headphones", k=10)
     queries["q_prf"] = round(time.time() - t0, 3)
+    # impact-ordered champion lists (opt-in, timed separately): exact
+    # theta-bootstrapped WAND + approximate impact-only retrieval
+    t0 = time.time()
+    builder.build_champions()
+    queries["champions_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    qe.top_k("zipfhead0 zipfhead1", k=10, theta_bootstrap=True)
+    queries["q_theta_bootstrap"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    qe.impact_top_k("zipfhead0 zipfhead1", k=10)
+    queries["q_impact_approx"] = round(time.time() - t0, 3)
 
     total = build_sec + sum(qtimes) + queries["q_filtered_exact_count"]
     out = {

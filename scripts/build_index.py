@@ -51,6 +51,9 @@ def main(argv=None) -> int:
     p.add_argument("--embeddings", type=int, default=None, metavar="DIM",
                    help="also build DIM-dimensional hashed doc embeddings "
                         "(hybrid / --mode hybrid retrieval)")
+    p.add_argument("--champions", action="store_true",
+                   help="also build impact-ordered champion lists "
+                        "(exact WAND theta bootstrap / --mode impact)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -100,6 +103,9 @@ def main(argv=None) -> int:
         stages += builder.build_embeddings(field=args.field,
                                            dim=args.embeddings,
                                            run_id=args.run_id).metrics
+    if args.champions:
+        stages += builder.build_champions(field=args.field,
+                                          run_id=args.run_id).metrics
     print(json.dumps({"run_id": runner.run_id,
                       "stages": [{k: m[k] for k in
                                   ("stage", "skipped", "wall_ms",

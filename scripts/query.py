@@ -34,7 +34,7 @@ def main(argv=None) -> int:
     p.add_argument("--lang", default=None)
     p.add_argument("--mode", default="wand",
                    choices=["wand", "exhaustive", "boolean", "fuzzy",
-                            "hybrid", "prf"],
+                            "hybrid", "prf", "impact"],
                    help="boolean = websearch syntax (AND/OR/-/\"phrase\"/"
                         "word*); fuzzy = typo-tolerant (needs the --fuzzy "
                         "build); hybrid = BM25 ⊕ embedding-cosine RRF "
@@ -123,6 +123,12 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
+    if args.mode == "impact" and filters_set:
+        print("--mode impact is approximate champion-list retrieval "
+              "(bare top-k only; build with --champions first)",
+              file=sys.stderr)
+        return 2
+
     if args.mode in ("boolean", "fuzzy") and filters_set:
         print(f"--mode {args.mode} supports bare top-k only "
               "(no --lang/--min-score/--offset/--count)", file=sys.stderr)
@@ -208,6 +214,11 @@ def main(argv=None) -> int:
                                 "sem_rank": r["sem_rank"]} for r in rows],
                    "total_count": len(rows), "limit": args.k, "offset": 0,
                    "query": q}
+        elif args.mode == "impact":
+            hits = qe.impact_top_k(q, k=args.k)
+            out = {"results": [{"doc_id": d, "score": s} for d, s in hits],
+                   "total_count": len(hits), "limit": args.k, "offset": 0,
+                   "query": q, "approximate": True}
         elif args.mode == "prf":
             expansion = qe.expansion_terms(q)
             hits = qe.prf_top_k(q, k=args.k, expansion=expansion)

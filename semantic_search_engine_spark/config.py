@@ -66,6 +66,13 @@ class EngineConfig:
     # and the query (independent per-bucket top-k).
     n_term_buckets: int = 32
 
+    # champion-list length (impact-ordered fancy lists, plans/champions.py):
+    # per term, the m postings with the highest tf/(tf+K(dl)) kept in the
+    # opt-in `champions` side table (build_champions). Sized so that
+    # m >= max_k + max_offset covers every exact-bootstrap page depth;
+    # the table is ~m x |dictionary| rows — negligible next to postings.
+    champions_m: int = 128
+
     # --- query-time ---
     default_k: int = 10
     max_k: int = 100          # mirror of SearchRequest limit cap 1..100

@@ -547,7 +547,7 @@ class IndexBuilder:
         "n_doc_buckets", "n_term_buckets", "block_size",
         "partition_doc_features", "k1", "b", "default_k", "max_k",
         "max_offset", "default_min_score", "shuffle_partitions",
-        "python_stage_parallelism",
+        "python_stage_parallelism", "champions_m",
     })
 
     def migrate_layout(self, new_cfg: EngineConfig, field: str = "text",
@@ -786,6 +786,61 @@ class IndexBuilder:
                    partition_col="partition_id",
                    n_partitions=cfg.n_doc_buckets,
                    extra_key=f"/dim{dim}")
+        runner.commit_lineage(self.spark)
+        return runner
+
+    def build_champions(self, field: str = "text",
+                        run_id: str | None = None) -> StageRunner:
+        """Opt-in impact-ordered champion lists (plans/champions.py) —
+        per term, the ``cfg.champions_m`` postings with the highest
+        per-term BM25 contribution, the classic fancy-list sidecar
+        (Anh & Moffat SIGIR '06) behind exact WAND theta bootstrapping
+        and approximate impact-only retrieval.
+
+        One decode pass over the committed postings table: a map-local
+        per-(term, Arrow batch) top-m (numpy argpartition — the full
+        posting lists are never re-shuffled) followed by a per-term
+        window over the bounded ≤ m·ceil(blocks/batch) intermediate.
+        Partitioned by ``term_bucket`` like term_stats so query-time
+        reads prune to the query terms' buckets. Chains on the postings
+        AND corpus_stats data_uuids (champion ordering bakes in avgdl),
+        so any merge/delete/migration invalidates it like every other
+        derived stage.
+        """
+        from pyspark.sql.window import Window
+
+        from .champions import CHAMPIONS_SCHEMA, make_champion_scan
+
+        cfg = self.cfg
+        sfx = "" if field == "text" else f"_{field}"
+        if not self.store.exists(f"postings{sfx}"):
+            raise ValueError(
+                f"no postings{sfx} table — build the {field!r} index "
+                "before its champion lists")
+        runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
+                             run_id=run_id)
+        cs = self.store.read(f"corpus_stats{sfx}").collect()[0]
+        avgdl = float(cs["avg_doc_len"] or 0.0)
+
+        def _champ() -> DataFrame:
+            blocks = self.store.read(f"postings{sfx}").select(
+                "term", "term_bucket", "doc_ids_vb", "tfs_vb", "dls_vb")
+            fn = make_champion_scan(cfg.champions_m, avgdl,
+                                    float(cfg.k1), float(cfg.b))
+            local = blocks.mapInPandas(fn, schema=CHAMPIONS_SCHEMA)
+            w = (Window.partitionBy("term")
+                 .orderBy(F.desc("tf_norm"), F.asc("doc_id")))
+            return (local
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") <= cfg.champions_m)
+                    .select("term", "term_bucket", "doc_id", "tf", "dl")
+                    .repartition(cfg.n_term_buckets, "term_bucket"))
+
+        runner.run(f"champions{sfx}", f"champions{sfx}",
+                   [f"postings{sfx}", f"corpus_stats{sfx}"],
+                   _champ,
+                   partition_by=["term_bucket"],
+                   sort_within_partitions=["term", "doc_id"])
         runner.commit_lineage(self.spark)
         return runner
 

@@ -1860,14 +1860,105 @@ class QueryEngine:
             "execution_time_ms": elapsed_ms,
         }
 
+    def _champions_current(self) -> bool:
+        """May the champion table (plans/champions.py) be trusted for THIS
+        index snapshot? Mirrors ``IndexBuilder._postings_current``: the
+        committed fingerprint must chain on the CURRENT postings and
+        corpus_stats data_uuids under this config — a merge, delete, or
+        layout migration that rebuilt postings without re-running
+        ``build_champions`` leaves a stale table whose partial scores
+        could EXCEED the new true scores and over-prune, so staleness
+        falls back to the unseeded (still exact) path."""
+        from ..lineage import stage_fingerprint
+
+        sfx = self._sfx()
+        meta = self.store.table_meta(f"champions{sfx}") or {}
+        if not meta:
+            return False
+        expected = stage_fingerprint(
+            f"champions{sfx}", self.cfg.fingerprint() + f"/{self.field}",
+            [(self.store.table_meta(f"postings{sfx}") or {})
+             .get("data_uuid", ""),
+             (self.store.table_meta(f"corpus_stats{sfx}") or {})
+             .get("data_uuid", "")])
+        return meta.get("fingerprint", "") == expected
+
+    def _champion_partials(self, qterms: list[str]) -> dict[int, float]:
+        """doc_id → lower-bound partial score over the query terms'
+        champion rows: ONE tiny pruned scan (≤ |q|·m rows; term_bucket
+        partition pruning + ``term IN`` pushdown, df rides along via a
+        broadcast join of the identically-pruned term_stats scan)."""
+        from .champions import partial_scores
+
+        sfx = self._sfx()
+        champs = self._pruned_term_scan(f"champions{sfx}", qterms).select(
+            "term", "doc_id", "tf", "dl")
+        dfs = self._pruned_term_scan(f"term_stats{sfx}", qterms).select(
+            "term", "df")
+        rows = champs.join(F.broadcast(dfs), "term").collect()
+        stats = self.corpus_stats()
+        return partial_scores(
+            [(r["term"], r["doc_id"], r["tf"], r["dl"], r["df"])
+             for r in rows],
+            stats["n_docs"], stats["avg_doc_len"],
+            float(self.cfg.k1), float(self.cfg.b))
+
+    def champion_theta(self, query: str, k: int) -> float:
+        """Exact WAND theta seed from champion lists: the k-th best
+        champion partial score, or 0.0 (no seeding) when the table is
+        missing/stale or covers fewer than k docs. Since ≥ k docs truly
+        score at or above the returned value, passing it as ``min_score``
+        keeps WAND exact while pruning from the first candidate — the
+        cold-heap ramp a 10^12-doc index cannot afford."""
+        from .champions import kth_best
+
+        cfg = self.cfg
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len, cfg.analyzer)))
+        if not qterms or k <= 0 or not self._champions_current():
+            return 0.0
+        return kth_best(self._champion_partials(qterms), k)
+
+    def impact_top_k(self, query: str, k: int = 10
+                     ) -> list[tuple[int, float]]:
+        """APPROXIMATE top-k from champion lists alone — one pruned scan
+        of ≤ |q|·m rows, no posting-list traversal (Anh & Moffat
+        impact-ordered evaluation). Scores are per-doc lower-bound
+        partials (terms the doc matches but isn't a champion of are not
+        counted); with ``champions_m`` ≥ the longest posting list the
+        result is bit-identical to the exact engine (pinned in tests).
+        Raises on a missing/stale champion table — approximate answers
+        from a superseded index are refused, not silently served."""
+        import heapq as _heapq
+
+        cfg = self.cfg
+        k = min(k, cfg.max_k)
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len, cfg.analyzer)))
+        if not qterms or k <= 0:
+            return []
+        if not self._champions_current():
+            raise ValueError(
+                "champions table missing or stale — run "
+                "IndexBuilder.build_champions() after the index build")
+        partials = self._champion_partials(qterms)
+        return _heapq.nsmallest(k, partials.items(),
+                                key=lambda kv: (-kv[1], kv[0]))
+
     def top_k(self, query: str, k: int = 10,
-              mode: str = "wand") -> list[tuple[int, float]]:
+              mode: str = "wand",
+              theta_bootstrap: bool = False) -> list[tuple[int, float]]:
         """Bare top-k. ``mode="wand"`` (default) runs block-max WAND;
         ``mode="exhaustive"`` scores every candidate (correctness baseline —
-        the two must be rank-identical)."""
+        the two must be rank-identical). ``theta_bootstrap`` seeds the WAND
+        threshold from champion lists (:meth:`champion_theta`) — exact,
+        strictly stronger pruning, at the cost of one extra tiny job."""
         k = min(k, self.cfg.max_k)  # page-size cap, both modes alike
         if mode == "wand":
-            rows = self.wand_top_k_df(query, k=k).collect()
+            seed = (self.champion_theta(query, k)
+                    if theta_bootstrap else 0.0)
+            rows = self.wand_top_k_df(query, k=k,
+                                      min_score=seed).collect()
         else:
             # genuinely exhaustive: score every candidate, then top-k
             rows = (self.scores_df(query)

@@ -251,3 +251,32 @@ def test_migrate_layout_cli(spark, cli_env, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "noop"
+
+
+def test_champions_cli_build_and_impact_mode(spark, cli_env, capsys):
+    """--champions builds the impact-ordered side table; --mode impact
+    answers approximate top-k from it; filter flags are refused."""
+    wh, corpus = cli_env
+    from scripts.build_index import main as build_main
+    from scripts.query import main as query_main
+
+    rc = build_main(["--input", corpus, "--warehouse", wh,
+                     "--shuffle-partitions", "4", "--doc-buckets", "4",
+                     "--term-buckets", "4", "--input-version", "v1",
+                     "--champions"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "champions" in {s["stage"] for s in out["stages"]}
+
+    rc = query_main(["--warehouse", wh, "--k", "5", "--mode", "impact",
+                     "zipfhead0 zipfhead1"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["approximate"] is True
+    assert len(env["results"]) == 5
+    assert env["results"][0]["score"] > 0
+
+    # impact is a bare-top-k surface: filters refused loudly
+    rc = query_main(["--warehouse", wh, "--k", "5", "--mode", "impact",
+                     "--lang", "en", "zipfhead0"])
+    assert rc == 2
