@@ -222,6 +222,276 @@ class PQCodebook:
 
 
 # ---------------------------------------------------------------------------
+_IVFADC_CODES_TBL = "ivfadc_codes_{name}"
+_IVFADC_BOOK_TBL = "ivfadc_codebook_{name}"
+_IVFADC_COARSE_TBL = "ivfadc_coarse_{name}"
+
+
+class IVFADCIndex:
+    """The full Jégou '11 system (§V, "IVFADC"): a coarse spherical
+    quantizer routes each vector to one of ``n_lists`` inverted lists,
+    and the RESIDUAL ``vn − c_list`` — much lower-energy than the raw
+    vector, so the same code budget quantizes it finer — is
+    product-quantized to M uint8 codes. Query: pick the ``n_probe``
+    nearest coarse centroids, build one (M, ksub) ADC table per probed
+    list on the query's residual ``p − c_j`` driver-side, then ONE scan
+    over the probed lists' codes scores every candidate with M byte
+    lookups. At 10^12 docs the scan reads ``n_probe/n_lists`` of an
+    ~8-byte-per-doc table and never touches a float vector; the
+    ``list_id``-partitioned layout makes the probe a real partition
+    prune once persisted.
+
+    Residuals are anchored at the per-list MEAN of the member vectors,
+    not the spherical (unit-normalized) routing centroid: the mean is
+    the least-squares anchor, so residual energy is provably ≤ raw
+    energy (measured 0.93 vs 1.0 on the test corpus — while anchoring
+    at the unit centroid INCREASES it to 1.47 on weakly-clustered data,
+    since ``‖x−c‖² = 2−2cos > 1`` whenever cos < ½). Routing still uses
+    the spherical centroids, identical to ``IVFIndex``.
+
+    Exactness pinned in tests: ``n_probe = n_lists`` and ``ksub ≥ n`` ⇒
+    search == brute force (membership AND order)."""
+
+    def __init__(self, centroids: np.ndarray, anchors: np.ndarray,
+                 book: PQCodebook, codes: DataFrame, key: str,
+                 vec_col: str):
+        self.centroids = centroids.astype(np.float64)  # unit, routing
+        self.anchors = anchors.astype(np.float64)      # means, residual
+        self.book = book                               # residual codebook
+        self.codes = codes                             # (key,list_id,code)
+        self.key = key
+        self.vec_col = vec_col
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(cls, embeddings: DataFrame, n_lists: int = 16, m: int = 8,
+              ksub: int = 256, n_iters_ivf: int = 3, n_iters_pq: int = 8,
+              seed: int = 42, train_cap: int = 20_000,
+              key: str = "vec_id", vec_col: str = "embedding"
+              ) -> "IVFADCIndex":
+        from .ann import IVFIndex
+
+        ivf = IVFIndex.build(embeddings, n_lists=n_lists,
+                             n_iters=n_iters_ivf, seed=seed, key=key,
+                             vec_col=vec_col)
+        centroids = ivf.centroids
+        dim = centroids.shape[1]
+        # least-squares residual anchors: the per-list mean (one tiny
+        # distributed agg — n_lists × dim floats to the driver); empty
+        # lists fall back to their routing centroid
+        anchors = centroids.copy()
+        for r in (ivf.assignments.groupBy("list_id")
+                  .agg(*[F.avg(F.element_at("vn", i + 1)).alias(f"c{i}")
+                         for i in range(dim)]).collect()):
+            anchors[int(r["list_id"])] = np.array(
+                [r[f"c{i}"] for i in range(dim)])
+        # residual training sample: deterministic hash order, ≤ train_cap
+        sample = (ivf.assignments
+                  .withColumn("h", F.xxhash64(F.col(key), F.lit(seed)))
+                  .orderBy("h", key).limit(train_cap)
+                  .select("vn", "list_id").collect())
+        vn = np.array([r["vn"] for r in sample], dtype=np.float64)
+        resid = vn - anchors[np.array([r["list_id"] for r in sample])]
+        if dim % m:
+            raise ValueError(f"m={m} must divide dim={dim}")
+        dsub = dim // m
+        book = PQCodebook(
+            np.stack([_kmeans(resid[:, i * dsub:(i + 1) * dsub], ksub,
+                              n_iters_pq, seed + i) for i in range(m)]),
+            key, vec_col)
+        codes = (cls._encode_residuals(ivf.assignments, anchors, book,
+                                       key)
+                 .repartition(max(n_lists, 1), "list_id")
+                 .localCheckpoint(eager=True))
+        return cls(centroids, anchors, book, codes, key, vec_col)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _encode_residuals(assignments: DataFrame, anchors: np.ndarray,
+                          book: PQCodebook, key: str) -> DataFrame:
+        """(key, list_id, code): one map-only Arrow pass over the
+        assignments — both codebooks ride the closure, no shuffle."""
+        from pyspark.sql.types import (
+            BinaryType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        m, dsub = book.m, book.dsub
+        pq_cents = book.centroids
+        key_field = assignments.select(key).schema.fields[0]
+        schema = StructType([key_field,
+                             StructField("list_id", IntegerType()),
+                             StructField("code", BinaryType())])
+
+        def enc(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vn = np.array(pdf["vn"].tolist(), dtype=np.float64)
+                lid = pdf["list_id"].to_numpy()
+                r = vn - anchors[lid]
+                codes = np.empty((len(r), m), dtype=np.uint8)
+                for i in range(m):
+                    sub = r[:, i * dsub:(i + 1) * dsub]
+                    d = (-2.0 * sub @ pq_cents[i].T
+                         + (pq_cents[i] ** 2).sum(axis=1)[None, :])
+                    codes[:, i] = np.argmin(d, axis=1).astype(np.uint8)
+                yield pd.DataFrame({
+                    key: pdf[key],
+                    "list_id": lid.astype(np.int32),
+                    "code": [c.tobytes() for c in codes]})
+
+        return (assignments.select(key, "vn", "list_id")
+                .mapInPandas(enc, schema=schema))
+
+    # ------------------------------------------------------------------
+    def search(self, probe: list[float], k: int = 10, n_probe: int = 4,
+               rerank_embeddings: DataFrame | None = None,
+               shortlist_factor: int = 4) -> DataFrame:
+        """(key, approx_dist, approx_cos) over the probed lists — or,
+        with ``rerank_embeddings``, the ADC+R form: shortlist
+        factor·k keys from codes alone, exact-rerank just those rows
+        → (key, cosine)."""
+        p = np.asarray(probe, dtype=np.float64)
+        n = np.linalg.norm(p)
+        if n > 0:
+            p = p / n
+        m, dsub = self.book.m, self.book.dsub
+        pq_cents = self.book.centroids
+        d2c = ((self.centroids - p) ** 2).sum(axis=1)
+        probed = np.argsort(d2c, kind="stable")[:n_probe]
+        # one (M, ksub) table per probed list, on the residual p − a_j
+        tables = np.stack([
+            np.stack([(((p - self.anchors[j])[i * dsub:(i + 1) * dsub]
+                        [None, :] - pq_cents[i]) ** 2).sum(axis=1)
+                      for i in range(m)])
+            for j in probed])                      # (n_probe, m, ksub)
+        lut = np.full(len(self.centroids), -1, dtype=np.int64)
+        lut[probed] = np.arange(len(probed))
+        key = self.key
+
+        cand = self.codes.filter(
+            F.col("list_id").isin([int(j) for j in probed]))
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                raw = np.frombuffer(
+                    b"".join(pdf["code"]), dtype=np.uint8
+                ).reshape(len(pdf), m)
+                ti = lut[pdf["list_id"].to_numpy()]
+                d2 = tables[ti[:, None], np.arange(m)[None, :],
+                            raw].sum(axis=1)
+                yield pd.DataFrame({key: pdf[key], "approx_dist": d2})
+
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        key_field = cand.select(key).schema.fields[0]
+        scored = cand.select(key, "list_id", "code").mapInPandas(
+            score, schema=StructType(
+                [key_field, StructField("approx_dist", DoubleType())]))
+        if rerank_embeddings is not None:
+            from .ann import brute_force_top_k
+
+            short = [r[key] for r in
+                     (scored.orderBy(F.asc("approx_dist"), F.asc(key))
+                      .limit(shortlist_factor * k).collect())]
+            pruned = rerank_embeddings.filter(F.col(key).isin(short))
+            return brute_force_top_k(pruned, probe, k, key, self.vec_col)
+        return (scored
+                .withColumn("approx_cos",
+                            1.0 - F.col("approx_dist") / 2.0)
+                .orderBy(F.asc("approx_dist"), F.asc(key)).limit(k))
+
+    # ------------------------------------------------------------------
+    def recall_at_k(self, embeddings: DataFrame, probe: list[float],
+                    k: int = 10, n_probe: int = 4) -> float:
+        from .ann import brute_force_top_k
+
+        exact = {r[self.key] for r in brute_force_top_k(
+            embeddings, probe, k, self.key, self.vec_col).collect()}
+        approx = {r[self.key] for r in
+                  self.search(probe, k, n_probe).collect()}
+        return len(exact & approx) / max(len(exact), 1)
+
+
+def save_ivfadc(index: IVFADCIndex, store, name: str) -> None:
+    """Three commits (codes partitioned by list_id, residual codebook,
+    coarse centroids) sharing ONE save_id; load cross-checks all three,
+    so a re-save crash between any pair is detected."""
+    import uuid as _uuid
+
+    spark = index.codes.sparkSession
+    save_id = _uuid.uuid4().hex
+    store.write(_IVFADC_CODES_TBL.format(name=name), index.codes,
+                partition_by=["list_id"],
+                meta={"key": index.key, "vec_col": index.vec_col,
+                      "m": index.book.m, "ksub": index.book.ksub,
+                      "dsub": index.book.dsub,
+                      "n_lists": int(index.centroids.shape[0]),
+                      "save_id": save_id})
+    book_rows = [(i, j, [float(x) for x in index.book.centroids[i, j]])
+                 for i in range(index.book.m)
+                 for j in range(index.book.ksub)]
+    store.write(_IVFADC_BOOK_TBL.format(name=name),
+                spark.createDataFrame(
+                    book_rows, "m int, j int, centroid array<double>"),
+                meta={"save_id": save_id})
+    store.write(_IVFADC_COARSE_TBL.format(name=name),
+                spark.createDataFrame(
+                    [(int(i), [float(x) for x in c],
+                      [float(x) for x in a])
+                     for i, (c, a) in enumerate(zip(index.centroids,
+                                                    index.anchors))],
+                    "list_id int, centroid array<double>, "
+                    "anchor array<double>"),
+                meta={"save_id": save_id})
+
+
+def load_ivfadc(store, name: str) -> IVFADCIndex:
+    metas = {t: store.table_meta(t.format(name=name)) or {}
+             for t in (_IVFADC_CODES_TBL, _IVFADC_BOOK_TBL,
+                       _IVFADC_COARSE_TBL)}
+    ids = {m.get("save_id") for m in metas.values()}
+    if len(ids) != 1 or None in ids:
+        raise ValueError(
+            f"torn IVFADC save '{name}': save ids differ across the "
+            f"three tables: "
+            + ", ".join(f"{t.format(name=name)}={m.get('save_id')!r}"
+                        for t, m in metas.items()))
+    meta = metas[_IVFADC_CODES_TBL]
+    m, ksub, dsub = (int(meta["m"]), int(meta["ksub"]),
+                     int(meta["dsub"]))
+    n_lists = int(meta["n_lists"])
+    brows = (store.read(_IVFADC_BOOK_TBL.format(name=name))
+             .orderBy("m", "j").collect())
+    if len(brows) != m * ksub:
+        raise ValueError(
+            f"torn IVFADC save '{name}': expected {m * ksub} codebook "
+            f"rows, found {len(brows)}")
+    crows = (store.read(_IVFADC_COARSE_TBL.format(name=name))
+             .orderBy("list_id").collect())
+    if len(crows) != n_lists:
+        raise ValueError(
+            f"torn IVFADC save '{name}': expected {n_lists} coarse "
+            f"centroids, found {len(crows)}")
+    key = meta.get("key", "vec_id")
+    book = PQCodebook(
+        np.array([r["centroid"] for r in brows],
+                 dtype=np.float64).reshape(m, ksub, dsub),
+        key, meta.get("vec_col", "embedding"))
+    centroids = np.array([r["centroid"] for r in crows],
+                         dtype=np.float64)
+    anchors = np.array([r["anchor"] for r in crows], dtype=np.float64)
+    codes = store.read(_IVFADC_CODES_TBL.format(name=name))
+    return IVFADCIndex(centroids, anchors, book, codes, key,
+                       meta.get("vec_col", "embedding"))
+
+
+# ---------------------------------------------------------------------------
 def save_pq(book: PQCodebook, codes: DataFrame, store, name: str) -> None:
     """Persist codes + codebook through the TableStore with the same
     torn-save protection as ``save_ivf``: one save_id written to both
