@@ -278,6 +278,12 @@ def main() -> None:
     t0 = time.time()
     qe.prf_top_k("wireless bluetooth headphones", k=10)
     queries["q_prf"] = round(time.time() - t0, 3)
+    # static-rank blended retrieval: bm25 + w·url_prior in one cogrouped
+    # boosted-WAND job (the web-search serve shape)
+    t0 = time.time()
+    qe.boosted_top_k("zipfhead0 zipfhead1", static="url_prior",
+                     w_static=0.5, k=10)
+    queries["q_boosted_static"] = round(time.time() - t0, 3)
     # impact-ordered champion lists (opt-in, timed separately): exact
     # theta-bootstrapped WAND + approximate impact-only retrieval
     t0 = time.time()

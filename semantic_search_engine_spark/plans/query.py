@@ -1072,6 +1072,116 @@ class QueryEngine:
         rows = self.collapse_top_k_df(query, by=by, k=k, mode=mode).collect()
         return [(r[by], int(r["doc_id"]), float(r["score"])) for r in rows]
 
+    # --------------------------------------------- static-rank blending
+    def static_prior_col(self, static: str):
+        """Resolve a static-prior spec to a non-negative double Column
+        over doc_meta. A doc_meta column name is used directly (clamped
+        at 0 — the blended WAND bounds need priors ≥ 0); the builtin
+        ``"url_prior"`` derives 1/(1+path_depth) from the url — the
+        URL-form document prior of Kraaij, Westerveld & Hiemstra (SIGIR
+        '02: entry pages have short URLs), computed JVM-side."""
+        meta_cols = self.store.read(f"doc_meta{self._sfx()}").columns
+        if static in meta_cols:
+            return F.greatest(F.lit(0.0), F.col(static).cast("double"))
+        if static == "url_prior":
+            path = F.regexp_replace("url", r"^[a-z][a-z0-9+.-]*://[^/]*",
+                                    "")
+            depth = F.size(F.filter(F.split(path, "/"),
+                                    lambda x: x != F.lit("")))
+            return F.lit(1.0) / (F.lit(1.0) + depth.cast("double"))
+        raise ValueError(
+            f"static prior {static!r} is neither a doc_meta column "
+            f"({meta_cols}) nor the builtin 'url_prior'")
+
+    def boosted_top_k_df(self, query: str, static: str = "url_prior",
+                         w_static: float = 1.0, k: int | None = None,
+                         mode: str = "wand",
+                         window: int | None = None) -> DataFrame:
+        """Top-k under the blended score ``bm25 + w_static·static(doc)``
+        — the web-search serve shape: query relevance plus a
+        query-independent document prior (URL form, link authority,
+        freshness, spam). Candidates are docs matching ≥ 1 query term
+        (the prior reorders matches; it never surfaces no-match docs).
+        Returns (doc_id, score) in (score DESC, doc_id ASC) order.
+
+        ``mode="wand"`` (default, exact): ONE job — the pruned posting
+        scan cogroups per doc bucket with doc_meta's (doc_id, prior)
+        slice and ``wand_boosted_top_k`` prunes against blended upper
+        bounds (bucket-max prior in the pivot test, the candidate's own
+        prior at the block check). ``mode="exhaustive"``: score every
+        candidate, join priors, sort — the correctness baseline.
+        ``mode="rescore"``: the Elasticsearch-rescore shape — plain BM25
+        WAND top-``window`` (default 4k), blend priors over just those
+        rows, re-sort, cut to k. Approximate (a doc outside the BM25
+        top-window can't be recovered) but never reads more than
+        ``window`` metadata rows; with ``window`` ≥ the match count it
+        equals the exact modes (pinned in tests).
+        """
+        if w_static < 0:
+            raise ValueError("w_static must be >= 0 (bounds soundness)")
+        cfg = self.cfg
+        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len, cfg.analyzer)))
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not qterms or k <= 0:
+            return empty
+        prior = self.static_prior_col(static)
+        if mode == "wand":
+            from .wand import BOOST_OUT_SCHEMA, make_wand_boosted_cogroup_fn
+
+            stats = self.corpus_stats()
+            avgdl, n_docs = stats["avg_doc_len"], stats["n_docs"]
+            if avgdl <= 0:
+                return empty
+            blocks = self._pruned_term_scan(f"postings{self._sfx()}",
+                                            qterms).select(
+                "term", "partition_id", "block_id", "last_doc_id",
+                "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
+            df_side = self._pruned_term_scan(f"term_stats{self._sfx()}",
+                                             qterms).select("term", "df")
+            blocks = blocks.join(F.broadcast(df_side), "term")
+            meta = self.store.read(f"doc_meta{self._sfx()}").select(
+                "partition_id", "doc_id", prior.alias("static"))
+            fn = make_wand_boosted_cogroup_fn(qterms, k, float(cfg.k1),
+                                              float(cfg.b), avgdl,
+                                              n_docs, float(w_static))
+            local = (blocks.groupBy("partition_id")
+                     .cogroup(meta.groupBy("partition_id"))
+                     .applyInPandas(fn, schema=BOOST_OUT_SCHEMA))
+            return (local.select("doc_id", "score")
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        if mode == "exhaustive":
+            meta = self.store.read(f"doc_meta{self._sfx()}").select(
+                "doc_id", prior.alias("static"))
+            return (self.scores_df(query).join(meta, "doc_id")
+                    .select("doc_id",
+                            (F.col("score") + F.lit(float(w_static))
+                             * F.col("static")).alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        if mode == "rescore":
+            window = 4 * k if window is None else max(window, k)
+            top = self._batch_wand_ranked([query], k=window)
+            meta = self.store.read(f"doc_meta{self._sfx()}").select(
+                "partition_id", "doc_id", prior.alias("static"))
+            return (F.broadcast(top)
+                    .join(meta, ["partition_id", "doc_id"])
+                    .select("doc_id",
+                            (F.col("score") + F.lit(float(w_static))
+                             * F.col("static")).alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        raise ValueError(f"unknown boosted mode: {mode!r}")
+
+    def boosted_top_k(self, query: str, static: str = "url_prior",
+                      w_static: float = 1.0, k: int = 10,
+                      mode: str = "wand", window: int | None = None
+                      ) -> list[tuple[int, float]]:
+        """Materialized [(doc_id, blended_score)]."""
+        rows = self.boosted_top_k_df(query, static=static,
+                                     w_static=w_static, k=k, mode=mode,
+                                     window=window).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     # ------------------------------------------------- weighted (BM25F)
     def weighted_top_k_df(self, query: str,
                           field_weights: dict[str, float],

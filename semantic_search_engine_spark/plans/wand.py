@@ -685,3 +685,159 @@ def make_wand_collapse_cogroup_fn(qterms: list[str], k: int, k1: float,
         })
 
     return run_bucket
+
+
+# --------------------------------------------------------------------------
+# static-rank blended retrieval (web-search document priors)
+
+BOOST_OUT_SCHEMA = "partition_id int, doc_id long, score double"
+
+
+def wand_boosted_top_k(
+    term_blocks: dict[str, list[dict]],
+    weights: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    meta_doc_ids: "np.ndarray",
+    meta_static: "np.ndarray",
+    w_static: float,
+) -> tuple[list[tuple[int, float]], dict]:
+    """Exact block-max WAND top-k under the blended score
+    ``bm25(d, q) + w_static · static(d)`` over one doc bucket — the
+    web-search serve shape (query relevance + query-independent document
+    prior: URL/link authority, freshness, spam score).
+
+    ``meta_doc_ids``/``meta_static``: the bucket's doc_id-sorted static
+    priors; docs missing from the slice take prior 0. ``w_static`` and
+    every prior must be ≥ 0 (checked by the caller) so the bounds below
+    stay upper bounds.
+
+    Exactness: the pivot test adds ``w_static · max_static`` (the
+    bucket-local maximum) to the summed term UBs — an upper bound on any
+    remaining candidate's blend, so the strict ``>`` test prunes
+    losslessly with the usual (score DESC, doc_id ASC) tie-break
+    argument. At the pivot the bound tightens to the CANDIDATE's own
+    prior (one searchsorted lookup, done before any contrib decode):
+    ``block_ub + w_static · static(d) <= theta`` skips the evaluation.
+    Semantics follow every disjunctive engine: only docs matching ≥ 1
+    query term are candidates — the prior reorders matches, it does not
+    surface no-match docs.
+    """
+    max_static = float(meta_static.max()) if len(meta_static) else 0.0
+    boost_cap = w_static * max_static
+    cursors = []
+    if k > 0:
+        for rank, term in enumerate(sorted(term_blocks)):
+            blocks = term_blocks[term]
+            if blocks and term in weights and avgdl > 0:
+                c = BlockCursor(blocks, weights[term], k1, b, avgdl,
+                                term_rank=rank)
+                if c.cur_doc != EXHAUSTED:
+                    cursors.append(c)
+    all_cursors = list(cursors)
+
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+    evaluated = 0
+    skipped_evals = 0
+
+    def _static(doc: int) -> float:
+        i = int(np.searchsorted(meta_doc_ids, doc))
+        if i < len(meta_doc_ids) and int(meta_doc_ids[i]) == doc:
+            return float(meta_static[i])
+        return 0.0
+
+    while cursors:
+        cursors.sort(key=lambda c: (c.cur_doc, c.term_rank))
+        theta = heap[0][0] if len(heap) >= k else float("-inf")
+        acc = boost_cap
+        pivot_idx = -1
+        for i, c in enumerate(cursors):
+            acc += c.max_block_ub
+            if acc > theta:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break
+        pivot_doc = cursors[pivot_idx].cur_doc
+
+        if cursors[0].cur_doc == pivot_doc:
+            at_pivot = [c for c in cursors if c.cur_doc == pivot_doc]
+            prior = w_static * _static(pivot_doc)
+            block_ub = sum(c.block_ub() for c in at_pivot) + prior
+            if block_ub <= theta:
+                skipped_evals += 1
+            else:
+                score = prior
+                for c in at_pivot:   # sorted-term order: oracle float order
+                    score += c.contrib()
+                evaluated += 1
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+            for c in at_pivot:
+                c.next_doc()
+        else:
+            for c in cursors:
+                if c.cur_doc >= pivot_doc:
+                    break
+                c.seek(pivot_doc)
+        cursors = [c for c in cursors if c.cur_doc != EXHAUSTED]
+
+    hits = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
+    stats = {
+        "evaluated_docs": evaluated,
+        "skipped_evals": skipped_evals,
+        "decoded_blocks": sum(c.decoded_blocks for c in all_cursors),
+        "total_blocks": sum(len(v) for v in term_blocks.values()),
+    }
+    return hits, stats
+
+
+def make_wand_boosted_cogroup_fn(qterms: list[str], k: int, k1: float,
+                                 b: float, avgdl: float, n_docs: int,
+                                 w_static: float):
+    """Cogrouped ``applyInPandas`` body for blended retrieval: left = one
+    bucket's posting blocks (``df`` riding each row), right = the
+    bucket's (doc_id, static) prior slice. Emits the bucket's blended
+    top-k; the cross-bucket merge (global top-k over ≤ P·k rows) is
+    exact by the usual per-bucket superset lemma."""
+
+    def run_bucket(blocks_pdf, meta_pdf):
+        import pandas as pd
+
+        pids: list[int] = []
+        docs: list[int] = []
+        scores: list[float] = []
+        if len(blocks_pdf):
+            blocks_pdf = blocks_pdf.sort_values(
+                ["term", "partition_id", "block_id"], kind="mergesort")
+            by_term = group_blocks_by_term(blocks_pdf)
+            uniq = blocks_pdf[["term", "df"]].drop_duplicates("term")
+            idf = {t: bm25_idf(n_docs, int(d))
+                   for t, d in zip(uniq["term"], uniq["df"])}
+            weights = {t: idf[t] for t in qterms if t in idf}
+            sub = {t: by_term[t] for t in weights if t in by_term}
+            if sub:
+                pid = int(blocks_pdf["partition_id"].iloc[0])
+                meta_pdf = meta_pdf.sort_values("doc_id", kind="mergesort")
+                mids = meta_pdf["doc_id"].to_numpy(dtype=np.int64)
+                mstat = (meta_pdf["static"]
+                         .fillna(0.0).to_numpy(dtype=np.float64))
+                hits, _ = wand_boosted_top_k(sub, weights, k, k1, b,
+                                             avgdl, mids, mstat,
+                                             w_static)
+                for d, s in hits:
+                    pids.append(pid)
+                    docs.append(d)
+                    scores.append(s)
+        return pd.DataFrame({
+            "partition_id": pd.Series(pids, dtype="int32"),
+            "doc_id": pd.Series(docs, dtype="int64"),
+            "score": pd.Series(scores, dtype="float64"),
+        })
+
+    return run_bucket
