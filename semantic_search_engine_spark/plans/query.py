@@ -1093,10 +1093,43 @@ class QueryEngine:
             f"static prior {static!r} is neither a doc_meta column "
             f"({meta_cols}) nor the builtin 'url_prior'")
 
+    def _static_meta(self, static: str,
+                     static_df: DataFrame | None) -> DataFrame:
+        """(partition_id, doc_id, static≥0) for the blended paths.
+
+        ``static_df`` plugs an externally computed prior (e.g.
+        ``operators.linkgraph.pagerank`` output): two columns, a key
+        (``url`` or ``doc_id``) and the prior value. Docs absent from
+        it take prior 0 (left join — the kernel treats missing as 0
+        already). Production would MERGE the prior into doc_meta once
+        (CoW) and pass its column name; the join form keeps the prior
+        hot-swappable per query at test scale.
+        """
+        meta = self.store.read(f"doc_meta{self._sfx()}")
+        if static_df is None:
+            return meta.select("partition_id", "doc_id",
+                               self.static_prior_col(static)
+                               .alias("static"))
+        cols = static_df.columns
+        key = "doc_id" if "doc_id" in cols else "url"
+        vals = [c for c in cols if c != key]
+        if key not in cols or len(vals) != 1:
+            raise ValueError(
+                "static_df needs exactly two columns: 'url' or 'doc_id'"
+                f" plus one prior value, got {cols}")
+        sdf = static_df.select(
+            key, F.greatest(F.lit(0.0), F.col(vals[0]).cast("double"))
+            .alias("_static_in"))
+        return (meta.select("partition_id", "doc_id", "url")
+                .join(sdf, key, "left")
+                .select("partition_id", "doc_id",
+                        F.coalesce("_static_in", F.lit(0.0))
+                        .alias("static")))
+
     def boosted_top_k_df(self, query: str, static: str = "url_prior",
                          w_static: float = 1.0, k: int | None = None,
-                         mode: str = "wand",
-                         window: int | None = None) -> DataFrame:
+                         mode: str = "wand", window: int | None = None,
+                         static_df: DataFrame | None = None) -> DataFrame:
         """Top-k under the blended score ``bm25 + w_static·static(doc)``
         — the web-search serve shape: query relevance plus a
         query-independent document prior (URL form, link authority,
@@ -1126,7 +1159,7 @@ class QueryEngine:
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not qterms or k <= 0:
             return empty
-        prior = self.static_prior_col(static)
+        meta_static = self._static_meta(static, static_df)
         if mode == "wand":
             from .wand import BOOST_OUT_SCHEMA, make_wand_boosted_cogroup_fn
 
@@ -1141,8 +1174,7 @@ class QueryEngine:
             df_side = self._pruned_term_scan(f"term_stats{self._sfx()}",
                                              qterms).select("term", "df")
             blocks = blocks.join(F.broadcast(df_side), "term")
-            meta = self.store.read(f"doc_meta{self._sfx()}").select(
-                "partition_id", "doc_id", prior.alias("static"))
+            meta = meta_static
             fn = make_wand_boosted_cogroup_fn(qterms, k, float(cfg.k1),
                                               float(cfg.b), avgdl,
                                               n_docs, float(w_static))
@@ -1152,8 +1184,7 @@ class QueryEngine:
             return (local.select("doc_id", "score")
                     .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
         if mode == "exhaustive":
-            meta = self.store.read(f"doc_meta{self._sfx()}").select(
-                "doc_id", prior.alias("static"))
+            meta = meta_static.select("doc_id", "static")
             return (self.scores_df(query).join(meta, "doc_id")
                     .select("doc_id",
                             (F.col("score") + F.lit(float(w_static))
@@ -1162,8 +1193,7 @@ class QueryEngine:
         if mode == "rescore":
             window = 4 * k if window is None else max(window, k)
             top = self._batch_wand_ranked([query], k=window)
-            meta = self.store.read(f"doc_meta{self._sfx()}").select(
-                "partition_id", "doc_id", prior.alias("static"))
+            meta = meta_static
             return (F.broadcast(top)
                     .join(meta, ["partition_id", "doc_id"])
                     .select("doc_id",
@@ -1174,12 +1204,14 @@ class QueryEngine:
 
     def boosted_top_k(self, query: str, static: str = "url_prior",
                       w_static: float = 1.0, k: int = 10,
-                      mode: str = "wand", window: int | None = None
+                      mode: str = "wand", window: int | None = None,
+                      static_df: DataFrame | None = None
                       ) -> list[tuple[int, float]]:
         """Materialized [(doc_id, blended_score)]."""
         rows = self.boosted_top_k_df(query, static=static,
                                      w_static=w_static, k=k, mode=mode,
-                                     window=window).collect()
+                                     window=window,
+                                     static_df=static_df).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     # ------------------------------------------------- weighted (BM25F)
