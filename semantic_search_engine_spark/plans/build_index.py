@@ -349,6 +349,160 @@ class IndexBuilder:
                          "partition_id")
 
     # ------------------------------------------------------------------
+    def build_link_graph(self, documents: DataFrame,
+                         run_id: str | None = None,
+                         input_version: str = "static") -> StageRunner:
+        """Stage the web link graph (X57) as a committed ``links`` table:
+        one Arrow-batched extraction pass over the raw corpus html →
+        (src_url, dst_url, anchor, nofollow).
+
+        Shared upstream of :meth:`build_link_field` (anchor-text index)
+        and :meth:`build_static_rank` (PageRank) — the edge list is the
+        expensive artifact (≈50 links/page ⇒ bigger than the corpus row
+        count at web scale), so it is extracted once and checkpointed,
+        and both consumers resume-skip when it is unchanged.
+        """
+        cfg = self.cfg
+        runner = StageRunner(self.store, cfg.fingerprint() + "/links",
+                             run_id=run_id)
+
+        def make_links() -> DataFrame:
+            from ..operators.linkgraph import extract_links
+            src = documents
+            # same Python-UDF width policy as the extract stage: the
+            # mapInPandas parallelism is bounded by the scan split count
+            pyw = cfg.python_stage_parallelism or cfg.shuffle_partitions
+            if cfg.python_stage_parallelism:
+                if src.rdd.getNumPartitions() != pyw:
+                    src = src.repartition(pyw)
+            elif src.rdd.getNumPartitions() < pyw:
+                src = src.repartition(pyw)
+            return extract_links(src)
+
+        runner.run("links", "links", [], make_links,
+                   extra_key=input_version)
+        runner.commit_lineage(self.spark)
+        return runner
+
+    # ------------------------------------------------------------------
+    def build_link_field(self, documents: DataFrame,
+                         run_id: str | None = None,
+                         input_version: str = "static",
+                         max_anchors: int = 32,
+                         follow_only: bool = False) -> StageRunner:
+        """Anchor-text field index (field name ``"anchor"``): the in-link
+        anchor strings pointing AT each document, aggregated per url and
+        indexed exactly like any other field — the classic web-ranking
+        signal (anchor text describes the target better than the target
+        describes itself) that plugs into :meth:`QueryEngine.weighted_top_k`
+        as ``{"text": 1.0, "anchor": w}``.
+
+        The reference scores only the document's own fields
+        (``ProductRepository.java`` ts_rank over name/description); a web
+        index needs the incoming-link field too. Requires the primary
+        ``text`` index (doc identity — ids, buckets, validity — derives
+        from its committed ``doc_features``; docs with no in-links index
+        with an empty anchor field, doc_len 0, so the field's corpus
+        stats cover the whole corpus like every other field's do).
+
+        Plan shape: links extract is map-only (resume-shared via
+        :meth:`build_link_graph`); the anchor aggregate is skew-bounded
+        (per-dst cap before concat, see ``anchor_text_agg``); the join
+        onto doc_features is |V|⋈|V| on url — one shuffle each side;
+        downstream is the standard field pipeline (``_run_downstream``).
+        """
+        cfg = self.cfg
+        if not self.store.exists("doc_features"):
+            raise ValueError(
+                "build the primary 'text' index first — the anchor field "
+                "derives doc identity from its committed doc_features")
+        self.build_link_graph(documents, run_id=run_id,
+                              input_version=input_version)
+        runner = StageRunner(self.store, cfg.fingerprint() + "/anchor",
+                             run_id=run_id)
+        df_layout = ["partition_id"] if cfg.partition_doc_features else None
+        runner.run("doc_features_anchor", "doc_features_anchor",
+                   ["doc_features", "links"],
+                   lambda: self._anchor_doc_features(max_anchors,
+                                                     follow_only),
+                   partition_by=df_layout,
+                   partition_col="partition_id",
+                   n_partitions=cfg.n_doc_buckets,
+                   extra_key=f"max_anchors={max_anchors}"
+                             f"/follow_only={follow_only}")
+        self._run_downstream(runner, "_anchor")
+        self._persist_config("_anchor")
+        runner.commit_lineage(self.spark)
+        return runner
+
+    def _anchor_doc_features(self, max_anchors: int,
+                             follow_only: bool) -> DataFrame:
+        """doc_features for the anchor field: committed text-field rows
+        (ids/buckets/validity carried) left-joined with the per-target
+        anchor aggregate; missing targets get the empty string (doc_len
+        0). The wide ``text`` column is dropped — the anchor index never
+        reads it — keeping the table narrow."""
+        from ..operators.linkgraph import anchor_text_agg
+        term_freqs = make_term_freqs_udf(self.cfg.max_token_len,
+                                         self.cfg.min_token_len,
+                                         self.cfg.analyzer)
+        anchors = anchor_text_agg(self.store.read("links"),
+                                  max_anchors=max_anchors,
+                                  follow_only=follow_only)
+        src = self.store.read("doc_features").drop("tf_map", "doc_len",
+                                                   "text")
+        ex = (src.join(anchors, "url", "left")
+              .withColumn("anchor", F.coalesce(F.col("anchor_text"),
+                                               F.lit("")))
+              .drop("anchor_text"))
+        if self.cfg.python_stage_parallelism:   # tokenize is a UDF stage
+            ex = ex.repartition(self.cfg.python_stage_parallelism)
+        ex = (ex.withColumn("tf_map", term_freqs(F.col("anchor")))
+              .withColumn(
+                  "doc_len",
+                  F.coalesce(
+                      F.aggregate(F.map_values("tf_map"), F.lit(0),
+                                  lambda acc, x: acc + x),
+                      F.lit(0))))
+        return ex.select("doc_id", "url", "warc_ts", "lang", "title",
+                         "anchor", "extracted_sha256", "doc_len", "tf_map",
+                         "partition_id")
+
+    # ------------------------------------------------------------------
+    def build_static_rank(self, documents: DataFrame | None = None,
+                          run_id: str | None = None,
+                          input_version: str = "static",
+                          damping: float = 0.85,
+                          n_iter: int = 10) -> StageRunner:
+        """PageRank over the committed ``links`` edge list → a
+        ``static_rank`` table (url, rank, Σrank=1) that
+        :meth:`QueryEngine.boosted_top_k` blends via ``static="pagerank"``
+        — the persisted form of the X56/X57 static-rank story (compute
+        the graph signal once per crawl, serve it from a table).
+
+        Pass ``documents`` to (re)extract the edge list here; omit it to
+        rank an already-staged graph. The iteration count and damping
+        fold into the stage fingerprint, so re-ranking with new
+        parameters rebuilds while an identical call resume-skips.
+        """
+        from ..operators.linkgraph import pagerank
+        if documents is not None:
+            self.build_link_graph(documents, run_id=run_id,
+                                  input_version=input_version)
+        if not self.store.exists("links"):
+            raise ValueError("no committed links table — pass documents "
+                             "or run build_link_graph first")
+        runner = StageRunner(self.store,
+                             self.cfg.fingerprint() + "/static_rank",
+                             run_id=run_id)
+        runner.run("static_rank", "static_rank", ["links"],
+                   lambda: pagerank(self.store.read("links"),
+                                    damping=damping, n_iter=n_iter),
+                   extra_key=f"damping={damping}/n_iter={n_iter}")
+        runner.commit_lineage(self.spark)
+        return runner
+
+    # ------------------------------------------------------------------
     def _postings_current(self, sfx: str, field: str) -> bool:
         """Is the committed postings snapshot exactly the index of the
         CURRENT (pre-merge) doc_features/corpus_stats under THIS config
@@ -631,9 +785,9 @@ class IndexBuilder:
                 # per bucket, not tasks × buckets)
                 out = out.repartition(new_cfg.n_doc_buckets,
                                       "partition_id")
-            return out.select("doc_id", "url", "warc_ts", "lang", "title",
-                              "text", "extracted_sha256", "doc_len",
-                              "tf_map", "partition_id")
+            # keep the source's own column set/order (fields differ in
+            # which content column they carry: text vs anchor)
+            return out.select(*src.columns)
 
         # fingerprint wiring mirrors build() exactly, so resume composes:
         # primary field chains on input_version, secondary on the base

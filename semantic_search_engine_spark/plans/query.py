@@ -1104,7 +1104,16 @@ class QueryEngine:
         already). Production would MERGE the prior into doc_meta once
         (CoW) and pass its column name; the join form keeps the prior
         hot-swappable per query at test scale.
+
+        ``static="pagerank"`` resolves the persisted ``static_rank``
+        table (``IndexBuilder.build_static_rank``) as the prior source.
         """
+        if static_df is None and static == "pagerank":
+            if not self.store.exists("static_rank"):
+                raise ValueError(
+                    "static='pagerank' needs a committed static_rank "
+                    "table — run IndexBuilder.build_static_rank first")
+            static_df = self.store.read("static_rank")
         meta = self.store.read(f"doc_meta{self._sfx()}")
         if static_df is None:
             return meta.select("partition_id", "doc_id",
