@@ -54,6 +54,12 @@ def main(argv=None) -> int:
     p.add_argument("--champions", action="store_true",
                    help="also build impact-ordered champion lists "
                         "(exact WAND theta bootstrap / --mode impact)")
+    p.add_argument("--link-field", action="store_true",
+                   help="also extract the link graph and index in-link "
+                        "anchor text as the 'anchor' BM25F field")
+    p.add_argument("--static-rank", action="store_true",
+                   help="also compute PageRank over the link graph into "
+                        "the static_rank table (query --static pagerank)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -106,6 +112,14 @@ def main(argv=None) -> int:
     if args.champions:
         stages += builder.build_champions(field=args.field,
                                           run_id=args.run_id).metrics
+    if args.link_field:
+        stages += builder.build_link_field(
+            docs, run_id=args.run_id,
+            input_version=args.input_version).metrics
+    if args.static_rank:
+        stages += builder.build_static_rank(
+            docs, run_id=args.run_id,
+            input_version=args.input_version).metrics
     print(json.dumps({"run_id": runner.run_id,
                       "stages": [{k: m[k] for k in
                                   ("stage", "skipped", "wall_ms",

@@ -27,7 +27,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--warehouse", required=True)
     p.add_argument("--store", default="hadoop", choices=["hadoop", "iceberg"])
-    p.add_argument("--field", default="text", choices=["text", "title"])
+    p.add_argument("--field", default="text",
+                   choices=["text", "title", "anchor"])
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--offset", type=int, default=0)
     p.add_argument("--min-score", type=float, default=0.0)
@@ -63,6 +64,17 @@ def main(argv=None) -> int:
                    help="keyset-pagination cursor — the previous page's "
                         "next_cursor; pages cost O(k) at any depth "
                         "(incompatible with --offset and --count)")
+    p.add_argument("--static", default=None, metavar="PRIOR",
+                   help="blend a static document prior into the score "
+                        "(bm25 + W*prior): a doc_meta column, the builtin "
+                        "'url_prior', or 'pagerank' (needs the "
+                        "--static-rank build)")
+    p.add_argument("--w-static", type=float, default=1.0,
+                   help="weight W for --static (default 1.0)")
+    p.add_argument("--weights", default=None, metavar="JSON",
+                   help="BM25F multi-field weights, e.g. "
+                        "'{\"text\": 1.0, \"anchor\": 2.0}' — each field "
+                        "needs its own built index")
     p.add_argument("--log-dir", default=None)
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
@@ -171,6 +183,38 @@ def main(argv=None) -> int:
                               "counts": [{by: r[by],
                                           "n_docs": int(r["n_docs"])}
                                          for r in rows]}, default=str))
+        if not preexisting:
+            spark.stop()
+        return 0
+
+    if args.static is not None or args.weights is not None:
+        if filters_set or synonyms or args.mode != "wand" or args.batch:
+            print("--static/--weights are bare WAND top-k surfaces "
+                  "(no filters/offset/count/synonyms/batch)",
+                  file=sys.stderr)
+            return 2
+        if args.static is not None and args.weights is not None:
+            print("--static and --weights are separate ranking modes; "
+                  "pass one", file=sys.stderr)
+            return 2
+        for q in args.queries:
+            if args.weights is not None:
+                hits = qe.weighted_top_k(q, json.loads(args.weights),
+                                         k=args.k)
+                out = {"results": [{"doc_id": d, "score": s}
+                                   for d, s in hits],
+                       "total_count": len(hits), "limit": args.k,
+                       "offset": 0, "query": q,
+                       "field_weights": json.loads(args.weights)}
+            else:
+                hits = qe.boosted_top_k(q, static=args.static,
+                                        w_static=args.w_static, k=args.k)
+                out = {"results": [{"doc_id": d, "score": s}
+                                   for d, s in hits],
+                       "total_count": len(hits), "limit": args.k,
+                       "offset": 0, "query": q, "static": args.static,
+                       "w_static": args.w_static}
+            print(json.dumps(out, default=str))
         if not preexisting:
             spark.stop()
         return 0

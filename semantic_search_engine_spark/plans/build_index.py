@@ -416,8 +416,8 @@ class IndexBuilder:
             raise ValueError(
                 "build the primary 'text' index first — the anchor field "
                 "derives doc identity from its committed doc_features")
-        self.build_link_graph(documents, run_id=run_id,
-                              input_version=input_version)
+        links_runner = self.build_link_graph(documents, run_id=run_id,
+                                             input_version=input_version)
         runner = StageRunner(self.store, cfg.fingerprint() + "/anchor",
                              run_id=run_id)
         df_layout = ["partition_id"] if cfg.partition_doc_features else None
@@ -433,6 +433,9 @@ class IndexBuilder:
         self._run_downstream(runner, "_anchor")
         self._persist_config("_anchor")
         runner.commit_lineage(self.spark)
+        # surface the links stage in this build's report (its lineage row
+        # was already committed by the link-graph runner — report only)
+        runner.metrics[:0] = links_runner.metrics
         return runner
 
     def _anchor_doc_features(self, max_anchors: int,
@@ -486,9 +489,10 @@ class IndexBuilder:
         parameters rebuilds while an identical call resume-skips.
         """
         from ..operators.linkgraph import pagerank
+        links_runner = None
         if documents is not None:
-            self.build_link_graph(documents, run_id=run_id,
-                                  input_version=input_version)
+            links_runner = self.build_link_graph(
+                documents, run_id=run_id, input_version=input_version)
         if not self.store.exists("links"):
             raise ValueError("no committed links table — pass documents "
                              "or run build_link_graph first")
@@ -500,6 +504,9 @@ class IndexBuilder:
                                     damping=damping, n_iter=n_iter),
                    extra_key=f"damping={damping}/n_iter={n_iter}")
         runner.commit_lineage(self.spark)
+        if links_runner is not None:
+            # report-only merge; the links lineage row is already committed
+            runner.metrics[:0] = links_runner.metrics
         return runner
 
     # ------------------------------------------------------------------

@@ -280,3 +280,49 @@ def test_champions_cli_build_and_impact_mode(spark, cli_env, capsys):
     rc = query_main(["--warehouse", wh, "--k", "5", "--mode", "impact",
                      "--lang", "en", "zipfhead0"])
     assert rc == 2
+
+
+def test_link_field_and_static_rank_cli(spark, tmp_path_factory, capsys):
+    """--link-field/--static-rank build the anchor index and PageRank
+    table; --weights and --static pagerank query them; the two ranking
+    flags refuse filters and each other."""
+    from scripts.build_index import main as build_main
+    from scripts.query import main as query_main
+    from tests.test_anchor_field import _rows
+
+    wh = str(tmp_path_factory.mktemp("cli_link_wh"))
+    corpus = str(tmp_path_factory.mktemp("cli_link_corpus")) + "/docs.parquet"
+    spark.createDataFrame(
+        _rows(), "url string, warc_ts timestamp, html binary, "
+                 "text string, lang string").write.parquet(corpus)
+
+    rc = build_main(["--input", corpus, "--warehouse", wh,
+                     "--shuffle-partitions", "4", "--doc-buckets", "4",
+                     "--term-buckets", "4", "--input-version", "v1",
+                     "--link-field", "--static-rank"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stages = {s["stage"] for s in out["stages"]}
+    assert {"links", "doc_features_anchor", "postings_anchor",
+            "static_rank"} <= stages
+
+    # anchor-only term resolves through the anchor field index
+    rc = query_main(["--warehouse", wh, "--k", "5", "--weights",
+                     '{"anchor": 1.0}', "quantumflux"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["results"] and env["field_weights"] == {"anchor": 1.0}
+
+    rc = query_main(["--warehouse", wh, "--k", "5", "--static",
+                     "pagerank", "--w-static", "10", "shared common"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["results"] and env["static"] == "pagerank"
+
+    # bare-top-k surfaces: filters and flag combinations refused loudly
+    rc = query_main(["--warehouse", wh, "--static", "pagerank",
+                     "--lang", "en", "shared"])
+    assert rc == 2
+    rc = query_main(["--warehouse", wh, "--static", "pagerank",
+                     "--weights", '{"text": 1.0}', "shared"])
+    assert rc == 2
