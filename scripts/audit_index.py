@@ -1,0 +1,55 @@
+"""spark-submit entrypoint: audit a committed index's structural
+invariants (the distributed ``fsck`` — see ``plans/audit.py``).
+
+Usage:
+
+    spark-submit --py-files sse_spark.zip scripts/audit_index.py \
+        --warehouse <path-or-catalog> [--store hadoop|iceberg] \
+        [--field text|title|anchor] [--sample-buckets 0,1,2]
+
+Prints one JSON line: {"ok": bool, "checks": [...]}; exit code 1 when any
+check fails — wire it into the maintenance schedule (full sweep after
+every layout migration, a rotating --sample-buckets subset daily).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--store", default="hadoop", choices=["hadoop", "iceberg"])
+    p.add_argument("--field", default="text",
+                   choices=["text", "title", "anchor"])
+    p.add_argument("--sample-buckets", default=None,
+                   help="comma-separated doc-bucket ids: restrict the "
+                        "payload-decoding checks to this subset")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
+
+    from semantic_search_engine_spark.plans.audit import audit_report
+    from semantic_search_engine_spark.sources.store import make_store
+
+    spark = (SparkSession.builder.appName("sse-audit-index")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
+    store = make_store(spark, args.warehouse, args.store)
+    sample = ([int(x) for x in args.sample_buckets.split(",")]
+              if args.sample_buckets else None)
+    report = audit_report(spark, store, field=args.field,
+                          sample_buckets=sample)
+    print(json.dumps(report, default=str))
+    if not preexisting:
+        spark.stop()
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
