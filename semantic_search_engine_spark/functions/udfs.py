@@ -23,22 +23,38 @@ from pyspark.sql.functions import pandas_udf
 
 from ..textproc import extract_html, token_positions, tokenize
 
-EXTRACT_SCHEMA = "title string, text string, extracted_sha256 string"
+def make_extract_features_udf(prefer_provided: bool = True,
+                              max_token_len: int = 64,
+                              min_token_len: int = 1,
+                              analyzer: str = "simple",
+                              indexed: str = "text"):
+    """(text, html) -> struct(title, text, extracted_sha256, tf_map):
+    the engine's two permitted Python text stages (extract, tokenize)
+    FUSED into one Arrow pass.
 
+    Why fused: as separate UDFs they run in two Python stages with the
+    full document text crossing the JVM↔Python Arrow boundary twice and
+    the second stage idle until the first's exchange completes. One pass
+    halves the Arrow transfer, runs one Python worker per task instead
+    of two, and leaves the url-dedup window downstream as a pure-JVM
+    stage at full parallelism. Outputs are bit-identical to the split
+    form (same ``textproc`` functions, same per-row policy); only rows
+    that later lose the per-url dedup tokenize wastefully — recrawl
+    duplicates, a small corpus fraction.
 
-def make_resolve_extract_udf(prefer_provided: bool = True,
-                             max_token_len: int = 64):
-    """(text, html) -> struct(title, text, extracted_sha256).
-
-    Resolution policy: trust a non-NULL ``text`` column when the config says
-    so, else extract from ``html`` (FIXTURES.md §1: 90% of rows need
+    Resolution policy: trust a non-NULL ``text`` column when the config
+    says so, else extract from ``html`` (FIXTURES.md §1: 90% of rows need
     extraction). Rows with neither yield NULL text and are dropped by the
     validity filter (``data_ingestion.py:100-103`` analogue).
+
+    ``indexed``: which resolved column feeds the tf map ("text"/"title").
     """
 
-    @pandas_udf(EXTRACT_SCHEMA)
-    def resolve_extract(text: pd.Series, html: pd.Series) -> pd.DataFrame:
-        titles, bodies, shas = [], [], []
+    @pandas_udf("title string, text string, extracted_sha256 string, "
+                "tf_map map<string,int>")
+    def resolve_extract_features(text: pd.Series,
+                                 html: pd.Series) -> pd.DataFrame:
+        titles, bodies, shas, maps = [], [], [], []
         for t, h in zip(text, html):
             hb = bytes(h) if h is not None else None
             title = ""
@@ -57,10 +73,14 @@ def make_resolve_extract_udf(prefer_provided: bool = True,
             shas.append(
                 hashlib.sha256(body.encode("utf-8")).hexdigest()
                 if body is not None else None)
-        return pd.DataFrame(
-            {"title": titles, "text": bodies, "extracted_sha256": shas})
+            src = body if indexed == "text" else title
+            maps.append(
+                dict(Counter(tokenize(src, max_token_len, min_token_len,
+                                      analyzer))) if src else {})
+        return pd.DataFrame({"title": titles, "text": bodies,
+                             "extracted_sha256": shas, "tf_map": maps})
 
-    return resolve_extract
+    return resolve_extract_features
 
 
 def make_term_freqs_udf(max_token_len: int = 64, min_token_len: int = 1,

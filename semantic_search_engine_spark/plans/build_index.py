@@ -41,7 +41,7 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.udfs import (
     doc_bucket_expr,
     doc_id_expr,
-    make_resolve_extract_udf,
+    make_extract_features_udf,
     make_term_freqs_udf,
     term_bucket_expr,
 )
@@ -262,26 +262,28 @@ class IndexBuilder:
         extract → validity filter → deterministic per-url winner →
         stable ids → tf map → doc_len."""
         cfg = self.cfg
-        extract = make_resolve_extract_udf(cfg.prefer_provided_text,
-                                           cfg.max_token_len)
-        term_freqs = make_term_freqs_udf(cfg.max_token_len,
-                                         cfg.min_token_len,
-                                         cfg.analyzer)
-        # Width of the Python-UDF stages: the configured cap when set
+        indexed_col = "text" if field == "text" else "title"
+        fused = make_extract_features_udf(cfg.prefer_provided_text,
+                                          cfg.max_token_len,
+                                          cfg.min_token_len,
+                                          cfg.analyzer, indexed_col)
+        # Width of the Python-UDF stage: the configured cap when set
         # (see EngineConfig.python_stage_parallelism), else the stage's
         # natural shuffle width.
         pyw = cfg.python_stage_parallelism or cfg.shuffle_partitions
-        # Small-input guard: the extract UDF is the most expensive stage
-        # and its parallelism is bounded by the scan's split count. A
-        # real web corpus arrives as thousands of files (no-op here); a
-        # single small parquet file would otherwise serialize extraction.
-        # With an explicit cap the width is forced exactly (a wide scan
-        # must come DOWN to the cap for the cap to mean anything).
+        # Small-input guard: the fused extract+tokenize UDF is the most
+        # expensive stage and its parallelism is bounded by the scan's
+        # split count. A real web corpus arrives as thousands of files
+        # (no-op here); a single small parquet file would otherwise
+        # serialize extraction. Reducing a wide scan DOWN to the cap uses
+        # coalesce — a narrow dependency, so the raw HTML (the fattest
+        # column in the pipeline) never crosses a shuffle; widening a
+        # too-narrow scan needs the real repartition.
         src = documents
-        if cfg.python_stage_parallelism:
-            if src.rdd.getNumPartitions() != pyw:
-                src = src.repartition(pyw)
-        elif src.rdd.getNumPartitions() < pyw:
+        nparts = src.rdd.getNumPartitions()
+        if nparts > pyw and cfg.python_stage_parallelism:
+            src = src.coalesce(pyw)
+        elif nparts < pyw:
             src = src.repartition(pyw)
         from pyspark.sql.window import Window
         # Deterministic duplicate-url winner (recrawls are normal in web
@@ -289,28 +291,28 @@ class IndexBuilder:
         # total order on content, so rebuilds are bit-reproducible. Same
         # rule in oracle.OracleIndex.build. The explicit repartition(n,
         # url) provides the window's hash distribution at a *fixed* width
-        # (AQE would otherwise coalesce this exchange by byte size and
-        # serialize the tokenize UDF + parquet write behind it).
+        # (AQE would otherwise coalesce this exchange by byte size). All
+        # Python ran upstream of this exchange, so the window + doc_len
+        # stage is pure JVM and takes the full shuffle width.
         w = Window.partitionBy("url").orderBy(
             F.desc_nulls_last("warc_ts"), F.desc("extracted_sha256"))
         ex = (
             src
             .filter(F.col("url").isNotNull())
-            .withColumn("ex", extract("text", "html"))
+            .withColumn("ex", fused("text", "html"))
             .select("url", "warc_ts", "lang",
                     F.col("ex.title").alias("title"),
                     F.col("ex.text").alias("text"),
-                    F.col("ex.extracted_sha256").alias("extracted_sha256"))
+                    F.col("ex.extracted_sha256").alias("extracted_sha256"),
+                    F.col("ex.tf_map").alias("tf_map"))
             .filter(F.col("text").isNotNull())       # validity filter
-            .repartition(pyw, "url")
+            .repartition(cfg.shuffle_partitions, "url")
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn")
             .withColumn("doc_id", doc_id_expr("url"))
             .withColumn("partition_id",
                         doc_bucket_expr("doc_id", cfg.n_doc_buckets))
         )
-        indexed_col = "text" if field == "text" else "title"
-        ex = ex.withColumn("tf_map", term_freqs(F.col(indexed_col)))
         # doc_len as a JVM aggregate over the map — no extra Python
         ex = ex.withColumn(
             "doc_len",
