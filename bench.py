@@ -26,6 +26,8 @@ import subprocess
 import sys
 import time
 
+_PROC_T0 = time.time()
+
 
 def _pin_allocator_memory() -> None:
     """Keep freed memory inside the process instead of returning it to the
@@ -337,10 +339,14 @@ def main() -> None:
     # Second COLD build cycle, now that the query phase has put minutes
     # between the samples. Skipped when the first cycle already ran in a
     # clean window (under SPARK_GRAFT_FAST_BUILD_SEC) — the repeat buys
-    # nothing — or when SPARK_GRAFT_BUILD_CYCLES=1.
+    # nothing — when SPARK_GRAFT_BUILD_CYCLES=1, or when the run is
+    # already past the wall-clock deadline (a doubly-bad window must not
+    # push the whole recording past a driver timeout).
     fast_enough = float(os.environ.get("SPARK_GRAFT_FAST_BUILD_SEC", "50"))
     want_cycles = int(os.environ.get("SPARK_GRAFT_BUILD_CYCLES", "2"))
-    if want_cycles > 1 and cyc1["sec"] > fast_enough:
+    deadline = float(os.environ.get("SPARK_GRAFT_CYCLE2_DEADLINE", "360"))
+    if (want_cycles > 1 and cyc1["sec"] > fast_enough
+            and time.time() - _PROC_T0 < deadline):
         cyc2 = _build_cycle("_cycle2")
         cycles.append(cyc2)
         shutil.rmtree(cyc2["warehouse"], ignore_errors=True)
