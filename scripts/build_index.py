@@ -60,6 +60,13 @@ def main(argv=None) -> int:
     p.add_argument("--static-rank", action="store_true",
                    help="also compute PageRank over the link graph into "
                         "the static_rank table (query --static pagerank)")
+    p.add_argument("--dedup", default=None, choices=["exact", "near"],
+                   help="content dedup at ingest: drop cross-url "
+                        "duplicate bodies ('exact' = identical text, "
+                        "'near' = MinHash-LSH clusters too); decisions "
+                        "land in the dedup_drops ledger table")
+    p.add_argument("--dedup-threshold", type=float, default=None,
+                   help="near-dup Jaccard threshold (default 0.7)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -82,6 +89,8 @@ def main(argv=None) -> int:
         "k1": args.k1,
         "b": args.b,
         "analyzer": args.analyzer,
+        "dedup": args.dedup,
+        "dedup_threshold": args.dedup_threshold,
     }.items() if v is not None}
     import dataclasses
     cfg = dataclasses.replace(DEFAULT_CONFIG, **overrides) \

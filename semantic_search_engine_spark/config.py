@@ -73,6 +73,25 @@ class EngineConfig:
     # the table is ~m x |dictionary| rows — negligible next to postings.
     champions_m: int = 128
 
+    # --- content dedup at ingest (build-time corpus hygiene) ---
+    # "none" (default): index every unique-url document (per-url recrawl
+    # resolution always applies). "exact": drop content-identical bodies
+    # across DIFFERENT urls (mirror sites, tracking-parameter aliases) —
+    # keyed on the already-computed extracted_sha256, so it costs one
+    # slim groupBy, no re-reading of text. "near": exact first, then
+    # MinHash-LSH near-duplicate clustering (operators/dedup.py) over the
+    # exact survivors — the CCNet/RefinedWeb-style boilerplate/recrawl
+    # collapse. Survivor = minimum doc_id of each cluster (deterministic,
+    # parallelism-independent). All dedup_* fields are content-affecting
+    # and therefore part of the fingerprint; extraction is staged so a
+    # dedup re-tune never re-runs the extract UDF (doc_features_raw is
+    # resume-shared).
+    dedup: str = "none"
+    dedup_shingle_size: int = 3
+    dedup_n_hashes: int = 8
+    dedup_bands: int = 4
+    dedup_threshold: float = 0.7
+
     # --- query-time ---
     default_k: int = 10
     max_k: int = 100          # mirror of SearchRequest limit cap 1..100
@@ -104,6 +123,19 @@ class EngineConfig:
         it must not invalidate committed snapshots."""
         d = asdict(self)
         d.pop("python_stage_parallelism", None)
+        blob = json.dumps(d, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    def fingerprint_no_dedup(self) -> str:
+        """Fingerprint with the dedup_* knobs masked to their defaults —
+        the checkpoint key of the doc_features_raw stage, whose output
+        (pure extraction) is dedup-independent. Re-tuning dedup therefore
+        re-runs only the ledger + survivor filter, never the extract UDF."""
+        masked = dict(dedup="none", dedup_shingle_size=3, dedup_n_hashes=8,
+                      dedup_bands=4, dedup_threshold=0.7)
+        d = asdict(self)
+        d.pop("python_stage_parallelism", None)
+        d.update(masked)
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

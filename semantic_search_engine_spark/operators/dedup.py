@@ -236,6 +236,74 @@ def _cluster_rounds(pairs: DataFrame, max_rounds: int,
     return labels
 
 
+def build_drop_ledger(feats: DataFrame, mode: str,
+                      shingle_size: int = 3, n_hashes: int = 8,
+                      bands: int = 4, threshold: float = 0.7) -> DataFrame:
+    """Content-duplicate drop ledger over an extracted-features frame —
+    the decision record a training-data pipeline keeps for provenance.
+
+    ``feats`` must carry (doc_id, url, partition_id, extracted_sha256,
+    text); rows are one per unique url (recrawl resolution already done).
+    Returns one row per DROPPED document:
+
+        (doc_id, url, partition_id, keep_doc_id, keep_url, reason)
+
+    with reason ∈ {'exact', 'near'} and keep_* naming the surviving
+    cluster representative (minimum doc_id — deterministic and
+    parallelism-independent). Exact drops whose keeper was itself
+    near-dropped are rewritten to the final survivor, so ``keep_doc_id``
+    always names a document that remains in the index (no chains).
+
+    Scale shape: the exact pass is one groupBy on the 32-byte sha —
+    already computed by the extract UDF, so no text is re-read; the near
+    pass runs only over exact survivors (minhash signatures → banded LSH
+    bucket joins → exact-Jaccard verify on candidates → fixpoint
+    clustering — never all-pairs). Ledger volume is the duplicate count,
+    typically 10–40% of a web crawl.
+    """
+    if mode not in ("exact", "near"):
+        raise ValueError(f"dedup mode must be 'exact' or 'near', got {mode!r}")
+    slim = feats.select("doc_id", "url", "partition_id",
+                        F.coalesce(F.col("extracted_sha256"),
+                                   F.lit("<null-sha>")).alias("sha"))
+    keep = slim.groupBy("sha").agg(F.min("doc_id").alias("keep_doc_id"))
+    exact_drops = (slim.join(keep, "sha")
+                   .filter(F.col("doc_id") != F.col("keep_doc_id"))
+                   .select("doc_id", "url", "partition_id", "keep_doc_id",
+                           F.lit("exact").alias("reason")))
+    if mode == "exact":
+        drops = exact_drops
+    else:
+        survivors = feats.join(
+            exact_drops.select("doc_id"), "doc_id", "left_anti")
+        clustered = near_dedup(survivors, key="doc_id",
+                               shingle_size=shingle_size,
+                               n_hashes=n_hashes, bands=bands,
+                               threshold=threshold)
+        near_drops = (clustered.filter(~F.col("is_survivor"))
+                      .select(F.col("key").alias("doc_id"),
+                              F.col("cluster").alias("keep_doc_id")))
+        near_drops = (survivors.select("doc_id", "url", "partition_id")
+                      .join(near_drops, "doc_id")
+                      .select("doc_id", "url", "partition_id",
+                              "keep_doc_id", F.lit("near").alias("reason")))
+        # resolve exact→near keeper chains to the final survivor
+        remap = near_drops.select(
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("keep_doc_id").alias("final_keep"))
+        exact_drops = (exact_drops.join(remap, "keep_doc_id", "left")
+                       .withColumn("keep_doc_id",
+                                   F.coalesce("final_keep", "keep_doc_id"))
+                       .select("doc_id", "url", "partition_id",
+                               "keep_doc_id", "reason"))
+        drops = exact_drops.unionByName(near_drops)
+    keep_urls = feats.select(F.col("doc_id").alias("keep_doc_id"),
+                             F.col("url").alias("keep_url"))
+    return drops.join(keep_urls, "keep_doc_id").select(
+        "doc_id", "url", "partition_id", "keep_doc_id", "keep_url",
+        "reason")
+
+
 def near_dedup(docs: DataFrame, key: str = "doc_id",
                shingle_size: int = 3, n_hashes: int = 8, bands: int = 4,
                threshold: float = 0.7, n_rounds: int | None = None,

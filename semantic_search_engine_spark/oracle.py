@@ -29,6 +29,157 @@ from .textproc import (
 )
 
 
+# --------------------------------------------------------------- xxHash64
+# Pure-Python XXH64 (Collet's public xxHash spec, github.com/Cyan4973/
+# xxHash/blob/dev/doc/xxhash_spec.md) — the oracle mirror of Spark's
+# ``xxhash64`` expression (seed 42, UTF-8 bytes of the string input,
+# result as a SIGNED 64-bit long). Needed so the near-dedup oracle
+# reproduces the engine's MinHash signatures independently.
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxround(acc: int, inp: int) -> int:
+    return (_rotl((acc + inp * _XP2) & _M64, 31) * _XP1) & _M64
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """XXH64(data, seed) as a SIGNED 64-bit integer (Spark semantics)."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i <= n - 32:
+            v1 = _xxround(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxround(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xxround(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xxround(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= _xxround(0, v)
+            h = (h * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xxround(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _XP1) & _M64
+        h = (_rotl(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ------------------------------------------------------- dedup decisions
+def dedup_decisions(docs: list[tuple[int, str]],
+                    cfg: EngineConfig) -> dict[int, tuple[int, str]]:
+    """Oracle mirror of ``operators.dedup.build_drop_ledger``: which docs
+    a dedup-enabled build drops, and who keeps them.
+
+    ``docs``: (doc_id, extracted_text) per unique-url document. Returns
+    ``{dropped_doc_id: (final_keep_doc_id, reason)}`` with reason ∈
+    {'exact', 'near'}. Exact = identical extracted text (sha equality);
+    near = the full MinHash→LSH→Jaccard→connected-components pipeline
+    recomputed independently (own shingling, own XXH64, own union-find) —
+    only the hash FUNCTION is shared knowledge with the engine, none of
+    the Spark code paths.
+    """
+    import hashlib as _hl
+    import re as _re
+
+    by_sha: dict[str, list[int]] = defaultdict(list)
+    text_of = dict(docs)
+    for did, text in docs:
+        by_sha[_hl.sha256(text.encode("utf-8")).hexdigest()].append(did)
+    drops: dict[int, tuple[int, str]] = {}
+    for group in by_sha.values():
+        group = sorted(group)
+        for d in group[1:]:
+            drops[d] = (group[0], "exact")
+    if cfg.dedup == "exact":
+        return drops
+
+    w = cfg.dedup_shingle_size
+    n_hashes, bands = cfg.dedup_n_hashes, cfg.dedup_bands
+    rows_per_band = n_hashes // bands
+    sh_sets: dict[int, set] = {}
+    sig: dict[int, list[int]] = {}
+    for did in sorted(text_of):
+        if did in drops:
+            continue
+        toks = _re.findall("[a-z0-9]+", text_of[did].lower())
+        if len(toks) < w:
+            continue
+        shs = [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+        sh_sets[did] = set(shs)
+        sig[did] = [min(xxhash64((s + f":{i}").encode("utf-8"))
+                        for s in shs)
+                    for i in range(n_hashes)]
+    buckets: dict[tuple, list[int]] = defaultdict(list)
+    for did, mh in sig.items():
+        for bi in range(bands):
+            key = (bi, tuple(mh[bi * rows_per_band:(bi + 1)
+                                * rows_per_band]))
+            buckets[key].append(did)
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(cand):
+        inter = len(sh_sets[a] & sh_sets[b])
+        union = len(sh_sets[a] | sh_sets[b])
+        if union and inter / union >= cfg.dedup_threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    clusters: dict[int, list[int]] = defaultdict(list)
+    for d in list(parent) + [d for d in sig if d not in parent]:
+        clusters[find(d)].append(d)
+    near: dict[int, tuple[int, str]] = {}
+    for root, members in clusters.items():
+        for d in sorted(members)[1:]:
+            near[d] = (min(members), "near")
+    out = {}
+    for d, (k, r) in drops.items():
+        out[d] = (near.get(k, (k,))[0], r)
+    out.update(near)
+    return out
+
+
 @dataclass
 class OracleIndex:
     cfg: EngineConfig
@@ -64,8 +215,14 @@ class OracleIndex:
             rank = (ts is not None, ts or _dt.datetime.min, sha)
             if r["url"] not in best or rank > best[r["url"]][0]:
                 best[r["url"]] = (rank, r, text)
-        for _rank, r, text in best.values():
-            did = doc_id_for_url(r["url"])
+        resolved = [(doc_id_for_url(r["url"]), r, text)
+                    for _rank, r, text in best.values()]
+        if cfg.dedup != "none":
+            dropped = dedup_decisions(
+                [(did, text) for did, _r, text in resolved], cfg)
+            resolved = [(did, r, text) for did, r, text in resolved
+                        if did not in dropped]
+        for did, r, text in resolved:
             toks = tokenize(text, cfg.max_token_len, cfg.min_token_len,
                             cfg.analyzer)
             idx.doc_len[did] = len(toks)

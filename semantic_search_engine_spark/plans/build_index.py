@@ -47,6 +47,7 @@ from ..functions.udfs import (
 )
 from ..functions.varbyte import encode_blocks
 from ..lineage import StageRunner
+from ..operators.dedup import build_drop_ledger
 from ..sources.store import TableStore
 
 POSTINGS_SCHEMA = (
@@ -242,6 +243,27 @@ class IndexBuilder:
                        partition_by=df_layout,
                        partition_col="partition_id",
                        n_partitions=cfg.n_doc_buckets)
+        elif cfg.dedup != "none":
+            # Content dedup at ingest (X60): extraction, the drop
+            # decision, and the filtered corpus are SEPARATE resumable
+            # stages, so re-tuning any dedup_* knob re-runs only the
+            # (cheap) ledger + filter — doc_features_raw resume-skips and
+            # the corpus-wide extract UDF never re-fires. The dedup_*
+            # fields are in cfg.fingerprint(), so the raw stage must NOT
+            # chain on them — its fingerprint uses the dedup-free config
+            # hash (extraction output is dedup-independent).
+            raw_fp = cfg.fingerprint_no_dedup() + f"/{field}"
+            raw_runner = StageRunner(self.store, raw_fp,
+                                     run_id=runner.run_id)
+            raw_runner.run(f"doc_features_raw{sfx}",
+                           f"doc_features_raw{sfx}", [],
+                           lambda: self._doc_features_df(documents, field),
+                           partition_by=df_layout,
+                           partition_col="partition_id",
+                           n_partitions=cfg.n_doc_buckets,
+                           extra_key=input_version)
+            runner.metrics.extend(raw_runner.metrics)
+            self._run_dedup_stages(runner, sfx)
         else:
             runner.run(f"doc_features{sfx}", f"doc_features{sfx}", [],
                        lambda: self._doc_features_df(documents, field),
@@ -254,6 +276,42 @@ class IndexBuilder:
         self._persist_config(sfx)
         runner.commit_lineage(self.spark)
         return runner
+
+    # ------------------------------------------------------------------
+    def _run_dedup_stages(self, runner: StageRunner, sfx: str) -> None:
+        """The two dedup stages of the stage graph (X60), shared by
+        build / ingest_updates / delete_docs: the drop ledger and the
+        survivor-filtered doc_features. Assumes ``doc_features_raw{sfx}``
+        is committed; both stages chain on its data identity, so any
+        raw-table merge/delete re-derives them automatically while an
+        unchanged raw resume-skips."""
+        cfg = self.cfg
+        df_layout = ["partition_id"] if cfg.partition_doc_features else None
+        runner.run(
+            f"dedup_drops{sfx}", f"dedup_drops{sfx}",
+            [f"doc_features_raw{sfx}"],
+            lambda: build_drop_ledger(
+                self.store.read(f"doc_features_raw{sfx}"),
+                cfg.dedup, shingle_size=cfg.dedup_shingle_size,
+                n_hashes=cfg.dedup_n_hashes, bands=cfg.dedup_bands,
+                threshold=cfg.dedup_threshold),
+            partition_col="partition_id",
+            n_partitions=cfg.n_doc_buckets)
+        # Survivor filter: one anti-join keyed on doc_id. The ledger side
+        # is the duplicate fraction of the corpus (not broadcastable at
+        # web scale); the features side is the extracted ~2%-of-corpus
+        # table — this exchange is the same order as the per-url dedup
+        # exchange upstream and the only shuffle dedup adds to the
+        # critical path.
+        runner.run(
+            f"doc_features{sfx}", f"doc_features{sfx}",
+            [f"doc_features_raw{sfx}", f"dedup_drops{sfx}"],
+            lambda: self.store.read(f"doc_features_raw{sfx}").join(
+                self.store.read(f"dedup_drops{sfx}").select("doc_id"),
+                "doc_id", "left_anti"),
+            partition_by=df_layout,
+            partition_col="partition_id",
+            n_partitions=cfg.n_doc_buckets)
 
     # ------------------------------------------------------------------
     def _doc_features_df(self, documents: DataFrame,
@@ -812,6 +870,51 @@ class IndexBuilder:
                        partition_by=df_layout,
                        partition_col="partition_id",
                        n_partitions=new_cfg.n_doc_buckets)
+        elif new_cfg.dedup != "none":
+            # dedup-enabled index: the raw/ledger/filtered chain re-buckets
+            # with the SAME stage names and fingerprint formulas as
+            # build()'s dedup branch, so a later build() resume-skips.
+            # All three are pure-JVM bucket recomputations: the drop
+            # DECISIONS (sha groups, minhash clusters, keepers) never
+            # depend on partition_id, so re-bucketing the committed ledger
+            # is content-identical to re-deriving it from re-bucketed raw.
+            raw_runner = StageRunner(self.store,
+                                     new_cfg.fingerprint_no_dedup()
+                                     + f"/{field}",
+                                     run_id=runner.run_id)
+
+            def _rebucket_tbl(table):
+                def fn() -> DataFrame:
+                    src = self.store.read(table)
+                    out = (src.drop("partition_id")
+                           .withColumn("partition_id",
+                                       doc_bucket_expr(
+                                           "doc_id",
+                                           new_cfg.n_doc_buckets)))
+                    if (new_cfg.partition_doc_features
+                            and table != "dedup_drops"):
+                        out = out.repartition(new_cfg.n_doc_buckets,
+                                              "partition_id")
+                    return out.select(*src.columns)
+                return fn
+
+            raw_runner.run("doc_features_raw", "doc_features_raw", [],
+                           _rebucket_tbl("doc_features_raw"),
+                           partition_by=df_layout,
+                           partition_col="partition_id",
+                           n_partitions=new_cfg.n_doc_buckets,
+                           extra_key=input_version)
+            runner.metrics.extend(raw_runner.metrics)
+            runner.run("dedup_drops", "dedup_drops",
+                       ["doc_features_raw"],
+                       _rebucket_tbl("dedup_drops"),
+                       partition_col="partition_id",
+                       n_partitions=new_cfg.n_doc_buckets)
+            runner.run("doc_features", "doc_features",
+                       ["doc_features_raw", "dedup_drops"], _rebucket,
+                       partition_by=df_layout,
+                       partition_col="partition_id",
+                       n_partitions=new_cfg.n_doc_buckets)
         else:
             runner.run("doc_features", "doc_features", [], _rebucket,
                        partition_by=df_layout,
@@ -1121,13 +1224,46 @@ class IndexBuilder:
                     changed = touched
                 if pos_ok:
                     pos_changed = touched
-        self.store.merge_by_key(
-            f"doc_features{sfx}", ex, key="url",
-            partition_by=(["partition_id"] if cfg.partition_doc_features
-                          else None))
-        ex.unpersist()
+        layout = (["partition_id"] if cfg.partition_doc_features else None)
         runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
                              run_id=run_id)
+        if cfg.dedup != "none" and self.store.exists(
+                f"doc_features_raw{sfx}"):
+            # Dedup-enabled index: the batch merges into the RAW crawl
+            # table; the ledger + survivor stages re-derive (their
+            # fingerprints chain on raw's fresh data identity), so a new
+            # doc that duplicates EXISTING content is dropped, and an
+            # update that changes a cluster's membership re-elects its
+            # survivor — ≡ a full build over (old source ∪ batch), pinned
+            # by test. Incremental postings carry widens the touched set
+            # by the buckets whose DROP status flipped: the pre-merge
+            # ledger snapshot (CoW — old files persist) diffed against
+            # the re-derived one, a slim doc_id anti-join both ways.
+            old_drops = self.store.read(f"dedup_drops{sfx}") \
+                .select("doc_id", "partition_id", "keep_doc_id")
+            self.store.merge_by_key(f"doc_features_raw{sfx}", ex,
+                                    key="url", partition_by=layout)
+            self._run_dedup_stages(runner, sfx)
+            if changed is not None or pos_changed is not None:
+                new_drops = self.store.read(f"dedup_drops{sfx}") \
+                    .select("doc_id", "partition_id", "keep_doc_id")
+                delta = (old_drops.join(new_drops.select("doc_id"),
+                                        "doc_id", "left_anti")
+                         .unionByName(
+                             new_drops.join(old_drops.select("doc_id"),
+                                            "doc_id", "left_anti")))
+                delta_parts = sorted({int(r["partition_id"]) for r in
+                                      delta.select("partition_id")
+                                      .distinct().collect()})
+                if changed is not None:
+                    changed = sorted(set(changed) | set(delta_parts))
+                if pos_changed is not None:
+                    pos_changed = sorted(set(pos_changed)
+                                         | set(delta_parts))
+        else:
+            self.store.merge_by_key(f"doc_features{sfx}", ex, key="url",
+                                    partition_by=layout)
+        ex.unpersist()
         self._run_downstream(runner, sfx, changed_buckets=changed,
                              pos_changed_buckets=pos_changed)
         runner.commit_lineage(self.spark)
@@ -1173,12 +1309,42 @@ class IndexBuilder:
                 .withColumn("partition_id",
                             doc_bucket_expr("doc_id", cfg.n_doc_buckets))
                 .select("url", "partition_id"))
-        self.store.delete_by_key(
-            f"doc_features{sfx}", keys, key="url",
-            partition_by=(["partition_id"] if cfg.partition_doc_features
-                          else None))
+        layout = (["partition_id"] if cfg.partition_doc_features else None)
         runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
                              run_id=run_id)
+        if cfg.dedup != "none" and self.store.exists(
+                f"doc_features_raw{sfx}"):
+            # Dedup-enabled index: delete from the RAW crawl table and
+            # re-derive the ledger + survivors — deleting a cluster's
+            # SURVIVOR re-elects the next-smallest member, which
+            # RESURRECTS into the index (ledger row disappears; its
+            # bucket joins the touched set via the same pre/post ledger
+            # diff as ingest_updates). ≡ a full build over the surviving
+            # source rows, pinned by test.
+            old_drops = self.store.read(f"dedup_drops{sfx}") \
+                .select("doc_id", "partition_id")
+            self.store.delete_by_key(f"doc_features_raw{sfx}", keys,
+                                     key="url", partition_by=layout)
+            self._run_dedup_stages(runner, sfx)
+            if changed is not None or pos_changed is not None:
+                new_drops = self.store.read(f"dedup_drops{sfx}") \
+                    .select("doc_id", "partition_id")
+                delta = (old_drops.join(new_drops.select("doc_id"),
+                                        "doc_id", "left_anti")
+                         .unionByName(
+                             new_drops.join(old_drops.select("doc_id"),
+                                            "doc_id", "left_anti")))
+                delta_parts = sorted({int(r["partition_id"]) for r in
+                                      delta.select("partition_id")
+                                      .distinct().collect()})
+                if changed is not None:
+                    changed = sorted(set(changed) | set(delta_parts))
+                if pos_changed is not None:
+                    pos_changed = sorted(set(pos_changed)
+                                         | set(delta_parts))
+        else:
+            self.store.delete_by_key(f"doc_features{sfx}", keys, key="url",
+                                     partition_by=layout)
         self._run_downstream(runner, sfx, changed_buckets=changed,
                              pos_changed_buckets=pos_changed)
         runner.commit_lineage(self.spark)
