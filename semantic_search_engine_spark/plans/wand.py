@@ -58,10 +58,11 @@ class BlockCursor:
 
     __slots__ = ("weight", "blocks", "lasts", "k1", "b", "avgdl", "bi",
                  "pos", "ids", "tfs", "dls", "cur_doc", "decoded_blocks",
-                 "max_block_ub", "term_rank")
+                 "max_block_ub", "term_rank", "ub_scale")
 
     def __init__(self, blocks: list[dict], weight: float,
-                 k1: float, b: float, avgdl: float, term_rank: int = 0):
+                 k1: float, b: float, avgdl: float, term_rank: int = 0,
+                 ub_scale: float = 1.0):
         #: position of this cursor's term in sorted(query terms) — the
         #: score-summation tie-break that keeps float accumulation in the
         #: oracle's exact order
@@ -71,13 +72,22 @@ class BlockCursor:
         self.lasts = np.array([blk["last_doc_id"] for blk in blocks],
                               dtype=np.int64)
         self.k1, self.b, self.avgdl = k1, b, avgdl
+        #: multiplier on the stored block-max bounds (NOT on contrib): the
+        #: federated path scores a sub-index's postings under the GLOBAL
+        #: avgdl while its ``block_max_tf_norm`` was computed under the
+        #: sub-index's own avgdl — ``max(1, avgdl_global/avgdl_local)``
+        #: re-sounds the bound (tf/(tf+K(dl)) grows by at most that ratio
+        #: when K shrinks with a larger avgdl); see federate.py for the
+        #: derivation and the float-safety margin baked into the caller.
+        self.ub_scale = ub_scale
         self.bi = -1
         self.pos = 0
         self.ids = self.tfs = self.dls = None
         self.cur_doc = EXHAUSTED
         self.decoded_blocks = 0
         self.max_block_ub = weight * max(
-            (blk["block_max_tf_norm"] for blk in blocks), default=0.0)
+            (blk["block_max_tf_norm"] for blk in blocks), default=0.0
+        ) * ub_scale
         self._enter_block(0)
 
     # ------------------------------------------------------------------
@@ -102,7 +112,8 @@ class BlockCursor:
         """Score upper bound of the *current* block (block-max metadata)."""
         if self.bi >= len(self.blocks):
             return 0.0
-        return self.weight * self.blocks[self.bi]["block_max_tf_norm"]
+        return (self.weight * self.blocks[self.bi]["block_max_tf_norm"]
+                * self.ub_scale)
 
     def seek(self, target: int) -> None:
         """Advance to the first posting with doc id >= target."""
@@ -153,6 +164,7 @@ def wand_top_k(
     avgdl_by_term: "dict[str, float] | None" = None,
     after: "tuple[float, int] | None" = None,
     min_match: int = 1,
+    ub_scale: float = 1.0,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact block-max WAND top-k over one doc-id-sorted posting slice.
 
@@ -204,6 +216,13 @@ def wand_top_k(
     ``min_match`` cursors remain un-exhausted no future doc can qualify
     and the scan stops early (a pruning rule plain WAND doesn't have).
 
+    ``ub_scale``: multiplier applied to every cursor's block-max bounds
+    (never to evaluated scores). The federated path (federate.py) scores
+    a sub-index's postings under GLOBAL corpus stats while the stored
+    ``block_max_tf_norm`` was computed under the sub-index's own avgdl;
+    ``max(1, avgdl_global/avgdl_local)`` (plus a 1e-9 float margin)
+    re-sounds the bound, so pruning stays lossless — merely ≤1e-9 looser.
+
     Returns ``(hits, stats)``: hits as ``(doc_id, score)`` in
     ``(score DESC, doc_id ASC)`` order; stats reports pruning counters.
     """
@@ -218,7 +237,7 @@ def wand_top_k(
                        if avgdl_by_term else avgdl)
             if blocks and term in weights and t_avgdl > 0:
                 c = BlockCursor(blocks, weights[term], k1, b, t_avgdl,
-                                term_rank=rank)
+                                term_rank=rank, ub_scale=ub_scale)
                 if c.cur_doc != EXHAUSTED:
                     cursors.append(c)
     all_cursors = list(cursors)
