@@ -1850,12 +1850,101 @@ SELECT concat('set:', src), 'ALL', n_keys FROM ({SQL_SET_OPS})
 """
 
 
+def q_curate_token_budget(spark, sf_dir):
+    """Token-budget prefix selection (operators/curate.py
+    `select_token_budget`, SURVEY X62): keep docs in (n_chars DESC,
+    doc_id ASC) order while the running alnum-token sum stays within 30%
+    of the corpus total — the exact histogram+boundary-bin plan vs the
+    oracle's full window walk."""
+    import math
+
+    from .operators.curate import select_token_budget
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.size(F.expr(TOK_SPARK)).alias("n_tokens"),
+                    "n_chars")
+    total = int(toks.agg(F.sum("n_tokens")).collect()[0][0])
+    budget = int(math.floor(total * 0.3))
+    return (select_token_budget(toks, budget, priority_col="n_chars",
+                                n_bins=16)
+            .select("doc_id", "n_tokens"))
+
+
+SQL_CURATE_TOKEN_BUDGET = f"""
+WITH toks AS (
+  SELECT doc_id, len({TOK_SQL}) AS n_tokens, n_chars
+  FROM documents WHERE text IS NOT NULL),
+tot AS (SELECT CAST(floor(sum(n_tokens) * 0.3) AS BIGINT) AS budget
+        FROM toks)
+SELECT doc_id, n_tokens
+FROM toks, tot
+QUALIFY sum(n_tokens) OVER (
+  ORDER BY n_chars DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) <= budget
+"""
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Stupid-Backoff bigram LM perplexity (operators/lm.py, SURVEY X63 —
+    the CCNet quality stage): train on the documents table, score every
+    doc; logscore/ppl rounded to 4 decimals on BOTH sides (ln() and the
+    aggregation order differ across engines by ~1e-14 relative — far
+    inside the rounding, exactly the cast discipline the float entries
+    use)."""
+    from .operators.lm import score_docs, train_bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    model = train_bigram_lm(d)
+    return (score_docs(d, model)
+            .select("doc_id", "n_tokens",
+                    F.round("logscore", 4).alias("logscore_r"),
+                    F.round("ppl", 4).alias("ppl_r")))
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH t AS (
+  SELECT doc_id, {TOK_SQL} AS ts FROM documents WHERE text IS NOT NULL),
+flat AS (
+  SELECT doc_id, unnest(ts) AS w,
+         unnest(generate_series(1, len(ts))) AS p, ts
+  FROM t WHERE len(ts) > 0),
+fl AS (
+  SELECT doc_id, p, w, CASE WHEN p > 1 THEN ts[p-1] END AS prev
+  FROM flat),
+uni AS (SELECT w, count(*) AS c FROM fl GROUP BY w),
+big AS (SELECT prev, w, count(*) AS c FROM fl
+        WHERE prev IS NOT NULL GROUP BY prev, w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+scored AS (
+  SELECT f.doc_id,
+         CASE
+           WHEN f.prev IS NULL
+             THEN ln(CAST(coalesce(u.c, 1) AS DOUBLE) / tot.n)
+           WHEN b.c IS NOT NULL
+             THEN ln(CAST(b.c AS DOUBLE) / CAST(up.c AS DOUBLE))
+           ELSE ln(0.4) + ln(CAST(coalesce(u.c, 1) AS DOUBLE) / tot.n)
+         END AS lp
+  FROM fl f
+  LEFT JOIN big b ON b.prev = f.prev AND b.w = f.w
+  LEFT JOIN uni u ON u.w = f.w
+  LEFT JOIN uni up ON up.w = f.prev
+  CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(lp), 4) AS logscore_r,
+       round(exp(-sum(lp) / count(*)), 4) AS ppl_r
+FROM scored GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — HARD CAP 50 entries (the driver verifies at most 50; entries
 # past the window get no CORRECTNESS row — VERDICT r2 #1). Single-facet
 # queries folded into combined entries (text_quality_metrics,
 # token_counts, rollup_set_ops, events_windows) keep full column-level
-# verification; tests/test_driver_contract.py pins the cap.
+# verification; tests/test_driver_contract.py pins the cap. Round 3 swap:
+# `simhash` (signatures — exercised transitively by BOTH simhash pair
+# entries) and `shingle3_stats` (shingles — the substrate of the three
+# minhash entries) moved to pytest-only pins (tests/test_operators.py) to
+# make room for the curation/LM entries; nothing lost column-wise.
 # ---------------------------------------------------------------------------
 
 DRIVER_VERIFY_WINDOW = 50
@@ -1909,11 +1998,11 @@ REGISTRY: dict[str, tuple] = {
                              _sql_text_quality_metrics()),
     "token_counts": (q_token_counts, _sql_token_counts()),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE),
-    "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP),
     "simhash_banded_pairs": (q_simhash_banded_pairs, SQL_SIMHASH_BANDED),
     "lsh_band_pairs": (q_lsh_band_pairs, SQL_LSH_BAND_PAIRS),
-    "shingle3_stats": (q_shingle3_stats, SQL_SHINGLE3),
+    "curate_token_budget": (q_curate_token_budget, SQL_CURATE_TOKEN_BUDGET),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs,
                                 SQL_EMBEDDING_NEARDUP),
     "ann_lsh_bucket_topk": (q_ann_lsh_bucket_topk, SQL_ANN_LSH_BUCKET),

@@ -55,9 +55,7 @@ def test_registry_fits_driver_verification_window():
     assert all(sql is not None for _fn, sql in REGISTRY.values())
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_query_matches_oracle(name, spark, ddb):
-    fn, sql = REGISTRY[name]
+def _compare(name, fn, sql, spark, ddb):
     got_cols, got = canon(fn(spark, SF_DIR).toPandas())
     exp_cols, exp = canon(ddb.execute(sql).df())
     assert got_cols == exp_cols, f"{name}: columns differ"
@@ -66,3 +64,30 @@ def test_query_matches_oracle(name, spark, ddb):
     assert not mismatches, (
         f"{name}: {len(mismatches)} mismatched rows; first: "
         f"{got[mismatches[0]]} != {exp[mismatches[0]]}")
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, ddb):
+    fn, sql = REGISTRY[name]
+    _compare(name, fn, sql, spark, ddb)
+
+
+def _retired_pins():
+    """Pairs swapped OUT of the 50-entry registry (r3: simhash signatures
+    and shingle stats — both exercised transitively by the surviving
+    pair entries) stay pinned here so the capability never regresses."""
+    from semantic_search_engine_spark.driver_contract import (
+        SQL_SHINGLE3,
+        SQL_SIMHASH,
+        q_shingle3_stats,
+        q_simhash,
+    )
+
+    return {"simhash": (q_simhash, SQL_SIMHASH),
+            "shingle3_stats": (q_shingle3_stats, SQL_SHINGLE3)}
+
+
+@pytest.mark.parametrize("name", sorted(_retired_pins()))
+def test_retired_pair_matches_oracle(name, spark, ddb):
+    fn, sql = _retired_pins()[name]
+    _compare(name, fn, sql, spark, ddb)
