@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     p.add_argument("--positions", action="store_true",
                    help="also build the positional index "
                         "(phrase/proximity retrieval)")
+    p.add_argument("--suffix-dict", action="store_true",
+                   help="build the reversed-term dictionary (term_rev) "
+                        "so leading-wildcard '*word' queries push down "
+                        "instead of scanning the full dictionary")
     p.add_argument("--fuzzy", action="store_true",
                    help="also build the SymSpell deletion index "
                         "(typo-tolerant lookup / --mode fuzzy)")
@@ -111,6 +115,9 @@ def main(argv=None) -> int:
     if args.positions:
         stages += builder.build_positions(field=args.field,
                                           run_id=args.run_id).metrics
+    if args.suffix_dict:
+        stages += builder.build_suffix(field=args.field,
+                                       run_id=args.run_id).metrics
     if args.fuzzy:
         stages += builder.build_fuzzy(field=args.field,
                                       run_id=args.run_id).metrics

@@ -218,7 +218,9 @@ def _engine_warehouse(spark, sf_dir):
         "/tmp", f"sse_contract_wh_v{ENGINE_FORMAT_VERSION}_"
         + _hl.sha256(sf_dir.encode()).hexdigest()[:10])
     store = HadoopTableStore(spark, wh)
-    IndexBuilder(spark, store, cfg).build(docs, input_version=sf_dir)
+    b = IndexBuilder(spark, store, cfg)
+    b.build(docs, input_version=sf_dir)
+    b.build_suffix()  # reversed-term dictionary: '*word' gate pushdown
     return store, QueryEngine(spark, store, cfg)
 
 
@@ -433,10 +435,11 @@ ORDER BY s.raw_score DESC, {_sql_url_hash_id('s.doc_id')} LIMIT 10
 
 
 #: Websearch-boolean gate query: prefix expansion (s* → scan/slow/small/
-#: sort/spark/stream in the driver vocabulary), AND, OR, and NOT in one
-#: DNF. Score = BM25 over the distinct positive terms present per doc
-#: (plans/boolean.py documents the semantics).
-BOOLEAN_GATE_QUERY = "s* window OR merge -slow"
+#: sort/spark/stream in the driver vocabulary), suffix expansion
+#: (*er → customer/filter/order via the reversed-term dictionary), AND,
+#: OR, and NOT in one DNF. Score = BM25 over the distinct positive terms
+#: present per doc (plans/boolean.py documents the semantics).
+BOOLEAN_GATE_QUERY = "s* window OR merge -slow OR *er -batch"
 
 
 def q_bm25_boolean_engine(spark, sf_dir):
@@ -470,9 +473,14 @@ matched AS (
                  AND tf.term = 'merge')
          AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = dl.doc_id
                          AND tf.term = 'slow'))
+     OR (EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = dl.doc_id
+                 AND tf.term LIKE '%er')
+         AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = dl.doc_id
+                         AND tf.term = 'batch'))
 ),
 pos_terms AS (
-  SELECT term FROM dft WHERE term IN ('window', 'merge') OR term LIKE 's%'
+  SELECT term FROM dft
+  WHERE term IN ('window', 'merge') OR term LIKE 's%' OR term LIKE '%er'
 ),
 scored AS (
   SELECT tf.doc_id,

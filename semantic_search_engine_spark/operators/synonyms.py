@@ -109,9 +109,12 @@ def rewrite_clauses(clauses: list[BooleanClause],
                 neg_terms=c.neg_terms,
                 neg_prefixes=c.neg_prefixes,
                 neg_phrases=c.neg_phrases,
+                req_suffixes=c.req_suffixes,
+                neg_suffixes=c.neg_suffixes,
             )
             key = (alt.req_terms, alt.req_prefixes, alt.req_phrases,
-                   alt.neg_terms, alt.neg_prefixes, alt.neg_phrases)
+                   alt.neg_terms, alt.neg_prefixes, alt.neg_phrases,
+                   alt.req_suffixes, alt.neg_suffixes)
             if key not in seen:
                 seen.add(key)
                 rewritten.append(alt)

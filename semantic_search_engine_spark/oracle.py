@@ -398,7 +398,10 @@ class OracleIndex:
         prefixes = sorted({p for c in clauses
                            for p in c.req_prefixes + c.neg_prefixes})
         exp = {p: [t for t in vocab if t.startswith(p)] for p in prefixes}
-        pos_terms = positive_terms(clauses, exp)
+        suffixes = sorted({s for c in clauses
+                           for s in c.req_suffixes + c.neg_suffixes})
+        sexp = {s: [t for t in vocab if t.endswith(s)] for s in suffixes}
+        pos_terms = positive_terms(clauses, exp, sexp)
 
         out: dict[int, float] = {}
         for did, tpos in self.doc_positions.items():
@@ -410,10 +413,16 @@ class OracleIndex:
                 if not all(any(t in present for t in exp[p])
                            for p in c.req_prefixes):
                     continue
+                if not all(any(t in present for t in sexp[s])
+                           for s in c.req_suffixes):
+                    continue
                 if any(t in present for t in c.neg_terms):
                     continue
                 if any(any(t in present for t in exp[p])
                        for p in c.neg_prefixes):
+                    continue
+                if any(any(t in present for t in sexp[s])
+                       for s in c.neg_suffixes):
                     continue
                 if not all(phrase_match_count(tpos, list(ph)) > 0
                            for ph in c.req_phrases):

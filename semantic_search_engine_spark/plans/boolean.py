@@ -13,6 +13,14 @@ engine's own postings:
   - ``OR``                -> alternation (lowest precedence, case-insensitive)
   - ``word*``             -> prefix match (tsquery's ``word:*``, spelled
                              with a trailing ``*`` like the web syntax)
+  - ``*word``             -> suffix match (Lucene/Elasticsearch leading
+                             wildcard; Postgres tsquery has no analogue)
+  - ``*word*``            -> REFUSED (``ValueError``): an infix/contains
+                             wildcard can use neither the forward- nor
+                             the reverse-sorted dictionary — Lucene
+                             answers it with a full-dictionary regexp
+                             scan, which is exactly the plan a 10^12-doc
+                             engine must name and refuse
 
 Parsing yields disjunctive normal form: a list of conjunctive clauses.
 A document matches iff it satisfies at least one clause; its score is
@@ -68,7 +76,8 @@ class BooleanClause:
     """One conjunctive clause of the DNF.
 
     ``req_terms``/``neg_terms`` hold concrete tokens; ``req_prefixes``/
-    ``neg_prefixes`` hold prefix stems (matched against the term
+    ``neg_prefixes`` hold prefix stems and ``req_suffixes``/
+    ``neg_suffixes`` suffix stems (both matched against the term
     dictionary at plan time); ``req_phrases``/``neg_phrases`` hold
     token sequences (length >= 2 — shorter ones collapse to terms).
     """
@@ -79,9 +88,12 @@ class BooleanClause:
     neg_terms: tuple[str, ...] = ()
     neg_prefixes: tuple[str, ...] = ()
     neg_phrases: tuple[tuple[str, ...], ...] = ()
+    req_suffixes: tuple[str, ...] = ()
+    neg_suffixes: tuple[str, ...] = ()
 
     def has_positive(self) -> bool:
-        return bool(self.req_terms or self.req_prefixes or self.req_phrases)
+        return bool(self.req_terms or self.req_prefixes
+                    or self.req_suffixes or self.req_phrases)
 
 
 _LEX_RE = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
@@ -95,6 +107,8 @@ class _ClauseDraft:
     neg_terms: set = field(default_factory=set)
     neg_prefixes: set = field(default_factory=set)
     neg_phrases: list = field(default_factory=list)
+    req_suffixes: set = field(default_factory=set)
+    neg_suffixes: set = field(default_factory=set)
 
     def freeze(self) -> BooleanClause | None:
         # phrase terms double as required terms: a doc lacking any of
@@ -110,9 +124,11 @@ class _ClauseDraft:
             neg_terms=tuple(sorted(self.neg_terms)),
             neg_prefixes=tuple(sorted(self.neg_prefixes)),
             neg_phrases=tuple(dict.fromkeys(map(tuple, self.neg_phrases))),
+            req_suffixes=tuple(sorted(self.req_suffixes)),
+            neg_suffixes=tuple(sorted(self.neg_suffixes)),
         )
         if not (c.has_positive() or c.neg_terms or c.neg_prefixes
-                or c.neg_phrases):
+                or c.neg_suffixes or c.neg_phrases):
             return None  # nothing survived tokenization
         if not c.has_positive():
             raise ValueError(
@@ -160,14 +176,25 @@ def parse_websearch(query: str, max_token_len: int = 64,
             flush()
             continue
         prefix = word.endswith("*")
-        toks = tokenize(word.rstrip("*"), max_token_len,
-                        min_token_len, analyzer)
+        suffix = word.startswith("*")
+        core = word.strip("*")
+        if prefix and suffix and core:
+            raise ValueError(
+                f"infix/contains wildcard '{word}' is not supported: it "
+                "can use neither the forward- nor the reverse-sorted "
+                "term dictionary (a full-dictionary scan at web scale); "
+                "use 'word*' or '*word'")
+        toks = tokenize(core, max_token_len, min_token_len, analyzer)
         if not toks:
             continue
         if prefix:
             stem = toks[-1]
             toks = toks[:-1]
             (cur.neg_prefixes if neg else cur.req_prefixes).add(stem)
+        elif suffix:
+            stem = toks[0]
+            toks = toks[1:]
+            (cur.neg_suffixes if neg else cur.req_suffixes).add(stem)
         for t in toks:
             (cur.neg_terms if neg else cur.req_terms).add(t)
     flush()
@@ -175,28 +202,40 @@ def parse_websearch(query: str, max_token_len: int = 64,
 
 
 def positive_terms(clauses: list[BooleanClause],
-                   expansions: dict[str, list[str]]) -> list[str]:
+                   expansions: dict[str, list[str]],
+                   sfx_expansions: dict[str, list[str]] | None = None
+                   ) -> list[str]:
     """Distinct scoring terms: every clause's required terms plus its
-    prefix expansions (phrase terms are already folded into req_terms)."""
+    prefix/suffix expansions (phrase terms are already folded into
+    req_terms). Prefix and suffix stems expand from separate maps — the
+    same string can be both a prefix and a suffix stem."""
+    sfx_expansions = sfx_expansions or {}
     out: set[str] = set()
     for c in clauses:
         out.update(c.req_terms)
         for p in c.req_prefixes:
             out.update(expansions.get(p, ()))
+        for s in c.req_suffixes:
+            out.update(sfx_expansions.get(s, ()))
     return sorted(out)
 
 
 def scan_terms(clauses: list[BooleanClause],
-               expansions: dict[str, list[str]]) -> list[str]:
+               expansions: dict[str, list[str]],
+               sfx_expansions: dict[str, list[str]] | None = None
+               ) -> list[str]:
     """Every term whose postings the kernel needs: positives, negatives,
     and neg-phrase terms (the latter only to prove phrase ABSENCE cheap:
     a doc missing any term of a negated phrase cannot contain it and
     skips the recheck)."""
-    out = set(positive_terms(clauses, expansions))
+    sfx_expansions = sfx_expansions or {}
+    out = set(positive_terms(clauses, expansions, sfx_expansions))
     for c in clauses:
         out.update(c.neg_terms)
         for p in c.neg_prefixes:
             out.update(expansions.get(p, ()))
+        for s in c.neg_suffixes:
+            out.update(sfx_expansions.get(s, ()))
         for ph in c.neg_phrases:
             out.update(ph)
     return sorted(out)

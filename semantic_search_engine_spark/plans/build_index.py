@@ -1010,6 +1010,49 @@ class IndexBuilder:
         return runner
 
     # ------------------------------------------------------------------
+    def build_suffix(self, field: str = "text",
+                     run_id: str | None = None) -> StageRunner:
+        """Opt-in reversed-term dictionary for leading-wildcard
+        (``*word``) expansion — Lucene's ReverseStringFilter / the
+        reverse-B-tree trick (IIR ch. 3.2): a ``term_rev`` side table
+        keyed and SORTED by ``reverse(term)``, so a suffix pattern
+        becomes a ``StartsWith`` on the sorted column and pushes to
+        parquet as a min/max row-group range — the same pushdown shape
+        the forward dictionary gives ``word*`` (X34). One tiny JVM-only
+        pass over term_stats (|dictionary| rows, no text read);
+        resumable; invalidated whenever term_stats changes (merge /
+        delete / migrate reruns it). Without this table the query path
+        falls back to one full-dictionary ``endswith`` scan — correct,
+        priced at O(|dictionary|), exactly what Lucene pays when the
+        reverse filter isn't configured."""
+        from ..functions.udfs import term_bucket_expr
+
+        cfg = self.cfg
+        sfx = "" if field == "text" else f"_{field}"
+        if not self.store.exists(f"term_stats{sfx}"):
+            raise ValueError(
+                f"no term_stats{sfx} table — build the {field!r} index "
+                "before its suffix dictionary")
+        runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
+                             run_id=run_id)
+
+        def _rev():
+            ts = self.store.read(f"term_stats{sfx}").select("term")
+            return (ts.withColumn("term_rev", F.reverse(F.col("term")))
+                    .withColumn("rev_bucket",
+                                term_bucket_expr("term_rev",
+                                                 cfg.n_term_buckets))
+                    .repartition(cfg.n_term_buckets, "rev_bucket"))
+
+        runner.run(f"term_rev{sfx}", f"term_rev{sfx}",
+                   [f"term_stats{sfx}"],
+                   _rev,
+                   partition_by=["rev_bucket"],
+                   sort_within_partitions=["term_rev"])
+        runner.commit_lineage(self.spark)
+        return runner
+
+    # ------------------------------------------------------------------
     def build_embeddings(self, field: str = "text", dim: int = 64,
                          run_id: str | None = None) -> StageRunner:
         """Opt-in hashed document embeddings (operators/hybrid.py) — the

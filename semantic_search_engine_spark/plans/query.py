@@ -692,6 +692,83 @@ class QueryEngine:
             ts.sort()
         return out
 
+    def _term_rev_current(self) -> bool:
+        """May the reversed-term dictionary (``build_suffix``) be trusted
+        for THIS index snapshot? Mirrors ``_champions_current``: its
+        committed fingerprint must chain on the CURRENT term_stats
+        data_uuid under this config. A stale reverse dictionary would
+        silently MISS terms added since it was built, so staleness falls
+        back to the full-dictionary scan (still correct, just the
+        no-side-table price)."""
+        from ..lineage import stage_fingerprint
+
+        sfx = self._sfx()
+        meta = self.store.table_meta(f"term_rev{sfx}") or {}
+        if not meta:
+            return False
+        expected = stage_fingerprint(
+            f"term_rev{sfx}", self.cfg.fingerprint() + f"/{self.field}",
+            [(self.store.table_meta(f"term_stats{sfx}") or {})
+             .get("data_uuid", "")])
+        return meta.get("fingerprint", "") == expected
+
+    def _expand_suffixes(self, suffixes: list[str],
+                         max_expansions: int = 256
+                         ) -> dict[str, list[str]]:
+        """Suffix stem → matching dictionary terms. Fast path: the
+        ``term_rev`` side table (``IndexBuilder.build_suffix``) turns the
+        leading wildcard into ``StartsWith(reverse(term))`` on a column
+        SORTED by reversed term, which pushes to parquet as a min/max
+        row-group range — Lucene's ReverseStringFilter trick. Fallback
+        (table missing or stale): ONE full term_stats scan with
+        ``endswith`` — correct, O(|dictionary|), the price Lucene pays
+        for a leading wildcard without the reverse filter. Both paths
+        share X34's pigeonhole-capped refusal: the driver collect is
+        bounded BEFORE it is paid."""
+        if not suffixes:
+            return {}
+        sfx = self._sfx()
+        if self._term_rev_current():
+            scan = self.store.read(f"term_rev{sfx}").select(
+                "term", "term_rev")
+            revs = {s: s[::-1] for s in suffixes}
+            pred = F.col("term_rev").startswith(revs[suffixes[0]])
+            for s in suffixes[1:]:
+                pred = pred | F.col("term_rev").startswith(revs[s])
+            probe = [(s, F.col("term_rev").startswith(revs[s]))
+                     for s in suffixes]
+        else:
+            scan = self.store.read(f"term_stats{sfx}").select("term")
+            pred = F.col("term").endswith(suffixes[0])
+            for s in suffixes[1:]:
+                pred = pred | F.col("term").endswith(s)
+            probe = [(s, F.col("term").endswith(s)) for s in suffixes]
+        cap = max_expansions * len(suffixes)
+        rows = scan.filter(pred).limit(cap + 1).collect()
+        if len(rows) > cap:
+            cnts = scan.filter(pred).agg(*[
+                F.sum(p.cast("long")).alias(s) for s, p in probe
+            ]).collect()[0]
+            worst = max(suffixes, key=lambda s: int(cnts[s] or 0))
+            raise ValueError(
+                f"suffix '*{worst}' matches {int(cnts[worst])} dictionary "
+                f"terms (max_expansions={max_expansions}); lengthen the "
+                "suffix")
+        terms = [r["term"] for r in rows]
+        out: dict[str, list[str]] = {s: [] for s in suffixes}
+        for t in terms:
+            for s in suffixes:
+                if t.endswith(s):
+                    out[s].append(t)
+        for s, ts in out.items():
+            if len(ts) > max_expansions:
+                raise ValueError(
+                    f"suffix '*{s}' matches {len(ts)} dictionary terms "
+                    f"(max_expansions={max_expansions}); lengthen the "
+                    "suffix")
+            ts.sort()
+        return out
+
     _BOOL_EMPTY = "partition_id int, doc_id long, score double"
 
     def _boolean_survivors(self, query: str, k: int | None,
@@ -728,8 +805,11 @@ class QueryEngine:
         prefixes = sorted({p for c in clauses
                            for p in c.req_prefixes + c.neg_prefixes})
         expansions = self._expand_prefixes(prefixes)
-        pos = positive_terms(clauses, expansions)
-        needed = scan_terms(clauses, expansions)
+        suffixes = sorted({s for c in clauses
+                           for s in c.req_suffixes + c.neg_suffixes})
+        sfx_exp = self._expand_suffixes(suffixes)
+        pos = positive_terms(clauses, expansions, sfx_exp)
+        needed = scan_terms(clauses, expansions, sfx_exp)
         stats = self.corpus_stats()
         avgdl, n_docs = stats["avg_doc_len"], stats["n_docs"]
         if not pos or avgdl <= 0:
@@ -737,9 +817,11 @@ class QueryEngine:
 
         clauses_c = [{
             "req": ([(t,) for t in c.req_terms]
-                    + [tuple(expansions.get(p, ())) for p in c.req_prefixes]),
+                    + [tuple(expansions.get(p, ())) for p in c.req_prefixes]
+                    + [tuple(sfx_exp.get(s, ())) for s in c.req_suffixes]),
             "neg": ([(t,) for t in c.neg_terms]
-                    + [tuple(expansions.get(p, ())) for p in c.neg_prefixes]),
+                    + [tuple(expansions.get(p, ())) for p in c.neg_prefixes]
+                    + [tuple(sfx_exp.get(s, ())) for s in c.neg_suffixes]),
             "req_phrases": list(c.req_phrases),
             "neg_phrases": list(c.neg_phrases),
         } for c in clauses]
