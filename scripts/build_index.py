@@ -49,6 +49,11 @@ def main(argv=None) -> int:
                    help="build the reversed-term dictionary (term_rev) "
                         "so leading-wildcard '*word' queries push down "
                         "instead of scanning the full dictionary")
+    p.add_argument("--trigram-dict", action="store_true",
+                   help="build the trigram term dictionary (term_trigram) "
+                        "so infix-wildcard '*word*' queries scan only the "
+                        "stem's trigram rows (pg_trgm's LIKE-'%%word%%' "
+                        "plan) instead of the full dictionary")
     p.add_argument("--fuzzy", action="store_true",
                    help="also build the SymSpell deletion index "
                         "(typo-tolerant lookup / --mode fuzzy)")
@@ -118,6 +123,9 @@ def main(argv=None) -> int:
     if args.suffix_dict:
         stages += builder.build_suffix(field=args.field,
                                        run_id=args.run_id).metrics
+    if args.trigram_dict:
+        stages += builder.build_trigram(field=args.field,
+                                        run_id=args.run_id).metrics
     if args.fuzzy:
         stages += builder.build_fuzzy(field=args.field,
                                       run_id=args.run_id).metrics

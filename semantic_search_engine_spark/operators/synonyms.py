@@ -111,10 +111,13 @@ def rewrite_clauses(clauses: list[BooleanClause],
                 neg_phrases=c.neg_phrases,
                 req_suffixes=c.req_suffixes,
                 neg_suffixes=c.neg_suffixes,
+                req_contains=c.req_contains,
+                neg_contains=c.neg_contains,
             )
             key = (alt.req_terms, alt.req_prefixes, alt.req_phrases,
                    alt.neg_terms, alt.neg_prefixes, alt.neg_phrases,
-                   alt.req_suffixes, alt.neg_suffixes)
+                   alt.req_suffixes, alt.neg_suffixes,
+                   alt.req_contains, alt.neg_contains)
             if key not in seen:
                 seen.add(key)
                 rewritten.append(alt)

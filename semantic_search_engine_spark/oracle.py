@@ -401,7 +401,10 @@ class OracleIndex:
         suffixes = sorted({s for c in clauses
                            for s in c.req_suffixes + c.neg_suffixes})
         sexp = {s: [t for t in vocab if t.endswith(s)] for s in suffixes}
-        pos_terms = positive_terms(clauses, exp, sexp)
+        contains = sorted({s for c in clauses
+                           for s in c.req_contains + c.neg_contains})
+        cexp = {s: [t for t in vocab if s in t] for s in contains}
+        pos_terms = positive_terms(clauses, exp, sexp, cexp)
 
         out: dict[int, float] = {}
         for did, tpos in self.doc_positions.items():
@@ -416,6 +419,9 @@ class OracleIndex:
                 if not all(any(t in present for t in sexp[s])
                            for s in c.req_suffixes):
                     continue
+                if not all(any(t in present for t in cexp[s])
+                           for s in c.req_contains):
+                    continue
                 if any(t in present for t in c.neg_terms):
                     continue
                 if any(any(t in present for t in exp[p])
@@ -423,6 +429,9 @@ class OracleIndex:
                     continue
                 if any(any(t in present for t in sexp[s])
                        for s in c.neg_suffixes):
+                    continue
+                if any(any(t in present for t in cexp[s])
+                       for s in c.neg_contains):
                     continue
                 if not all(phrase_match_count(tpos, list(ph)) > 0
                            for ph in c.req_phrases):

@@ -15,12 +15,14 @@ engine's own postings:
                              with a trailing ``*`` like the web syntax)
   - ``*word``             -> suffix match (Lucene/Elasticsearch leading
                              wildcard; Postgres tsquery has no analogue)
-  - ``*word*``            -> REFUSED (``ValueError``): an infix/contains
-                             wildcard can use neither the forward- nor
-                             the reverse-sorted dictionary — Lucene
-                             answers it with a full-dictionary regexp
-                             scan, which is exactly the plan a 10^12-doc
-                             engine must name and refuse
+  - ``*word*``            -> infix/contains match for stems of >= 3
+                             chars, answered through the trigram term
+                             dictionary (pg_trgm's plan for
+                             ``LIKE '%word%'``; ``build_trigram``) with
+                             a full-dictionary ``contains`` fallback —
+                             shorter stems are REFUSED (``ValueError``):
+                             they can't use trigrams and match an
+                             unselective slice of the dictionary
 
 Parsing yields disjunctive normal form: a list of conjunctive clauses.
 A document matches iff it satisfies at least one clause; its score is
@@ -90,10 +92,13 @@ class BooleanClause:
     neg_phrases: tuple[tuple[str, ...], ...] = ()
     req_suffixes: tuple[str, ...] = ()
     neg_suffixes: tuple[str, ...] = ()
+    req_contains: tuple[str, ...] = ()
+    neg_contains: tuple[str, ...] = ()
 
     def has_positive(self) -> bool:
         return bool(self.req_terms or self.req_prefixes
-                    or self.req_suffixes or self.req_phrases)
+                    or self.req_suffixes or self.req_contains
+                    or self.req_phrases)
 
 
 _LEX_RE = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
@@ -109,6 +114,8 @@ class _ClauseDraft:
     neg_phrases: list = field(default_factory=list)
     req_suffixes: set = field(default_factory=set)
     neg_suffixes: set = field(default_factory=set)
+    req_contains: set = field(default_factory=set)
+    neg_contains: set = field(default_factory=set)
 
     def freeze(self) -> BooleanClause | None:
         # phrase terms double as required terms: a doc lacking any of
@@ -126,9 +133,11 @@ class _ClauseDraft:
             neg_phrases=tuple(dict.fromkeys(map(tuple, self.neg_phrases))),
             req_suffixes=tuple(sorted(self.req_suffixes)),
             neg_suffixes=tuple(sorted(self.neg_suffixes)),
+            req_contains=tuple(sorted(self.req_contains)),
+            neg_contains=tuple(sorted(self.neg_contains)),
         )
         if not (c.has_positive() or c.neg_terms or c.neg_prefixes
-                or c.neg_suffixes or c.neg_phrases):
+                or c.neg_suffixes or c.neg_contains or c.neg_phrases):
             return None  # nothing survived tokenization
         if not c.has_positive():
             raise ValueError(
@@ -178,14 +187,26 @@ def parse_websearch(query: str, max_token_len: int = 64,
         prefix = word.endswith("*")
         suffix = word.startswith("*")
         core = word.strip("*")
-        if prefix and suffix and core:
-            raise ValueError(
-                f"infix/contains wildcard '{word}' is not supported: it "
-                "can use neither the forward- nor the reverse-sorted "
-                "term dictionary (a full-dictionary scan at web scale); "
-                "use 'word*' or '*word'")
         toks = tokenize(core, max_token_len, min_token_len, analyzer)
         if not toks:
+            continue
+        if prefix and suffix:
+            # infix/contains: a single stem routed through the trigram
+            # dictionary. Multi-token cores are ambiguous (which token
+            # carries the wildcard?) and short stems have no trigram and
+            # match an unselective slice of the dictionary — pg_trgm has
+            # the same floor (a LIKE '%ab%' never uses its index).
+            if len(toks) != 1:
+                raise ValueError(
+                    f"infix wildcard '{word}' tokenizes to several terms "
+                    f"({toks}); wrap a single term, e.g. '*{toks[0]}*'")
+            stem = toks[0]
+            if len(stem) < 3:
+                raise ValueError(
+                    f"infix wildcard '*{stem}*' is shorter than a trigram "
+                    "(3 chars) and cannot use the trigram dictionary; "
+                    "lengthen the stem")
+            (cur.neg_contains if neg else cur.req_contains).add(stem)
             continue
         if prefix:
             stem = toks[-1]
@@ -203,13 +224,15 @@ def parse_websearch(query: str, max_token_len: int = 64,
 
 def positive_terms(clauses: list[BooleanClause],
                    expansions: dict[str, list[str]],
-                   sfx_expansions: dict[str, list[str]] | None = None
+                   sfx_expansions: dict[str, list[str]] | None = None,
+                   ctn_expansions: dict[str, list[str]] | None = None
                    ) -> list[str]:
     """Distinct scoring terms: every clause's required terms plus its
-    prefix/suffix expansions (phrase terms are already folded into
-    req_terms). Prefix and suffix stems expand from separate maps — the
-    same string can be both a prefix and a suffix stem."""
+    prefix/suffix/contains expansions (phrase terms are already folded
+    into req_terms). Each wildcard kind expands from its own map — the
+    same stem string can appear in several kinds."""
     sfx_expansions = sfx_expansions or {}
+    ctn_expansions = ctn_expansions or {}
     out: set[str] = set()
     for c in clauses:
         out.update(c.req_terms)
@@ -217,25 +240,32 @@ def positive_terms(clauses: list[BooleanClause],
             out.update(expansions.get(p, ()))
         for s in c.req_suffixes:
             out.update(sfx_expansions.get(s, ()))
+        for s in c.req_contains:
+            out.update(ctn_expansions.get(s, ()))
     return sorted(out)
 
 
 def scan_terms(clauses: list[BooleanClause],
                expansions: dict[str, list[str]],
-               sfx_expansions: dict[str, list[str]] | None = None
+               sfx_expansions: dict[str, list[str]] | None = None,
+               ctn_expansions: dict[str, list[str]] | None = None
                ) -> list[str]:
     """Every term whose postings the kernel needs: positives, negatives,
     and neg-phrase terms (the latter only to prove phrase ABSENCE cheap:
     a doc missing any term of a negated phrase cannot contain it and
     skips the recheck)."""
     sfx_expansions = sfx_expansions or {}
-    out = set(positive_terms(clauses, expansions, sfx_expansions))
+    ctn_expansions = ctn_expansions or {}
+    out = set(positive_terms(clauses, expansions, sfx_expansions,
+                             ctn_expansions))
     for c in clauses:
         out.update(c.neg_terms)
         for p in c.neg_prefixes:
             out.update(expansions.get(p, ()))
         for s in c.neg_suffixes:
             out.update(sfx_expansions.get(s, ()))
+        for s in c.neg_contains:
+            out.update(ctn_expansions.get(s, ()))
         for ph in c.neg_phrases:
             out.update(ph)
     return sorted(out)

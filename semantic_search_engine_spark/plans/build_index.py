@@ -1053,6 +1053,55 @@ class IndexBuilder:
         return runner
 
     # ------------------------------------------------------------------
+    def build_trigram(self, field: str = "text",
+                      run_id: str | None = None) -> StageRunner:
+        """Opt-in trigram term dictionary for infix/contains wildcards
+        (``*word*``) — pg_trgm's plan for ``LIKE '%word%'`` (its GIN
+        index maps trigram -> matching values) and Lucene's
+        NGramTokenFilter: a ``term_trigram`` side table of DISTINCT
+        ``(trigram, term)`` rows. An infix stem expands by scanning the
+        stem's own trigrams (``trigram IN (...)`` — pushed to parquet;
+        the partition column is a pure function of the trigram's first
+        byte, known to the PLANNER in Python, so the scan also prunes
+        whole directories) and keeping terms that carry ALL of them,
+        then verifying ``contains`` (trigram containment is necessary,
+        not sufficient: it ignores order). One JVM-only pass over
+        term_stats — ~``avg_len``x the dictionary in rows, still
+        dictionary-scale, no text read; resumable; invalidated whenever
+        term_stats changes. Without this table the query path falls
+        back to one full-dictionary ``contains`` scan — correct, priced
+        at O(|dictionary|), exactly the seq scan Postgres runs when the
+        pg_trgm index is absent."""
+        cfg = self.cfg
+        sfx = "" if field == "text" else f"_{field}"
+        if not self.store.exists(f"term_stats{sfx}"):
+            raise ValueError(
+                f"no term_stats{sfx} table — build the {field!r} index "
+                "before its trigram dictionary")
+        runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
+                             run_id=run_id)
+
+        def _tri():
+            ts = self.store.read(f"term_stats{sfx}").select("term")
+            tri = F.transform(
+                F.sequence(F.lit(1), F.length("term") - F.lit(2)),
+                lambda i: F.col("term").substr(i, F.lit(3)))
+            return (ts.filter(F.length("term") >= 3)
+                    .withColumn("trigram", F.explode(F.array_distinct(tri)))
+                    .withColumn("tri_bucket",
+                                F.pmod(F.ascii("trigram"),
+                                       F.lit(cfg.n_term_buckets)))
+                    .repartition(cfg.n_term_buckets, "tri_bucket"))
+
+        runner.run(f"term_trigram{sfx}", f"term_trigram{sfx}",
+                   [f"term_stats{sfx}"],
+                   _tri,
+                   partition_by=["tri_bucket"],
+                   sort_within_partitions=["trigram", "term"])
+        runner.commit_lineage(self.spark)
+        return runner
+
+    # ------------------------------------------------------------------
     def build_embeddings(self, field: str = "text", dim: int = 64,
                          run_id: str | None = None) -> StageRunner:
         """Opt-in hashed document embeddings (operators/hybrid.py) — the

@@ -769,6 +769,86 @@ class QueryEngine:
             ts.sort()
         return out
 
+    def _trigram_current(self) -> bool:
+        """May the trigram term dictionary (``build_trigram``) be
+        trusted for THIS index snapshot? Same fingerprint-chain check as
+        ``_term_rev_current``: stale -> full-dictionary fallback."""
+        from ..lineage import stage_fingerprint
+
+        sfx = self._sfx()
+        meta = self.store.table_meta(f"term_trigram{sfx}") or {}
+        if not meta:
+            return False
+        expected = stage_fingerprint(
+            f"term_trigram{sfx}", self.cfg.fingerprint() + f"/{self.field}",
+            [(self.store.table_meta(f"term_stats{sfx}") or {})
+             .get("data_uuid", "")])
+        return meta.get("fingerprint", "") == expected
+
+    @staticmethod
+    def _trigrams(stem: str) -> list[str]:
+        return sorted({stem[i:i + 3] for i in range(len(stem) - 2)})
+
+    def _expand_contains(self, stems: list[str],
+                         max_expansions: int = 256
+                         ) -> dict[str, list[str]]:
+        """Infix stem -> matching dictionary terms. Fast path: the
+        ``term_trigram`` side table (``IndexBuilder.build_trigram`` —
+        the pg_trgm plan for ``LIKE '%word%'``): scan ONLY the stems'
+        own trigram rows (``tri_bucket`` partition pruning + ``trigram
+        IN`` parquet pushdown), keep terms carrying ALL trigrams of a
+        stem (one conditional-count agg over the pruned rows), verify
+        ``contains`` driver-side (trigram containment ignores order —
+        necessary, not sufficient). Fallback (table missing or stale):
+        ONE full term_stats scan with ``contains`` — the seq scan
+        Postgres runs without the pg_trgm index. Both paths share the
+        pigeonhole-capped refusal before any unbounded collect."""
+        if not stems:
+            return {}
+        sfx = self._sfx()
+        cap = max_expansions * len(stems)
+        if self._trigram_current():
+            tris = {s: self._trigrams(s) for s in stems}
+            all_tris = sorted({t for ts in tris.values() for t in ts})
+            buckets = sorted({ord(t[0]) % self.cfg.n_term_buckets
+                              for t in all_tris})
+            scan = (self.store.read(f"term_trigram{sfx}")
+                    .filter(F.col("tri_bucket").isin(buckets))
+                    .filter(F.col("trigram").isin(all_tris)))
+            agg = scan.groupBy("term").agg(*[
+                F.sum(F.col("trigram").isin(tris[s]).cast("int"))
+                .alias(f"c{i}") for i, s in enumerate(stems)])
+            pred = None
+            for i, s in enumerate(stems):
+                p = F.col(f"c{i}") == len(tris[s])
+                pred = p if pred is None else (pred | p)
+            rows = agg.filter(pred).select("term").limit(cap + 1).collect()
+        else:
+            scan = self.store.read(f"term_stats{sfx}").select("term")
+            pred = F.col("term").contains(stems[0])
+            for s in stems[1:]:
+                pred = pred | F.col("term").contains(s)
+            rows = scan.filter(pred).limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"infix wildcards {stems} match more than {cap} dictionary "
+                f"terms (max_expansions={max_expansions}); lengthen the "
+                "stem")
+        out: dict[str, list[str]] = {s: [] for s in stems}
+        for r in rows:
+            t = r["term"]
+            for s in stems:
+                if s in t:  # the contains verify (exact on both paths)
+                    out[s].append(t)
+        for s, ts in out.items():
+            if len(ts) > max_expansions:
+                raise ValueError(
+                    f"infix wildcard '*{s}*' matches {len(ts)} dictionary "
+                    f"terms (max_expansions={max_expansions}); lengthen "
+                    "the stem")
+            ts.sort()
+        return out
+
     _BOOL_EMPTY = "partition_id int, doc_id long, score double"
 
     def _boolean_survivors(self, query: str, k: int | None,
@@ -808,8 +888,11 @@ class QueryEngine:
         suffixes = sorted({s for c in clauses
                            for s in c.req_suffixes + c.neg_suffixes})
         sfx_exp = self._expand_suffixes(suffixes)
-        pos = positive_terms(clauses, expansions, sfx_exp)
-        needed = scan_terms(clauses, expansions, sfx_exp)
+        contains = sorted({s for c in clauses
+                           for s in c.req_contains + c.neg_contains})
+        ctn_exp = self._expand_contains(contains)
+        pos = positive_terms(clauses, expansions, sfx_exp, ctn_exp)
+        needed = scan_terms(clauses, expansions, sfx_exp, ctn_exp)
         stats = self.corpus_stats()
         avgdl, n_docs = stats["avg_doc_len"], stats["n_docs"]
         if not pos or avgdl <= 0:
@@ -818,10 +901,12 @@ class QueryEngine:
         clauses_c = [{
             "req": ([(t,) for t in c.req_terms]
                     + [tuple(expansions.get(p, ())) for p in c.req_prefixes]
-                    + [tuple(sfx_exp.get(s, ())) for s in c.req_suffixes]),
+                    + [tuple(sfx_exp.get(s, ())) for s in c.req_suffixes]
+                    + [tuple(ctn_exp.get(s, ())) for s in c.req_contains]),
             "neg": ([(t,) for t in c.neg_terms]
                     + [tuple(expansions.get(p, ())) for p in c.neg_prefixes]
-                    + [tuple(sfx_exp.get(s, ())) for s in c.neg_suffixes]),
+                    + [tuple(sfx_exp.get(s, ())) for s in c.neg_suffixes]
+                    + [tuple(ctn_exp.get(s, ())) for s in c.neg_contains]),
             "req_phrases": list(c.req_phrases),
             "neg_phrases": list(c.neg_phrases),
         } for c in clauses]

@@ -35,11 +35,17 @@ def test_parse_suffix_negation():
     assert c.req_terms == ("word",)
 
 
-def test_parse_infix_wildcard_refused():
-    with pytest.raises(ValueError, match="infix"):
-        parse_websearch("*foo*")
-    with pytest.raises(ValueError, match="infix"):
-        parse_websearch("ok -*bar*")
+def test_parse_infix_short_stem_refused():
+    # infix parses into req_contains/neg_contains (X65) — but stems
+    # shorter than a trigram are refused, and multi-token cores too
+    with pytest.raises(ValueError, match="trigram"):
+        parse_websearch("*ab*")
+    with pytest.raises(ValueError, match="several terms"):
+        parse_websearch("*data-pipeline*")
+    (c,) = parse_websearch("*foo* ok")
+    assert c.req_contains == ("foo",) and c.req_terms == ("ok",)
+    (c,) = parse_websearch("ok -*bar*")
+    assert c.neg_contains == ("bar",) and c.req_terms == ("ok",)
 
 
 def test_parse_bare_star_skipped():
