@@ -12,6 +12,9 @@ Usage:
 
 Prints one JSON line per query: the result envelope (results, total_count,
 limit, offset, query, execution_time_ms) — the SearchResponse analogue.
+``site:host`` / ``-site:host`` operators inside a wand/exhaustive query
+become structured host filters (subdomain-inclusive), like every web
+search box.
 --suggest/--explain/--facet switch the output to typeahead suggestions,
 a per-term BM25 breakdown, or a facet histogram respectively.
 """
@@ -278,7 +281,8 @@ def main(argv=None) -> int:
                    "total_count": len(hits), "limit": args.k, "offset": 0,
                    "query": q}
         elif (args.lang is None and args.min_score == 0.0
-                and args.offset == 0 and args.count == "none"):
+                and args.offset == 0 and args.count == "none"
+                and "site:" not in q.lower()):
             # simple case: bare top-k honoring --mode (wand OR exhaustive)
             hits = qe.top_k(q, k=args.k, mode=args.mode)
             out = {"results": [{"doc_id": d, "score": s} for d, s in hits],
@@ -289,9 +293,17 @@ def main(argv=None) -> int:
                 print("--synonyms supports bare top-k and boolean mode "
                       "only (no filters/offset/count)", file=sys.stderr)
                 return 2
-            out = qe.search(q, k=args.k, offset=args.offset,
+            # site:/-site: operators in the query string become
+            # structured host filters (extract_site_filters)
+            from semantic_search_engine_spark.plans.boolean import (
+                extract_site_filters,
+            )
+            clean_q, site, neg_site = extract_site_filters(q)
+            out = qe.search(clean_q, k=args.k, offset=args.offset,
                             min_score=args.min_score, lang=args.lang,
-                            count_mode=args.count, mode=args.mode)
+                            count_mode=args.count, mode=args.mode,
+                            site=site, neg_site=neg_site)
+            out["query"] = q
         print(json.dumps(out, default=str))
     if not preexisting:
         spark.stop()

@@ -64,9 +64,38 @@ from .wand import bm25_idf
 __all__ = [
     "BooleanClause",
     "parse_websearch",
+    "extract_site_filters",
     "make_boolean_bucket_fn",
     "BOOLEAN_OUT_SCHEMA",
 ]
+
+_SITE_RE = re.compile(r'(?:(?<=\s)|^)(-?)site:(\S*)', re.IGNORECASE)
+
+
+def extract_site_filters(query: str
+                         ) -> tuple[str, str | None, str | None]:
+    """Pull web-search ``site:host`` / ``-site:host`` operators out of a
+    raw query string (the preprocessing every web search box does before
+    ranking): returns ``(query_without_site_tokens, site, neg_site)``.
+    The host match itself is structured metadata filtering
+    (``QueryEngine._host_pred`` — subdomain-inclusive), NOT a ranking
+    term, which is why it is extracted rather than parsed into the DNF.
+    Repeated operators of the same polarity: the LAST one wins (matching
+    how a user edits a query by appending)."""
+    site = neg_site = None
+
+    def _take(m: re.Match) -> str:
+        nonlocal site, neg_site
+        host = m.group(2).strip().strip(".").lower()
+        if host:
+            if m.group(1):
+                neg_site = host
+            else:
+                site = host
+        return ""
+
+    clean = _SITE_RE.sub(_take, query)
+    return " ".join(clean.split()), site, neg_site
 
 
 # ---------------------------------------------------------------------------

@@ -278,8 +278,22 @@ class QueryEngine:
                         .alias("score")))
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _host_pred(site: str):
+        """Subdomain-inclusive host match (web-search ``site:`` operator
+        semantics: ``site:example.com`` matches ``example.com`` AND
+        ``www.example.com``): host == site OR host ends with ".site".
+        Host comes from the JVM ``parse_url`` — a codegen expression on
+        doc_meta's url column, no UDF. At 10^12 docs a served index
+        would materialize ``host`` as a doc_meta column (X25 CoW merge)
+        — same predicate, then also a parquet-pushable equality."""
+        s = site.lower().strip().strip(".")
+        host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+        return (host == F.lit(s)) | host.endswith(F.lit("." + s))
+
     def _apply_meta_filters(self, meta: DataFrame, lang, warc_ts_min,
-                            warc_ts_max) -> DataFrame:
+                            warc_ts_max, site=None,
+                            neg_site=None) -> DataFrame:
         """Conditional structured filters (the Catalyst-friendly form of
         the reference's ``(? IS NULL OR pred)`` trick,
         ``ProductRepository.java:75-79``) — single definition for every
@@ -290,13 +304,19 @@ class QueryEngine:
             meta = meta.filter(F.col("warc_ts") >= F.lit(warc_ts_min))
         if warc_ts_max is not None:
             meta = meta.filter(F.col("warc_ts") <= F.lit(warc_ts_max))
+        if site is not None:
+            meta = meta.filter(self._host_pred(site))
+        if neg_site is not None:
+            meta = meta.filter(~self._host_pred(neg_site))
         return meta
 
     def wand_top_k_df(self, query: str, k: int | None = None,
                       lang: str | None = None, warc_ts_min=None,
                       warc_ts_max=None,
                       min_score: float = 0.0,
-                      min_match: int = 1) -> DataFrame:
+                      min_match: int = 1,
+                      site: str | None = None,
+                      neg_site: str | None = None) -> DataFrame:
         """Block-max WAND top-k (E10), optionally filtered (E11) — the fast
         query path.
 
@@ -325,7 +345,8 @@ class QueryEngine:
                                         warc_ts_min=warc_ts_min,
                                         warc_ts_max=warc_ts_max,
                                         min_score=min_score,
-                                        min_match=min_match)
+                                        min_match=min_match,
+                                        site=site, neg_site=neg_site)
                 .select("doc_id", "score")
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
@@ -380,7 +401,9 @@ class QueryEngine:
                            min_score: float = 0.0,
                            after: tuple[float, int] | None = None,
                            term_boosts: dict[str, float] | None = None,
-                           min_match: int = 1) -> DataFrame:
+                           min_match: int = 1,
+                           site: str | None = None,
+                           neg_site: str | None = None) -> DataFrame:
         """Batch WAND core: (query_id, partition_id, doc_id, score).
 
         ``after`` is the keyset-pagination cursor (see
@@ -445,11 +468,13 @@ class QueryEngine:
                                          all_terms).select("term", "df")
         blocks = blocks.join(F.broadcast(df_side), "term")
         filtered = (lang is not None or warc_ts_min is not None
-                    or warc_ts_max is not None)
+                    or warc_ts_max is not None or site is not None
+                    or neg_site is not None)
         if filtered:
             allowed = self._apply_meta_filters(
                 self.store.read(f"doc_meta{self._sfx()}"), lang,
-                warc_ts_min, warc_ts_max).select("partition_id", "doc_id")
+                warc_ts_min, warc_ts_max, site=site,
+                neg_site=neg_site).select("partition_id", "doc_id")
             fn = make_wand_batch_cogroup_fn(query_terms, k,
                                             float(cfg.k1), float(cfg.b),
                                             avgdl, n_docs,
@@ -1034,8 +1059,13 @@ class QueryEngine:
         on the bucket-colocated key, then a two-level aggregate: partial
         per-partition counts combine map-side, so the shuffle carries ≤
         |facet values| × P rows, never the match set."""
-        facet = (F.date_trunc(granularity, F.col(by)).alias(by)
-                 if granularity else F.col(by))
+        # "host" is a derived facet (the top-sites widget): the JVM
+        # parse_url expression over doc_meta's url — no stored column
+        # needed (a served index would materialize it, X25 CoW)
+        base = (F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+                if by == "host" else F.col(by))
+        facet = (F.date_trunc(granularity, base).alias(by)
+                 if granularity else base.alias(by))
         order = ((F.asc(by),) if granularity
                  else (F.desc("n_docs"), F.asc(by)))
         if mode == "boolean":
@@ -1920,7 +1950,9 @@ class QueryEngine:
     def approx_count(self, query: str, min_score: float = 0.0,
                      lang: str | None = None, warc_ts_min=None,
                      warc_ts_max=None,
-                     sample_buckets: list[int] | None = None) -> int:
+                     sample_buckets: list[int] | None = None,
+                     site: str | None = None,
+                     neg_site: str | None = None) -> int:
         """Sampled pre-limit candidate count (reference Q10,
         ``ProductRepository.java:95-117``) — the middle ground between
         ``count_mode="exact"`` (scores EVERY candidate: O(Σ postings of
@@ -1948,15 +1980,18 @@ class QueryEngine:
             # pipeline, parquet reads a single binary column) and count
             # distinct candidates. Same estimate, ~3x less decode work.
             cand = self.candidate_ids_df(query, buckets=sample)
-        if lang is None and warc_ts_min is None and warc_ts_max is None:
+        if (lang is None and warc_ts_min is None and warc_ts_max is None
+                and site is None and neg_site is None):
             n = cand.count()
         else:
             meta = (self.store.read(f"doc_meta{self._sfx()}")
                     .filter(F.col("partition_id")
                             .isin([int(b) for b in sample]))
-                    .select("doc_id", "lang", "warc_ts"))
+                    .select("doc_id", "url", "lang", "warc_ts"))
             n = self._apply_meta_filters(cand.join(meta, "doc_id"), lang,
-                                         warc_ts_min, warc_ts_max).count()
+                                         warc_ts_min, warc_ts_max,
+                                         site=site,
+                                         neg_site=neg_site).count()
         return int(round(n * P / len(sample)))
 
     def candidate_ids_df(self, query: str,
@@ -1996,7 +2031,8 @@ class QueryEngine:
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
     def _scored_filtered(self, query: str, min_score: float, lang,
-                         warc_ts_min, warc_ts_max) -> DataFrame:
+                         warc_ts_min, warc_ts_max, site=None,
+                         neg_site=None) -> DataFrame:
         """Exhaustive candidates joined to doc_meta with all structured
         filters applied — shared by search_df and search()."""
         cand = self.scores_df(query)
@@ -2005,7 +2041,8 @@ class QueryEngine:
         meta = self.store.read(f"doc_meta{self._sfx()}").select(
             "doc_id", "url", "warc_ts", "lang", "doc_len")
         return self._apply_meta_filters(cand.join(meta, "doc_id"), lang,
-                                        warc_ts_min, warc_ts_max)
+                                        warc_ts_min, warc_ts_max,
+                                        site=site, neg_site=neg_site)
 
     # ------------------------------------------------------------------
     def search_df(
@@ -2017,18 +2054,22 @@ class QueryEngine:
         lang: str | None = None,
         warc_ts_min=None,
         warc_ts_max=None,
+        site: str | None = None,
+        neg_site: str | None = None,
     ) -> DataFrame:
         """Lazy top-k page: (doc_id, url, warc_ts, lang, doc_len, score).
 
         Filters are built conditionally in Python (the Catalyst-friendly
         version of the reference's ``(? IS NULL OR pred)`` SQL trick,
-        ``ProductRepository.java:75-79``).
+        ``ProductRepository.java:75-79``). ``site``/``neg_site`` are the
+        web-search ``site:`` operator (subdomain-inclusive host match).
         """
         cfg = self.cfg
         k = cfg.default_k if k is None else min(k, cfg.max_k)
         offset = min(max(offset, 0), cfg.max_offset)
         out = self._scored_filtered(query, min_score, lang,
-                                    warc_ts_min, warc_ts_max)
+                                    warc_ts_min, warc_ts_max,
+                                    site=site, neg_site=neg_site)
         # TakeOrderedAndProject: per-partition heap of k+offset, then merge
         page = (out.orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k + offset))
@@ -2045,7 +2086,8 @@ class QueryEngine:
                min_score: float = 0.0, lang: str | None = None,
                warc_ts_min=None, warc_ts_max=None,
                count_mode: str = "exact", mode: str = "wand",
-               highlight: bool = False) -> dict:
+               highlight: bool = False, site: str | None = None,
+               neg_site: str | None = None) -> dict:
         """Materialized result envelope — the analogue of the reference's
         ``SearchResponse`` (``model/SearchResponse.java:5-12`` +
         ``SearchService.java:63-78``: results, totalCount, limit, offset,
@@ -2078,7 +2120,7 @@ class QueryEngine:
             top = self._batch_wand_ranked(
                 [query], k=k + offset, lang=lang,
                 warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max,
-                min_score=min_score
+                min_score=min_score, site=site, neg_site=neg_site
             ).select("partition_id", "doc_id", "score")
             rows = self._hydrate_hits(top).collect()[offset:]
             snips = (self.snippets([r["doc_id"] for r in rows], query)
@@ -2086,7 +2128,8 @@ class QueryEngine:
             if count_mode == "approx":
                 total = max(self.approx_count(
                     query, min_score=min_score, lang=lang,
-                    warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max),
+                    warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max,
+                    site=site, neg_site=neg_site),
                     len(rows))
             else:
                 total = len(rows)
@@ -2104,7 +2147,8 @@ class QueryEngine:
             }
 
         out = self._scored_filtered(query, min_score, lang,
-                                    warc_ts_min, warc_ts_max)
+                                    warc_ts_min, warc_ts_max,
+                                    site=site, neg_site=neg_site)
 
         out = out.cache()
         try:
