@@ -113,11 +113,14 @@ def rewrite_clauses(clauses: list[BooleanClause],
                 neg_suffixes=c.neg_suffixes,
                 req_contains=c.req_contains,
                 neg_contains=c.neg_contains,
+                req_regex=c.req_regex,
+                neg_regex=c.neg_regex,
             )
             key = (alt.req_terms, alt.req_prefixes, alt.req_phrases,
                    alt.neg_terms, alt.neg_prefixes, alt.neg_phrases,
                    alt.req_suffixes, alt.neg_suffixes,
-                   alt.req_contains, alt.neg_contains)
+                   alt.req_contains, alt.neg_contains,
+                   alt.req_regex, alt.neg_regex)
             if key not in seen:
                 seen.add(key)
                 rewritten.append(alt)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import re
 from collections import Counter, defaultdict
 from dataclasses import dataclass, field
 
@@ -404,7 +405,13 @@ class OracleIndex:
         contains = sorted({s for c in clauses
                            for s in c.req_contains + c.neg_contains})
         cexp = {s: [t for t in vocab if s in t] for s in contains}
-        pos_terms = positive_terms(clauses, exp, sexp, cexp)
+        # oracle regex dialect is Python re; engine tests stay inside
+        # the re/java.util.regex-portable subset
+        regexes = sorted({p for c in clauses
+                          for p in c.req_regex + c.neg_regex})
+        rexp = {p: [t for t in vocab if re.fullmatch(p, t)]
+                for p in regexes}
+        pos_terms = positive_terms(clauses, exp, sexp, cexp, rexp)
 
         out: dict[int, float] = {}
         for did, tpos in self.doc_positions.items():
@@ -422,6 +429,9 @@ class OracleIndex:
                 if not all(any(t in present for t in cexp[s])
                            for s in c.req_contains):
                     continue
+                if not all(any(t in present for t in rexp[p])
+                           for p in c.req_regex):
+                    continue
                 if any(t in present for t in c.neg_terms):
                     continue
                 if any(any(t in present for t in exp[p])
@@ -432,6 +442,9 @@ class OracleIndex:
                     continue
                 if any(any(t in present for t in cexp[s])
                        for s in c.neg_contains):
+                    continue
+                if any(any(t in present for t in rexp[p])
+                       for p in c.neg_regex):
                     continue
                 if not all(phrase_match_count(tpos, list(ph)) > 0
                            for ph in c.req_phrases):

@@ -23,6 +23,12 @@ engine's own postings:
                              shorter stems are REFUSED (``ValueError``):
                              they can't use trigrams and match an
                              unselective slice of the dictionary
+  - ``/pattern/``         -> regex term (Lucene query_string syntax;
+                             RegexpQuery semantics — the pattern must
+                             match the ENTIRE dictionary term). The
+                             literal prefix, if any, pushes to parquet
+                             as a term range; dialect is java.util.regex
+                             (engines pick one: Postgres ``~`` is POSIX)
 
 Parsing yields disjunctive normal form: a list of conjunctive clauses.
 A document matches iff it satisfies at least one clause; its score is
@@ -123,11 +129,13 @@ class BooleanClause:
     neg_suffixes: tuple[str, ...] = ()
     req_contains: tuple[str, ...] = ()
     neg_contains: tuple[str, ...] = ()
+    req_regex: tuple[str, ...] = ()
+    neg_regex: tuple[str, ...] = ()
 
     def has_positive(self) -> bool:
         return bool(self.req_terms or self.req_prefixes
                     or self.req_suffixes or self.req_contains
-                    or self.req_phrases)
+                    or self.req_regex or self.req_phrases)
 
 
 _LEX_RE = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
@@ -145,6 +153,8 @@ class _ClauseDraft:
     neg_suffixes: set = field(default_factory=set)
     req_contains: set = field(default_factory=set)
     neg_contains: set = field(default_factory=set)
+    req_regex: set = field(default_factory=set)
+    neg_regex: set = field(default_factory=set)
 
     def freeze(self) -> BooleanClause | None:
         # phrase terms double as required terms: a doc lacking any of
@@ -164,9 +174,12 @@ class _ClauseDraft:
             neg_suffixes=tuple(sorted(self.neg_suffixes)),
             req_contains=tuple(sorted(self.req_contains)),
             neg_contains=tuple(sorted(self.neg_contains)),
+            req_regex=tuple(sorted(self.req_regex)),
+            neg_regex=tuple(sorted(self.neg_regex)),
         )
         if not (c.has_positive() or c.neg_terms or c.neg_prefixes
-                or c.neg_suffixes or c.neg_contains or c.neg_phrases):
+                or c.neg_suffixes or c.neg_contains or c.neg_regex
+                or c.neg_phrases):
             return None  # nothing survived tokenization
         if not c.has_positive():
             raise ValueError(
@@ -213,6 +226,23 @@ def parse_websearch(query: str, max_token_len: int = 64,
         if not neg and word.upper() == "OR":
             flush()
             continue
+        if len(word) > 2 and word.startswith("/") and word.endswith("/"):
+            # /pattern/ — Lucene query_string regex term (RegexpQuery
+            # semantics: the pattern must match the ENTIRE dictionary
+            # term). The pattern is NOT analyzed/tokenized — indexed
+            # terms are lowercase, so patterns should be too. Dialect is
+            # the JVM's java.util.regex on the fast path (each engine
+            # picks one: Postgres ~ is POSIX, Lucene has its own);
+            # Python re validates syntax up front so a typo fails the
+            # parse, not a Spark job.
+            pat = word[1:-1]
+            try:
+                re.compile(pat)
+            except re.error as exc:
+                raise ValueError(
+                    f"invalid regex term {word!r}: {exc}") from exc
+            (cur.neg_regex if neg else cur.req_regex).add(pat)
+            continue
         prefix = word.endswith("*")
         suffix = word.startswith("*")
         core = word.strip("*")
@@ -254,14 +284,16 @@ def parse_websearch(query: str, max_token_len: int = 64,
 def positive_terms(clauses: list[BooleanClause],
                    expansions: dict[str, list[str]],
                    sfx_expansions: dict[str, list[str]] | None = None,
-                   ctn_expansions: dict[str, list[str]] | None = None
+                   ctn_expansions: dict[str, list[str]] | None = None,
+                   rex_expansions: dict[str, list[str]] | None = None
                    ) -> list[str]:
     """Distinct scoring terms: every clause's required terms plus its
-    prefix/suffix/contains expansions (phrase terms are already folded
-    into req_terms). Each wildcard kind expands from its own map — the
-    same stem string can appear in several kinds."""
+    prefix/suffix/contains/regex expansions (phrase terms are already
+    folded into req_terms). Each wildcard kind expands from its own map
+    — the same stem string can appear in several kinds."""
     sfx_expansions = sfx_expansions or {}
     ctn_expansions = ctn_expansions or {}
+    rex_expansions = rex_expansions or {}
     out: set[str] = set()
     for c in clauses:
         out.update(c.req_terms)
@@ -271,13 +303,16 @@ def positive_terms(clauses: list[BooleanClause],
             out.update(sfx_expansions.get(s, ()))
         for s in c.req_contains:
             out.update(ctn_expansions.get(s, ()))
+        for s in c.req_regex:
+            out.update(rex_expansions.get(s, ()))
     return sorted(out)
 
 
 def scan_terms(clauses: list[BooleanClause],
                expansions: dict[str, list[str]],
                sfx_expansions: dict[str, list[str]] | None = None,
-               ctn_expansions: dict[str, list[str]] | None = None
+               ctn_expansions: dict[str, list[str]] | None = None,
+               rex_expansions: dict[str, list[str]] | None = None
                ) -> list[str]:
     """Every term whose postings the kernel needs: positives, negatives,
     and neg-phrase terms (the latter only to prove phrase ABSENCE cheap:
@@ -285,8 +320,9 @@ def scan_terms(clauses: list[BooleanClause],
     skips the recheck)."""
     sfx_expansions = sfx_expansions or {}
     ctn_expansions = ctn_expansions or {}
+    rex_expansions = rex_expansions or {}
     out = set(positive_terms(clauses, expansions, sfx_expansions,
-                             ctn_expansions))
+                             ctn_expansions, rex_expansions))
     for c in clauses:
         out.update(c.neg_terms)
         for p in c.neg_prefixes:
@@ -295,6 +331,8 @@ def scan_terms(clauses: list[BooleanClause],
             out.update(sfx_expansions.get(s, ()))
         for s in c.neg_contains:
             out.update(ctn_expansions.get(s, ()))
+        for s in c.neg_regex:
+            out.update(rex_expansions.get(s, ()))
         for ph in c.neg_phrases:
             out.update(ph)
     return sorted(out)

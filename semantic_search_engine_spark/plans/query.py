@@ -874,6 +874,73 @@ class QueryEngine:
             ts.sort()
         return out
 
+    _REX_META = set("\\.^$*+?()[]{}|")
+
+    @classmethod
+    def _regex_literal_prefix(cls, pat: str) -> str:
+        """Longest literal prefix of a regex — the pushdown handle
+        (Lucene's RegexpQuery extracts the same thing to seed its term
+        automaton; Postgres plans ``~ '^abc'`` as an index range scan).
+        A trailing char owned by a quantifier is excluded (``ab*`` has
+        prefix ``a``)."""
+        out = []
+        for i, ch in enumerate(pat):
+            if ch in cls._REX_META:
+                if ch in "*+?{" and out:
+                    out.pop()  # the previous char is quantified
+                break
+            out.append(ch)
+        return "".join(out)
+
+    def _expand_regex(self, patterns: list[str],
+                      max_expansions: int = 256
+                      ) -> dict[str, list[str]]:
+        """Regex term -> matching dictionary terms (Lucene RegexpQuery
+        semantics: the pattern must match the ENTIRE term). ONE
+        dictionary scan evaluates every pattern as a JVM ``rlike``
+        column (dialect = java.util.regex, the engine's documented
+        choice, as Postgres ``~`` is POSIX and Lucene is its own);
+        membership per pattern comes from the SAME JVM evaluation — no
+        cross-dialect reassignment. Patterns with a literal prefix add
+        ``StartsWith`` to the scan filter, which pushes to parquet as a
+        min/max row-group range on the term-sorted dictionary (the X34
+        prefix plan); a prefix-less pattern is the full-dictionary scan
+        Lucene pays for ``.*foo.*`` regexps. Pigeonhole-capped refusal
+        BEFORE any unbounded collect, like every wildcard kind."""
+        if not patterns:
+            return {}
+        sfx = self._sfx()
+        cap = max_expansions * len(patterns)
+        scan = self.store.read(f"term_stats{sfx}").select("term")
+        cols, pred = [], None
+        for i, pat in enumerate(patterns):
+            m = F.col("term").rlike(f"^(?:{pat})$")
+            prefix = self._regex_literal_prefix(pat)
+            if prefix:
+                m = F.col("term").startswith(prefix) & m
+            cols.append(m.alias(f"m{i}"))
+            pred = m if pred is None else (pred | m)
+        rows = (scan.select("term", *cols).filter(pred)
+                .limit(cap + 1).collect())
+        if len(rows) > cap:
+            raise ValueError(
+                f"regex terms {patterns} match more than {cap} dictionary "
+                f"terms (max_expansions={max_expansions}); tighten the "
+                "pattern")
+        out: dict[str, list[str]] = {p: [] for p in patterns}
+        for r in rows:
+            for i, pat in enumerate(patterns):
+                if r[f"m{i}"]:
+                    out[pat].append(r["term"])
+        for p, ts in out.items():
+            if len(ts) > max_expansions:
+                raise ValueError(
+                    f"regex term /{p}/ matches {len(ts)} dictionary "
+                    f"terms (max_expansions={max_expansions}); tighten "
+                    "the pattern")
+            ts.sort()
+        return out
+
     _BOOL_EMPTY = "partition_id int, doc_id long, score double"
 
     def _boolean_survivors(self, query: str, k: int | None,
@@ -916,8 +983,13 @@ class QueryEngine:
         contains = sorted({s for c in clauses
                            for s in c.req_contains + c.neg_contains})
         ctn_exp = self._expand_contains(contains)
-        pos = positive_terms(clauses, expansions, sfx_exp, ctn_exp)
-        needed = scan_terms(clauses, expansions, sfx_exp, ctn_exp)
+        regexes = sorted({p for c in clauses
+                          for p in c.req_regex + c.neg_regex})
+        rex_exp = self._expand_regex(regexes)
+        pos = positive_terms(clauses, expansions, sfx_exp, ctn_exp,
+                             rex_exp)
+        needed = scan_terms(clauses, expansions, sfx_exp, ctn_exp,
+                            rex_exp)
         stats = self.corpus_stats()
         avgdl, n_docs = stats["avg_doc_len"], stats["n_docs"]
         if not pos or avgdl <= 0:
@@ -927,11 +999,13 @@ class QueryEngine:
             "req": ([(t,) for t in c.req_terms]
                     + [tuple(expansions.get(p, ())) for p in c.req_prefixes]
                     + [tuple(sfx_exp.get(s, ())) for s in c.req_suffixes]
-                    + [tuple(ctn_exp.get(s, ())) for s in c.req_contains]),
+                    + [tuple(ctn_exp.get(s, ())) for s in c.req_contains]
+                    + [tuple(rex_exp.get(p, ())) for p in c.req_regex]),
             "neg": ([(t,) for t in c.neg_terms]
                     + [tuple(expansions.get(p, ())) for p in c.neg_prefixes]
                     + [tuple(sfx_exp.get(s, ())) for s in c.neg_suffixes]
-                    + [tuple(ctn_exp.get(s, ())) for s in c.neg_contains]),
+                    + [tuple(ctn_exp.get(s, ())) for s in c.neg_contains]
+                    + [tuple(rex_exp.get(p, ())) for p in c.neg_regex]),
             "req_phrases": list(c.req_phrases),
             "neg_phrases": list(c.neg_phrases),
         } for c in clauses]
