@@ -57,6 +57,11 @@ def main(argv=None) -> int:
     p.add_argument("--fuzzy", action="store_true",
                    help="also build the SymSpell deletion index "
                         "(typo-tolerant lookup / --mode fuzzy)")
+    p.add_argument("--lm", action="store_true",
+                   help="persist the bigram language model "
+                        "(lm_unigrams/lm_bigrams) so 'did you mean' "
+                        "(query.py --did-you-mean) serves without "
+                        "retraining")
     p.add_argument("--embeddings", type=int, default=None, metavar="DIM",
                    help="also build DIM-dimensional hashed doc embeddings "
                         "(hybrid / --mode hybrid retrieval)")
@@ -129,6 +134,9 @@ def main(argv=None) -> int:
     if args.fuzzy:
         stages += builder.build_fuzzy(field=args.field,
                                       run_id=args.run_id).metrics
+    if args.lm:
+        stages += builder.build_lm(field=args.field,
+                                   run_id=args.run_id).metrics
     if args.embeddings:
         stages += builder.build_embeddings(field=args.field,
                                            dim=args.embeddings,

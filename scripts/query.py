@@ -56,6 +56,9 @@ def main(argv=None) -> int:
     p.add_argument("--suggest", action="store_true",
                    help="positional args are prefixes; print typeahead "
                         "suggestions")
+    p.add_argument("--did-you-mean", action="store_true",
+                   help="print full-query spelling corrections (needs "
+                        "the --fuzzy and --lm builds)")
     p.add_argument("--explain", type=int, default=None, metavar="DOC_ID",
                    help="print the per-term BM25 breakdown of "
                         "(query, DOC_ID)")
@@ -164,6 +167,26 @@ def main(argv=None) -> int:
             print(json.dumps({"prefix": prefix, "suggestions": [
                 {"term": t, "df": df}
                 for t, df in qe.suggest(prefix, n=args.k)]}))
+        if not preexisting:
+            spark.stop()
+        return 0
+
+    if args.did_you_mean:
+        from semantic_search_engine_spark.operators.lm import load_lm
+        from semantic_search_engine_spark.operators.suggest_phrase import (
+            suggest_phrase,
+        )
+        lm = load_lm(store, field=args.field)
+        sfx = "" if args.field == "text" else f"_{args.field}"
+        deletes = store.read(f"term_deletes{sfx}")
+        for q in args.queries:
+            out = suggest_phrase(
+                q, deletes, lm, n_best=args.k,
+                max_token_len=qe.cfg.max_token_len,
+                min_token_len=qe.cfg.min_token_len,
+                analyzer=qe.cfg.analyzer,
+                n_term_buckets=qe.cfg.n_term_buckets)
+            print(json.dumps({"query": q, "suggestions": out}))
         if not preexisting:
             spark.stop()
         return 0

@@ -159,3 +159,19 @@ def filter_by_perplexity(docs: DataFrame, lm: StupidBackoffLM,
             .filter(F.col("ppl") <= F.lit(float(max_ppl)))
             .select(id_col))
     return docs.join(keep, id_col, "left_semi")
+
+
+def load_lm(store, field: str = "text", alpha: float = 0.4
+            ) -> StupidBackoffLM:
+    """Bind a :class:`StupidBackoffLM` to the side tables persisted by
+    ``IndexBuilder.build_lm`` (X74's serving path — no retraining).
+    ``total_tokens`` is one scalar aggregate over the unigram counts.
+    The tables carry ``w_bucket``/``prev_bucket`` partition columns;
+    the phrase suggester adds constant-folded bucket filters to its
+    ``IN`` lookups so the scans prune directories."""
+    sfx = "" if field == "text" else f"_{field}"
+    uni = store.read(f"lm_unigrams{sfx}")
+    big = store.read(f"lm_bigrams{sfx}")
+    total = uni.agg(F.sum("c")).collect()[0][0]
+    return StupidBackoffLM(unigrams=uni, bigrams=big,
+                           total_tokens=int(total or 0), alpha=alpha)

@@ -69,7 +69,8 @@ def suggest_phrase(query: str, deletes: DataFrame, lm: StupidBackoffLM,
                    max_edit: int = 1, per_term: int = 6,
                    error_logp: float = -4.0, n_best: int = 3,
                    max_token_len: int = 64, min_token_len: int = 1,
-                   analyzer: str = "simple") -> list[dict]:
+                   analyzer: str = "simple",
+                   n_term_buckets: int | None = None) -> list[dict]:
     """Top ``n_best`` corrections of ``query``; see module docstring.
 
     Returns [{"suggestion", "logscore", "changed"}] ordered best-first.
@@ -87,16 +88,39 @@ def suggest_phrase(query: str, deletes: DataFrame, lm: StupidBackoffLM,
     lattice = [cands[t] for t in toks]
 
     # pruned count lookups: unigrams for every candidate, bigrams for
-    # every adjacent candidate pair (superset IN-scan, tiny)
+    # every adjacent candidate pair (superset IN-scan, tiny). When the
+    # tables come from IndexBuilder.build_lm they carry term-hash
+    # partition columns — with ``n_term_buckets`` given, constant-folded
+    # bucket equality filters (the X34 pattern: Catalyst folds
+    # xxhash64(lit)) prune whole directories before the IN pushdown.
+    def _bucket_pred(df: DataFrame, bcol: str, values: list[str]):
+        if n_term_buckets is None or bcol not in df.columns or not values:
+            return None
+        from functools import reduce
+        from operator import or_
+
+        from ..functions.udfs import term_bucket_lit
+        return reduce(or_, [
+            F.col(bcol) == term_bucket_lit(v, n_term_buckets)
+            for v in values])
+
     vocab = sorted({c for pos in lattice for c, _d, _df in pos})
+    uscan = lm.unigrams
+    up = _bucket_pred(uscan, "w_bucket", vocab)
+    if up is not None:
+        uscan = uscan.filter(up)
     uni = {r["w"]: int(r["c"]) for r in
-           lm.unigrams.filter(F.col("w").isin(vocab)).collect()}
+           uscan.filter(F.col("w").isin(vocab)).collect()}
     prevs = sorted({c for pos in lattice[:-1] for c, _d, _df in pos})
     nexts = sorted({c for pos in lattice[1:] for c, _d, _df in pos})
     big: dict[tuple[str, str], tuple[int, int]] = {}
     if prevs and nexts:
-        for r in (lm.bigrams.filter(F.col("prev").isin(prevs)
-                                    & F.col("w").isin(nexts))
+        bscan = lm.bigrams
+        bp = _bucket_pred(bscan, "prev_bucket", prevs)
+        if bp is not None:
+            bscan = bscan.filter(bp)
+        for r in (bscan.filter(F.col("prev").isin(prevs)
+                               & F.col("w").isin(nexts))
                   .collect()):
             big[(r["prev"], r["w"])] = (int(r["c"]), int(r["c_prev"]))
     n_total = float(max(lm.total_tokens, 1))

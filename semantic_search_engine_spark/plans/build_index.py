@@ -972,6 +972,95 @@ class IndexBuilder:
         runner.commit_lineage(self.spark)
         return runner
 
+    def build_lm(self, field: str = "text",
+                 run_id: str | None = None) -> StageRunner:
+        """Opt-in bigram language model (operators/lm.py, X63) persisted
+        as index side tables — the serving form behind the phrase
+        suggester (X74, "did you mean") and standing CCNet-style quality
+        gates, so query time never re-trains.
+
+        Two stages, ALL JVM (no Python text pass):
+        - ``lm_unigrams`` is FREE: unigram count c(w) == corpus term
+          frequency, already aggregated in term_stats' ``cf`` (E6) — a
+          projection, not a scan of text.
+        - ``lm_bigrams`` is one doc_features scan: the simple analyzer's
+          tokenizer is expressible exactly in Catalyst
+          (``regexp_extract_all(lower(text)) + length filter``), adjacent
+          pairs explode JVM-side, counts aggregate with map-side combine,
+          and the denominator c(prev) pre-joins from the committed
+          unigram table (Brants '07: no normalization pass).
+        Both partitioned by term hash bucket, so the suggester's
+        ``w IN``/``prev IN`` lookups prune directories
+        (constant-foldable ``term_bucket_lit`` filters).
+
+        Only ``analyzer="simple"`` is supported: a stemmed dictionary
+        would make the LM suggest stems, not words — the same reason
+        ES's phrase suggester runs on an unstemmed shingle field.
+        """
+        from ..functions.udfs import term_bucket_expr
+
+        cfg = self.cfg
+        if cfg.analyzer != "simple":
+            raise NotImplementedError(
+                "build_lm supports the simple analyzer only (a stemmed "
+                "LM would suggest stems; ES's phrase suggester likewise "
+                "runs on an unstemmed field)")
+        sfx = "" if field == "text" else f"_{field}"
+        for dep in (f"term_stats{sfx}", f"doc_features{sfx}"):
+            if not self.store.exists(dep):
+                raise ValueError(
+                    f"no {dep} table — build the {field!r} index first")
+        runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
+                             run_id=run_id)
+
+        def _uni():
+            return (self.store.read(f"term_stats{sfx}")
+                    .select(F.col("term").alias("w"),
+                            F.col("cf").alias("c"))
+                    .withColumn("w_bucket",
+                                term_bucket_expr("w", cfg.n_term_buckets))
+                    .repartition(cfg.n_term_buckets, "w_bucket"))
+
+        runner.run(f"lm_unigrams{sfx}", f"lm_unigrams{sfx}",
+                   [f"term_stats{sfx}"], _uni,
+                   partition_by=["w_bucket"],
+                   sort_within_partitions=["w"])
+
+        def _big():
+            # the simple tokenizer, exactly, in Catalyst: lowercase
+            # alnum runs filtered to the configured length band
+            toks = F.filter(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"),
+                lambda t: (F.length(t) >= cfg.min_token_len)
+                & (F.length(t) <= cfg.max_token_len))
+            base = (self.store.read(f"doc_features{sfx}")
+                    .filter(F.col("text").isNotNull())
+                    .select(toks.alias("_t"))
+                    .filter(F.size("_t") > 1))
+            pairs = base.select(F.explode(F.arrays_zip(
+                F.slice("_t", 1, F.size("_t") - 1).alias("prev"),
+                F.slice("_t", 2, F.size("_t") - 1).alias("w"))).alias("p"))
+            big = (pairs.select(F.col("p.prev").alias("prev"),
+                                F.col("p.w").alias("w"))
+                   .groupBy("prev", "w")
+                   .agg(F.count(F.lit(1)).alias("c")))
+            uni = (self.store.read(f"lm_unigrams{sfx}")
+                   .select(F.col("w").alias("prev"),
+                           F.col("c").alias("c_prev")))
+            return (big.join(uni, "prev")
+                    .withColumn("prev_bucket",
+                                term_bucket_expr("prev",
+                                                 cfg.n_term_buckets))
+                    .repartition(cfg.n_term_buckets, "prev_bucket"))
+
+        runner.run(f"lm_bigrams{sfx}", f"lm_bigrams{sfx}",
+                   [f"doc_features{sfx}", f"lm_unigrams{sfx}"], _big,
+                   partition_by=["prev_bucket"],
+                   sort_within_partitions=["prev", "w"])
+        runner.commit_lineage(self.spark)
+        return runner
+
+    # ------------------------------------------------------------------
     def build_fuzzy(self, field: str = "text", max_edit: int = 1,
                     run_id: str | None = None) -> StageRunner:
         """Opt-in SymSpell deletion index (operators/fuzzy.py) — typo

@@ -1843,6 +1843,71 @@ class QueryEngine:
                 "n_docs": n, "total": total, "terms": terms}
 
     # -------------------------------------------------------- index stats
+    def term_vectors(self, doc_ids: list[int],
+                     with_positions: bool = True,
+                     max_docs: int = 100) -> DataFrame:
+        """Per-document term statistics — Elasticsearch's
+        ``_termvectors`` API (X75): (doc_id, term, tf, positions, df,
+        idf), the relevance-debugging view ("why does this doc score
+        what it scores" pairs with ``explain``'s per-term breakdown).
+
+        Like ES with term vectors NOT stored, the vector is recomputed
+        on the fly from the stored field: the doc_features scan prunes
+        to the requested docs' doc-range buckets (partition filter) +
+        ``doc_id IN``, tf comes from the stored ``tf_map`` (no
+        re-tokenize), positions (optional) from ONE ``token_positions``
+        pass over just those docs' text, and df/idf ride a pruned
+        term_stats ``term IN`` scan with the oracle's exact
+        ``bm25_idf`` float expression. A per-doc debug API, not a batch
+        operator — ``max_docs`` refuses unbounded use (the batch form
+        is the index itself)."""
+        from ..textproc import doc_bucket, token_positions
+
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            return self.spark.createDataFrame(
+                [], "doc_id long, term string, tf int, "
+                    "positions array<int>, df long, idf double")
+        if len(ids) > max_docs:
+            raise ValueError(
+                f"term_vectors is a per-doc debug API: {len(ids)} docs "
+                f"> max_docs={max_docs}")
+        cfg = self.cfg
+        buckets = sorted({doc_bucket(d, cfg.n_doc_buckets) for d in ids})
+        feats = (self.store.read(f"doc_features{self._sfx()}")
+                 .filter(F.col("partition_id").isin(buckets))
+                 .filter(F.col("doc_id").isin(ids))
+                 .select("doc_id", "text", "tf_map"))
+        rows = feats.collect()  # ≤ max_docs rows
+        mtl, mnl, anlz = (cfg.max_token_len, cfg.min_token_len,
+                          cfg.analyzer)
+        out = []
+        terms = set()
+        for r in rows:
+            pos_map = (token_positions(r["text"], mtl, mnl, anlz)
+                       if with_positions else {})
+            for term, tf in (r["tf_map"] or {}).items():
+                terms.add(term)
+                out.append((r["doc_id"], term, int(tf),
+                            pos_map.get(term) if with_positions
+                            else None))
+        tv = self.spark.createDataFrame(
+            out, "doc_id long, term string, tf int, positions array<int>")
+        stats = self.corpus_stats()
+        df_side = self._pruned_term_scan(
+            f"term_stats{self._sfx()}", sorted(terms)).select("term", "df")
+        n = float(stats["n_docs"])
+        # bm25_idf as a JVM expression (same IEEE-double op sequence as
+        # the Python form — pinned in tests); no per-row Python here
+        dfc = F.col("df").cast("double")
+        idf = F.log(F.lit(1.0) + (F.lit(n) - dfc + F.lit(0.5))
+                    / (dfc + F.lit(0.5)))
+        return (tv.join(F.broadcast(df_side), "term", "left")
+                .withColumn("df", F.coalesce("df", F.lit(0)))
+                .select("doc_id", "term", "tf", "positions", "df",
+                        idf.alias("idf"))
+                .orderBy("doc_id", "term"))
+
     def index_stats(self) -> dict:
         """Operational index summary — the engine-side analogue of the
         reference's health probe (U4, ``HealthController.java``):
