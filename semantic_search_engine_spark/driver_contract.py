@@ -710,6 +710,38 @@ WHERE EXISTS (
 """
 
 
+def q_having_exists(spark, sf_dir):
+    """Combined relational entry (r3 registry fold): the correlated-
+    EXISTS shape (``q_exists_subquery``) feeding a GROUP BY ... HAVING
+    (``q_having_filter``) — suppliers in rich nations, counted per
+    nation, nations with >= 2 such suppliers. Both retired single-facet
+    entries stay pinned in tests/test_driver_contract.py."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("ab"))
+    rich_nations = (c.crossJoin(F.broadcast(avg_bal))
+                    .filter(F.col("c_acctbal") > F.col("ab"))
+                    .select("c_nationkey").distinct())
+    s = _t(spark, sf_dir, "supplier")
+    return (s.join(F.broadcast(rich_nations),
+                   s["s_nationkey"] == rich_nations["c_nationkey"],
+                   "left_semi")
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"))
+            .filter(F.col("n_suppliers") >= 2))
+
+
+SQL_HAVING_EXISTS = """
+SELECT s_nationkey, count(*) AS n_suppliers
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_nationkey = s.s_nationkey
+    AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+)
+GROUP BY s_nationkey HAVING count(*) >= 2
+"""
+
+
 def q_merge_latest(spark, sf_dir):
     """S4 upsert keep-latest semantics: arg-max row per key."""
     w = Window.partitionBy("o_custkey").orderBy(
@@ -1146,22 +1178,28 @@ GROUP BY doc_id
 def q_text_quality_metrics(spark, sf_dir):
     """Combined per-doc text-quality panel: the token-level features
     (``q_quality_score``), the character-class ratios
-    (``q_punct_quality``), and the stopword density
-    (``q_stopword_ratio``) joined on doc_id — one driver entry verifying
-    all eight columns of the web-corpus quality-filter feature set."""
+    (``q_punct_quality``), the stopword density (``q_stopword_ratio``),
+    and — since the r3 registry fold — the three corpus-size estimators
+    (``q_token_counts``: whitespace / alnum-run / BPE-ish tokens),
+    joined on doc_id: one driver entry verifying all eleven columns of
+    the web-corpus quality-filter feature set. The retired
+    ``token_counts`` entry stays pinned in tests."""
     return (q_quality_score(spark, sf_dir)
             .join(q_punct_quality(spark, sf_dir), "doc_id")
-            .join(q_stopword_ratio(spark, sf_dir), "doc_id"))
+            .join(q_stopword_ratio(spark, sf_dir), "doc_id")
+            .join(q_token_counts(spark, sf_dir), "doc_id"))
 
 
-# SQL composed from the same three single-facet oracles
+# SQL composed from the same single-facet oracles
 def _sql_text_quality_metrics() -> str:
     return f"""
 SELECT q.doc_id, q.n_tokens, q.ttr, q.avg_token_len,
-       p.n_chars, p.alnum_ratio, p.punct_ratio, s.stopword_ratio
+       p.n_chars, p.alnum_ratio, p.punct_ratio, s.stopword_ratio,
+       tc.ws_tokens, tc.alnum_tokens, tc.bpe_tokens
 FROM ({SQL_QUALITY}) q
 JOIN ({SQL_PUNCT_QUALITY}) p ON q.doc_id = p.doc_id
 JOIN ({SQL_STOPWORD_RATIO}) s ON q.doc_id = s.doc_id
+JOIN ({_sql_token_counts()}) tc ON q.doc_id = tc.doc_id
 """
 
 
@@ -1943,16 +1981,169 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_rank_eval_metrics(spark, sf_dir):
+    """Rank-evaluation harness (X66, operators/rank_eval.py) run
+    end-to-end INSIDE the contract: deterministic synthetic retrieval
+    (one "query" per language, docs ranked by (n_chars DESC, doc_id)) +
+    deterministic graded judgments (doc_id % 3 == 0, grade doc_id % 5),
+    scored to per-query precision/recall/MRR/AP/nDCG/ERR @10 — the full
+    window+agg pipeline vs a DuckDB CTE mirror of the textbook metric
+    definitions. Floats rounded to 4 decimals on BOTH sides (the
+    float-heavy-entry discipline)."""
+    from pyspark.sql import Window
+
+    from .operators.rank_eval import rank_eval
+
+    d = _t(spark, sf_dir, "documents")
+    qid = (F.ascii(F.substring("lang", 1, 1)) * 256
+           + F.ascii(F.substring("lang", 2, 1)))
+    q = d.select("doc_id", "n_chars", qid.alias("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_chars"),
+                                               F.asc("doc_id"))
+    results = (q.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= 20)
+               .select("query_id", "doc_id", "rank"))
+    judg = (q.filter(F.col("doc_id") % 3 == 0)
+            .select("query_id", "doc_id",
+                    (F.col("doc_id") % 5).cast("double").alias("grade")))
+    m = rank_eval(results, judg, k=10, max_grade=4)
+    return m.select(
+        "query_id", "n_retrieved", "n_rel",
+        *[F.round(c, 4).alias(c) for c in
+          ("precision", "recall", "mrr", "ap", "ndcg", "err")])
+
+
+SQL_RANK_EVAL = """
+WITH q AS (
+  SELECT doc_id, n_chars,
+         ascii(substr(lang, 1, 1)) * 256 + ascii(substr(lang, 2, 1))
+           AS query_id
+  FROM documents),
+results AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_chars DESC, doc_id) AS rank
+    FROM q) WHERE rank <= 20),
+judg AS (
+  -- the max_grade cap applies HERE, where grade is never NULL:
+  -- DuckDB's least() IGNORES NULLs (least(NULL, 4.0) = 4.0), so
+  -- capping after the left join would grade unjudged docs 4
+  SELECT query_id, doc_id, least(CAST(doc_id % 5 AS DOUBLE), 4.0)
+           AS grade
+  FROM q WHERE doc_id % 3 = 0),
+ideal AS (
+  SELECT query_id,
+         sum(CASE WHEN irank <= 10
+             THEN (pow(2, grade) - 1) / log2(irank + 1.0)
+             ELSE 0 END) AS idcg,
+         sum(CASE WHEN grade >= 1 THEN 1 ELSE 0 END) AS n_rel
+  FROM (SELECT query_id, grade,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY grade DESC, doc_id) AS irank
+        FROM judg)
+  GROUP BY query_id),
+g AS (
+  SELECT r.query_id, r.doc_id, r.rank,
+         coalesce(j.grade, 0.0) AS grade,
+         CASE WHEN coalesce(j.grade, 0) >= 1 THEN 1 ELSE 0 END AS rel
+  FROM results r
+  LEFT JOIN judg j ON r.query_id = j.query_id AND r.doc_id = j.doc_id),
+w AS (
+  SELECT *,
+         sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+                        ROWS UNBOUNDED PRECEDING) AS cum_rel,
+         coalesce(sum(ln(1.0 - (pow(2, grade) - 1) / 16.0))
+                  OVER (PARTITION BY query_id ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0.0) AS log_skip
+  FROM g),
+per AS (
+  SELECT query_id,
+    count(*) AS n_retrieved,
+    sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) AS rel_at_k,
+    min(CASE WHEN rank <= 10 AND rel = 1 THEN rank END) AS first_rel,
+    sum(CASE WHEN rank <= 10 AND rel = 1
+        THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0 END) AS ap_sum,
+    sum(CASE WHEN rank <= 10
+        THEN (pow(2, grade) - 1) / log2(rank + 1.0) ELSE 0 END) AS dcg,
+    sum(CASE WHEN rank <= 10
+        THEN ((pow(2, grade) - 1) / 16.0) * exp(log_skip) / rank
+        ELSE 0 END) AS err
+  FROM w GROUP BY query_id)
+SELECT p.query_id, p.n_retrieved,
+  coalesce(i.n_rel, 0) AS n_rel,
+  round(p.rel_at_k / 10.0, 4) AS precision,
+  round(CASE WHEN coalesce(i.n_rel, 0) > 0
+        THEN p.rel_at_k / CAST(i.n_rel AS DOUBLE) ELSE 0 END, 4)
+    AS recall,
+  round(coalesce(1.0 / p.first_rel, 0.0), 4) AS mrr,
+  round(CASE WHEN coalesce(i.n_rel, 0) > 0
+        THEN p.ap_sum / least(i.n_rel, 10) ELSE 0 END, 4) AS ap,
+  round(CASE WHEN coalesce(i.idcg, 0) > 0
+        THEN p.dcg / i.idcg ELSE 0 END, 4) AS ndcg,
+  round(p.err, 4) AS err
+FROM per p LEFT JOIN ideal i ON p.query_id = i.query_id
+"""
+
+
+def q_repeated_span_dedup(spark, sf_dir):
+    """Repeated-span detection (X77, operators/spandup.py) end-to-end
+    INSIDE the contract: maximal duplicated token spans (window n=8)
+    over the documents table — JVM window hashing + one hash shuffle +
+    gaps-and-islands merge, vs a DuckDB mirror that groups the window
+    STRINGS themselves (hash-free: also a cross-check that xxhash64
+    introduced no collision at this scale)."""
+    from .operators.spandup import repeated_ngram_spans
+
+    d = _t(spark, sf_dir, "documents")
+    s = repeated_ngram_spans(d, n=8)
+    return s.select("doc_id",
+                    F.col("start").cast("long").alias("start"),
+                    F.col("length").cast("long").alias("length"),
+                    F.col("n_windows").cast("long").alias("n_windows"))
+
+
+SQL_REPEATED_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     x -> len(x) <= 64) AS t
+  FROM documents WHERE text IS NOT NULL),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM toks WHERE len(t) >= 8),
+wins AS (
+  SELECT doc_id, i - 1 AS start, array_to_string(t[i:i+7], ' ') AS ng
+  FROM idx),
+dup AS (SELECT ng FROM wins GROUP BY ng HAVING count(*) >= 2),
+d AS (SELECT w.doc_id, w.start FROM wins w JOIN dup USING (ng)),
+runs AS (
+  SELECT doc_id, start,
+         start - row_number() OVER (PARTITION BY doc_id ORDER BY start)
+           AS run
+  FROM d)
+SELECT doc_id, min(start) AS start, count(*) + 7 AS length,
+       count(*) AS n_windows
+FROM runs GROUP BY doc_id, run
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry — HARD CAP 50 entries (the driver verifies at most 50; entries
 # past the window get no CORRECTNESS row — VERDICT r2 #1). Single-facet
-# queries folded into combined entries (text_quality_metrics,
-# token_counts, rollup_set_ops, events_windows) keep full column-level
-# verification; tests/test_driver_contract.py pins the cap. Round 3 swap:
+# queries folded into combined entries (text_quality_metrics — which
+# since the late-r3 fold also carries the token_counts columns —
+# rollup_set_ops, events_windows, having_exists) keep full column-level
+# verification; tests/test_driver_contract.py pins the cap. Round 3 swaps:
 # `simhash` (signatures — exercised transitively by BOTH simhash pair
 # entries) and `shingle3_stats` (shingles — the substrate of the three
 # minhash entries) moved to pytest-only pins (tests/test_operators.py) to
-# make room for the curation/LM entries; nothing lost column-wise.
+# make room for the curation/LM entries; late r3, `having_filter` +
+# `exists_subquery` folded into `having_exists` and `token_counts` into
+# `text_quality_metrics` (all three retired pairs stay pinned in
+# tests/test_driver_contract.py) to admit `rank_eval_metrics` (X66) and
+# `repeated_span_dedup` (X77); nothing lost column-wise.
 # ---------------------------------------------------------------------------
 
 DRIVER_VERIFY_WINDOW = 50
@@ -1986,8 +2177,7 @@ REGISTRY: dict[str, tuple] = {
     "join_agg_broadcast": (q_join_agg_broadcast, SQL_JOIN_AGG),
     "merge_latest": (q_merge_latest, SQL_MERGE_LATEST),
     "semi_anti_join": (q_semi_anti_join, SQL_SEMI_ANTI),
-    "having_filter": (q_having_filter, SQL_HAVING),
-    "exists_subquery": (q_exists_subquery, SQL_EXISTS_SUBQUERY),
+    "having_exists": (q_having_exists, SQL_HAVING_EXISTS),
     # ingest parsers
     "parse_price_reviewcount": (q_parse_price_reviewcount,
                                 SQL_PARSE_PRICE_REVIEWCOUNT),
@@ -2004,7 +2194,8 @@ REGISTRY: dict[str, tuple] = {
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
     "text_quality_metrics": (q_text_quality_metrics,
                              _sql_text_quality_metrics()),
-    "token_counts": (q_token_counts, _sql_token_counts()),
+    "rank_eval_metrics": (q_rank_eval_metrics, SQL_RANK_EVAL),
+    "repeated_span_dedup": (q_repeated_span_dedup, SQL_REPEATED_SPANS),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, SQL_SIMHASH_NEARDUP),
     "simhash_banded_pairs": (q_simhash_banded_pairs, SQL_SIMHASH_BANDED),

@@ -75,16 +75,27 @@ def test_query_matches_oracle(name, spark, ddb):
 def _retired_pins():
     """Pairs swapped OUT of the 50-entry registry (r3: simhash signatures
     and shingle stats — both exercised transitively by the surviving
-    pair entries) stay pinned here so the capability never regresses."""
+    pair entries; late r3: having_filter/exists_subquery folded into
+    having_exists and token_counts into text_quality_metrics) stay
+    pinned here so the capability never regresses."""
     from semantic_search_engine_spark.driver_contract import (
+        SQL_EXISTS_SUBQUERY,
+        SQL_HAVING,
         SQL_SHINGLE3,
         SQL_SIMHASH,
+        _sql_token_counts,
+        q_exists_subquery,
+        q_having_filter,
         q_shingle3_stats,
         q_simhash,
+        q_token_counts,
     )
 
     return {"simhash": (q_simhash, SQL_SIMHASH),
-            "shingle3_stats": (q_shingle3_stats, SQL_SHINGLE3)}
+            "shingle3_stats": (q_shingle3_stats, SQL_SHINGLE3),
+            "having_filter": (q_having_filter, SQL_HAVING),
+            "exists_subquery": (q_exists_subquery, SQL_EXISTS_SUBQUERY),
+            "token_counts": (q_token_counts, _sql_token_counts())}
 
 
 @pytest.mark.parametrize("name", sorted(_retired_pins()))
