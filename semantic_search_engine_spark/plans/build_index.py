@@ -1451,6 +1451,45 @@ class IndexBuilder:
         return runner
 
     # ------------------------------------------------------------------
+    def expire_documents(self, older_than, field: str = "text",
+                         run_id: str | None = None,
+                         max_expire: int = 100_000) -> StageRunner | None:
+        """Age-based retention (X78) — Elasticsearch ILM's delete phase
+        as an engine operation: drop every document whose ``warc_ts`` is
+        strictly before ``older_than`` and maintain the index through
+        the SAME partition-pruned CoW + incremental-postings path as
+        :meth:`delete_docs` (bit-identity to a rebuild over survivors is
+        inherited from that path's pinned guarantee).
+
+        The expiring set comes from ONE pruned doc_meta scan (a
+        ``warc_ts <`` predicate — parquet row-group min/max makes this
+        cheap on time-correlated data). Returns None when nothing
+        expires. ``max_expire`` bounds the driver collect: age-expiry
+        touching more urls than that is a MASS retention event — at
+        10^12 docs old documents live in every doc bucket, so the
+        incremental path degenerates to re-encoding all of them anyway;
+        the honest plan for that regime is a filtered full rebuild
+        (``build`` over ``doc_features.filter(warc_ts >= cutoff)``),
+        and this method refuses rather than silently collecting 10^10
+        urls (the time-PARTITIONED alternative — one index per crawl
+        slice, expiry = dropping a whole federated member, X61 — is the
+        zero-rewrite design SCALE.md recommends)."""
+        sfx = "" if field == "text" else f"_{field}"
+        meta = (self.store.read(f"doc_meta{sfx}")
+                .filter(F.col("warc_ts") < F.lit(older_than))
+                .select("url"))
+        rows = meta.limit(max_expire + 1).collect()
+        if not rows:
+            return None
+        if len(rows) > max_expire:
+            raise ValueError(
+                f"more than {max_expire} documents expire before "
+                f"{older_than!r}: mass retention should be a filtered "
+                "rebuild or a dropped time-partition (X61), not an "
+                "incremental delete")
+        return self.delete_docs([r["url"] for r in rows], field=field,
+                                run_id=run_id)
+
     def delete_docs(self, urls: list[str], field: str = "text",
                     run_id: str | None = None,
                     incremental: bool = True) -> StageRunner:
