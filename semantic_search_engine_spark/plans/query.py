@@ -363,7 +363,9 @@ class QueryEngine:
                             k: int | None = None,
                             lang: str | None = None, warc_ts_min=None,
                             warc_ts_max=None,
-                            min_match: int = 1) -> DataFrame:
+                            min_match: int = 1,
+                            site: str | None = None,
+                            neg_site: str | None = None) -> DataFrame:
         """Multi-query block-max WAND: N queries, ONE Spark job.
 
         Returns (query_id, doc_id, score) — query_id is the position in
@@ -391,7 +393,8 @@ class QueryEngine:
         return (self._batch_wand_ranked(queries, k=k, lang=lang,
                                         warc_ts_min=warc_ts_min,
                                         warc_ts_max=warc_ts_max,
-                                        min_match=min_match)
+                                        min_match=min_match,
+                                        site=site, neg_site=neg_site)
                 .select("query_id", "doc_id", "score"))
 
     def _batch_wand_ranked(self, queries: list[str],
