@@ -101,6 +101,38 @@ def decode_term_doc_ids(batches: Iterator[pd.DataFrame]
 # one definition, shared with the in-job idf computation
 from .wand import bm25_idf  # noqa: E402
 
+# Lucene/ES query_string boost syntax: a whitespace-separated fragment
+# ending in ^<number> boosts every term the fragment tokenizes to
+import re as _re  # noqa: E402
+
+_BOOST_RE = _re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+
+
+def parse_term_boosts(query: str, max_token_len: int = 64,
+                      min_token_len: int = 1,
+                      analyzer: str = "simple"
+                      ) -> tuple[str, dict[str, float]]:
+    """Parse ``term^2.5`` boost syntax (Lucene/ES ``query_string``):
+    returns (clean query = all tokens space-joined, boosts keyed by the
+    POST-analysis term — the same key space as WAND's weight map, so a
+    stemmed/analyzed index boosts the right dictionary entry). A
+    fragment that tokenizes to several tokens (``data-pipeline^3``)
+    boosts each; a repeated boosted term keeps the LAST boost; a bare
+    ``^`` with no valid number stays literal text (the tokenizer
+    strips it)."""
+    terms: list[str] = []
+    boosts: dict[str, float] = {}
+    for frag in query.split():
+        m = _BOOST_RE.match(frag)
+        text, boost = (m.group(1), float(m.group(2))) if m \
+            else (frag, None)
+        toks = tokenize(text, max_token_len, min_token_len, analyzer)
+        terms.extend(toks)
+        if boost is not None:
+            for t in toks:
+                boosts[t] = boost
+    return " ".join(terms), boosts
+
 
 @dataclass
 class QueryEngine:
@@ -1690,6 +1722,36 @@ class QueryEngine:
     def prf_top_k(self, query: str, k: int = 10, **kw
                   ) -> list[tuple[int, float]]:
         rows = self.prf_top_k_df(query, k=k, **kw).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    def term_boosted_top_k_df(self, query: str, k: int | None = None,
+                              boosts: dict[str, float] | None = None
+                              ) -> DataFrame:
+        """Per-term boosted retrieval — the ``term^2.5`` query_string
+        syntax (parsed by :func:`parse_term_boosts`), or explicit
+        ``boosts`` keyed by analyzed term. weight = boost·idf rides the
+        WAND kernel's existing per-term hook (the PRF path's mechanism,
+        wand.py:414-422): boosts only scale cursor upper bounds, so
+        block-max pruning stays EXACT. No boosts ⇒ identical plan and
+        floats to :meth:`wand_top_k_df`."""
+        cfg = self.cfg
+        if boosts is None:
+            query, boosts = parse_term_boosts(
+                query, cfg.max_token_len, cfg.min_token_len,
+                cfg.analyzer)
+        if not boosts:
+            return self.wand_top_k_df(query, k=k).select(
+                "doc_id", "score")
+        return (self._batch_wand_ranked([query], k=k,
+                                        term_boosts=boosts)
+                .select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+
+    def term_boosted_top_k(self, query: str, k: int = 10,
+                           boosts: dict[str, float] | None = None
+                           ) -> list[tuple[int, float]]:
+        rows = self.term_boosted_top_k_df(query, k=k,
+                                          boosts=boosts).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     def more_like_this(self, doc_id: int, k: int = 10,
