@@ -2090,9 +2090,6 @@ class QueryEngine:
         ANSI SQL (Spark 4 default) an unguarded 0/0 is a runtime error,
         not NaN.
         """
-        import math as _math
-
-        from ..operators.ann import _dot, _norm
         from ..operators.hybrid import embed_query_tokens
 
         cfg = self.cfg
@@ -2107,13 +2104,7 @@ class QueryEngine:
         e = (self.store.read(f"doc_embeddings{self._sfx()}")
              .select("doc_id", F.col("emb").cast("array<double>")
                      .alias("v")))
-        # same float ops as operators/ann.cosine_col (oracle parity):
-        # dot / (row_norm * probe_norm), probe norm a Python constant
-        p = F.array(*[F.lit(float(x)) for x in probe])
-        pnorm = _math.sqrt(sum(float(x) * float(x) for x in probe)) or 1.0
-        nrm = _norm(F.col("v"))
-        cos = F.when(nrm > 0.0,
-                     _dot(F.col("v"), p) / (nrm * F.lit(pnorm)))
+        cos = self._cosine_expr(probe)
         return (e.select("doc_id", cos.alias("cosine"))
                 .filter(F.col("cosine").isNotNull())
                 .orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k))
@@ -2150,6 +2141,79 @@ class QueryEngine:
                      ) -> list[tuple[int, float]]:
         rows = self.hybrid_top_k_df(query, k=k, **kw).collect()
         return [(int(r["doc_id"]), float(r["rrf_score"])) for r in rows]
+
+    def _cosine_expr(self, probe: list[float]):
+        """Cosine of a ``v array<double>`` column against a Python probe
+        — same float ops as operators/ann.cosine_col (oracle parity):
+        dot / (row_norm * probe_norm), probe norm a Python constant;
+        zero-norm rows yield NULL (ANSI-safe, no 0/0)."""
+        import math as _math
+
+        from ..operators.ann import _dot, _norm
+
+        p = F.array(*[F.lit(float(x)) for x in probe])
+        pnorm = _math.sqrt(sum(float(x) * float(x) for x in probe)) or 1.0
+        nrm = _norm(F.col("v"))
+        return F.when(nrm > 0.0,
+                      _dot(F.col("v"), p) / (nrm * F.lit(pnorm)))
+
+    def rescore_top_k_df(self, query: str, k: int | None = None,
+                         window: int | None = None,
+                         query_weight: float = 1.0,
+                         rescore_weight: float = 1.0) -> DataFrame:
+        """Elasticsearch rescore-API parity: retrieve the BM25 WAND
+        top-``window`` (default 5k), then re-rank THAT WINDOW by
+        ``query_weight * bm25 + rescore_weight * cosine(query, doc)``
+        and return the top-k of the combined score as
+        (doc_id, score, bm25, cosine).
+
+        Scale shape: only the window is rescored — the embedding table
+        read prunes to the hits' doc-range buckets (both tables share
+        the ``partition_id`` layout) and joins ≤ window rows, so the
+        rescore cost is O(window), independent of corpus size. Docs
+        whose embedding has zero norm (empty field) contribute cosine 0
+        to the combination (ES's missing-rescore behavior); window
+        membership itself is the documented recall trade — a doc
+        outside the BM25 top-window can never be rescued, which is the
+        rescore API's contract too."""
+        from ..operators.hybrid import embed_query_tokens
+
+        cfg = self.cfg
+        k = min(k or cfg.default_k, cfg.max_k + cfg.max_offset)
+        window = window or 5 * k
+        hits = self._batch_wand_ranked([query], k=window).select(
+            "partition_id", "doc_id", F.col("score").alias("bm25"))
+        dim = self._embedding_dim()
+        toks = tokenize(query, cfg.max_token_len, cfg.min_token_len,
+                        cfg.analyzer)
+        probe = embed_query_tokens(toks, dim) if dim else []
+        if not any(probe):
+            # no semantic signal: rescore degenerates to scaled BM25
+            return (hits.select(
+                "doc_id",
+                (F.lit(float(query_weight)) * F.col("bm25"))
+                .alias("score"), "bm25",
+                F.lit(None).cast("double").alias("cosine"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        buckets = [r["partition_id"] for r in
+                   hits.select("partition_id").distinct().collect()]
+        e = (self.store.read(f"doc_embeddings{self._sfx()}")
+             .filter(F.col("partition_id").isin(buckets))
+             .select("doc_id", F.col("emb").cast("array<double>")
+                     .alias("v")))
+        joined = (hits.join(e, "doc_id", "left")
+                  .withColumn("cosine", self._cosine_expr(probe)))
+        combined = (F.lit(float(query_weight)) * F.col("bm25")
+                    + F.lit(float(rescore_weight))
+                    * F.coalesce(F.col("cosine"), F.lit(0.0)))
+        return (joined.select("doc_id", combined.alias("score"),
+                              "bm25", "cosine")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    def rescore_top_k(self, query: str, k: int = 10, **kw
+                      ) -> list[tuple[int, float]]:
+        rows = self.rescore_top_k_df(query, k=k, **kw).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     def approx_count(self, query: str, min_score: float = 0.0,
                      lang: str | None = None, warc_ts_min=None,
