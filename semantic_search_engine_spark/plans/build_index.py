@@ -1490,6 +1490,57 @@ class IndexBuilder:
         return self.delete_docs([r["url"] for r in rows], field=field,
                                 run_id=run_id)
 
+    def delete_by_query(self, query: str, mode: str = "boolean",
+                        field: str = "text", run_id: str | None = None,
+                        max_delete: int = 100_000,
+                        lang: str | None = None,
+                        warc_ts_min=None, warc_ts_max=None
+                        ) -> StageRunner | None:
+        """Elasticsearch ``_delete_by_query``: resolve the match set with
+        the QUERY engine (``mode="boolean"`` = full websearch semantics
+        via :meth:`QueryEngine.boolean_matches_df`; ``mode="any"`` =
+        contains ≥1 query term via the scoreless doc-id decode), narrow
+        it with optional structured predicates, and feed the urls to the
+        SAME partition-pruned incremental-delete path as
+        :meth:`delete_docs` (bit-identity to a survivors-only rebuild
+        inherited from that path's pinned guarantee). Returns None when
+        nothing matches.
+
+        ``max_delete`` is the X78 refusal: a query matching more urls
+        than that is a mass rewrite — do a filtered rebuild instead of
+        collecting 10^10 urls onto the driver. Takedowns and cleanup
+        queries (this API's job) match thousands, not billions."""
+        from .query import QueryEngine
+
+        qe = QueryEngine(self.spark, self.store, self.cfg, field=field)
+        sfx = "" if field == "text" else f"_{field}"
+        meta = self.store.read(f"doc_meta{sfx}")
+        if mode == "boolean":
+            matched = (qe.boolean_matches_df(query)
+                       .select("partition_id", "doc_id"))
+            j = matched.join(meta, ["partition_id", "doc_id"])
+        elif mode == "any":
+            matched = qe.candidate_ids_df(query).select("doc_id")
+            j = matched.join(meta, "doc_id")
+        else:
+            raise ValueError(f"unknown mode: {mode!r}")
+        if lang is not None:
+            j = j.filter(F.col("lang") == lang)
+        if warc_ts_min is not None:
+            j = j.filter(F.col("warc_ts") >= F.lit(warc_ts_min))
+        if warc_ts_max is not None:
+            j = j.filter(F.col("warc_ts") <= F.lit(warc_ts_max))
+        rows = j.select("url").limit(max_delete + 1).collect()
+        if not rows:
+            return None
+        if len(rows) > max_delete:
+            raise ValueError(
+                f"query {query!r} matches more than {max_delete} "
+                "documents: mass deletion should be a filtered rebuild, "
+                "not an incremental delete")
+        return self.delete_docs(sorted(r["url"] for r in rows),
+                                field=field, run_id=run_id)
+
     def delete_docs(self, urls: list[str], field: str = "text",
                     run_id: str | None = None,
                     incremental: bool = True) -> StageRunner:
