@@ -77,6 +77,13 @@ def main(argv=None) -> int:
                         "--static-rank build)")
     p.add_argument("--w-static", type=float, default=1.0,
                    help="weight W for --static (default 1.0)")
+    p.add_argument("--rescore", default=None, metavar="WINDOW[:QW:RW]",
+                   help="ES rescore API: re-rank the BM25 top-WINDOW by "
+                        "QW*bm25 + RW*cosine (needs --embeddings at "
+                        "build); bare top-k surface")
+    p.add_argument("--boost", action="store_true",
+                   help="parse term^N per-term boosts in the query "
+                        "(Lucene query_string syntax); bare WAND top-k")
     p.add_argument("--weights", default=None, metavar="JSON",
                    help="BM25F multi-field weights, e.g. "
                         "'{\"text\": 1.0, \"anchor\": 2.0}' — each field "
@@ -209,6 +216,40 @@ def main(argv=None) -> int:
                               "counts": [{by: r[by],
                                           "n_docs": int(r["n_docs"])}
                                          for r in rows]}, default=str))
+        if not preexisting:
+            spark.stop()
+        return 0
+
+    if args.rescore is not None or args.boost:
+        if filters_set or synonyms or args.mode != "wand" or args.batch:
+            print("--rescore/--boost are bare WAND top-k surfaces "
+                  "(no filters/offset/count/synonyms/batch)",
+                  file=sys.stderr)
+            return 2
+        if args.rescore is not None and args.boost:
+            print("--rescore and --boost are separate ranking modes; "
+                  "pass one", file=sys.stderr)
+            return 2
+        for q in args.queries:
+            if args.boost:
+                hits = qe.term_boosted_top_k(q, k=args.k)
+                out = {"results": [{"doc_id": d, "score": s}
+                                   for d, s in hits],
+                       "total_count": len(hits), "limit": args.k,
+                       "offset": 0, "query": q, "boost": True}
+            else:
+                parts = args.rescore.split(":")
+                window = int(parts[0])
+                qw = float(parts[1]) if len(parts) > 1 else 1.0
+                rw = float(parts[2]) if len(parts) > 2 else 1.0
+                hits = qe.rescore_top_k(q, k=args.k, window=window,
+                                        query_weight=qw,
+                                        rescore_weight=rw)
+                out = {"results": [{"doc_id": d, "score": s}
+                                   for d, s in hits],
+                       "total_count": len(hits), "limit": args.k,
+                       "offset": 0, "query": q, "rescore": args.rescore}
+            print(json.dumps(out, default=str))
         if not preexisting:
             spark.stop()
         return 0

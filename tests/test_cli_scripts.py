@@ -326,3 +326,45 @@ def test_link_field_and_static_rank_cli(spark, tmp_path_factory, capsys):
     rc = query_main(["--warehouse", wh, "--static", "pagerank",
                      "--weights", '{"text": 1.0}', "shared"])
     assert rc == 2
+
+
+def test_query_cli_boost_and_rescore(spark, cli_env, capsys):
+    """--boost parses term^N syntax; --rescore reranks the WAND window
+    by embedding cosine (embeddings from the earlier --embeddings
+    build); both refuse filter composition."""
+    wh, corpus = cli_env
+    from scripts.build_index import main as build_main
+    from scripts.query import main as query_main
+
+    rc = build_main(["--input", corpus, "--warehouse", wh,
+                     "--shuffle-partitions", "4", "--doc-buckets", "4",
+                     "--term-buckets", "4", "--input-version", "v1",
+                     "--embeddings", "32"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = query_main(["--warehouse", wh, "--k", "5", "--boost",
+                     "zipfhead0 zipfhead1^50"])
+    assert rc == 0
+    boosted = json.loads(capsys.readouterr().out.strip())
+    assert boosted["boost"] is True and boosted["results"]
+
+    rc = query_main(["--warehouse", wh, "--k", "5",
+                     "zipfhead0 zipfhead1"])
+    assert rc == 0
+    plain = json.loads(capsys.readouterr().out.strip())
+    assert ([r["doc_id"] for r in boosted["results"]]
+            != [r["doc_id"] for r in plain["results"]])
+
+    rc = query_main(["--warehouse", wh, "--k", "5",
+                     "--rescore", "50:1.0:2.0", "zipfhead0"])
+    assert rc == 0
+    resc = json.loads(capsys.readouterr().out.strip())
+    assert resc["rescore"] == "50:1.0:2.0" and len(resc["results"]) == 5
+
+    # refusals: filters and mode combinations
+    rc = query_main(["--warehouse", wh, "--boost", "--lang", "en", "q"])
+    assert rc == 2
+    rc = query_main(["--warehouse", wh, "--boost",
+                     "--rescore", "10", "q"])
+    assert rc == 2
