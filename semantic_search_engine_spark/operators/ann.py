@@ -159,13 +159,29 @@ class IVFIndex:
 
     # ------------------------------------------------------------------
     def search(self, probe: list[float], k: int = 10,
-               n_probe: int = 4) -> DataFrame:
-        """Top-k within the n_probe nearest lists: (key, cosine)."""
+               n_probe: int = 4,
+               allowed: "DataFrame | None" = None) -> DataFrame:
+        """Top-k within the n_probe nearest lists: (key, cosine).
+
+        ``allowed``: optional PRE-filter — a frame whose ``self.key``
+        column names the eligible rows (a metadata predicate resolved
+        upstream, e.g. ``doc_meta.filter(lang='en').select('doc_id')``).
+        Pre-filtering (semi-join BEFORE ranking, the Qdrant/Weaviate
+        semantics) returns the exact top-k OF THE FILTERED SET within
+        the probed lists — unlike post-filtering, no result slot is
+        wasted on ineligible rows. The stated trade is unchanged from
+        unfiltered IVF and sharpens with selectivity: a very selective
+        filter empties the nearest lists, so scale ``n_probe`` with
+        selectivity (``n_probe=n_lists`` ⇒ exact filtered brute force,
+        pinned by test)."""
         p = _unit(np.asarray(probe, dtype=np.float64))
         d2 = ((self.centroids - p) ** 2).sum(axis=1)
         probe_lists = [int(j) for j in np.argsort(d2, kind="stable")
                        [:n_probe]]
         cand = self.assignments.filter(F.col("list_id").isin(probe_lists))
+        if allowed is not None:
+            cand = cand.join(
+                allowed.select(self.key).distinct(), self.key, "semi")
         return (cand.select(self.key, cosine_col("v", probe).alias("cosine"))
                 .orderBy(F.desc("cosine"), F.asc(self.key)).limit(k))
 
