@@ -40,7 +40,8 @@ from pyspark.sql import SparkSession
 
 from .store import HadoopTableStore
 
-__all__ = ["create_snapshot", "restore_snapshot", "list_snapshots"]
+__all__ = ["create_snapshot", "restore_snapshot", "list_snapshots",
+           "delete_snapshot", "retain_last", "prune_repository"]
 
 
 def _walk_sizes(root: str) -> dict[str, int]:
@@ -161,3 +162,68 @@ def restore_snapshot(spark: SparkSession, repo: str, name: str,
             json.dump(commit, f, indent=1, sort_keys=True)
         os.replace(tmp, store._manifest_path(t))
     return store
+
+
+def delete_snapshot(repo: str, name: str) -> None:
+    """Drop a named snapshot (one atomic manifest unlink). Pool data it
+    referenced stays until :func:`prune_repository` sweeps — the ES
+    split between DELETE /_snapshot/<name> and repository cleanup."""
+    p = os.path.join(repo, f"snap-{name}.json")
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"snapshot {name!r} not in {repo}")
+    os.remove(p)
+
+
+def retain_last(repo: str, n: int) -> list[str]:
+    """The ILM retention policy: keep the ``n`` most recent snapshots
+    (by manifest created_at), delete the rest. Returns deleted names
+    (pool sweep is separate — call :func:`prune_repository`)."""
+    if n < 1:
+        raise ValueError(f"retain_last keeps >= 1 snapshot, got {n}")
+    stamped = []
+    for name in list_snapshots(repo):
+        with open(os.path.join(repo, f"snap-{name}.json")) as f:
+            stamped.append((json.load(f)["created_at"], name))
+    stamped.sort(reverse=True)
+    doomed = [name for _ts, name in stamped[n:]]
+    for name in doomed:
+        delete_snapshot(repo, name)
+    return sorted(doomed)
+
+
+def prune_repository(repo: str) -> dict:
+    """Garbage-collect the content-addressed pool: delete every pool
+    directory no remaining snapshot references (mark from ALL current
+    manifests, then sweep). Refcounting is implicit in the mark —
+    shared dirs survive while ANY snapshot names them.
+
+    Single-operator assumption, stated: a create_snapshot racing a
+    prune could reference a dir mid-sweep; serialize repository
+    maintenance (ES requires the same via its repository lock).
+    Returns {referenced, deleted, bytes_freed}."""
+    data = os.path.join(repo, "data")
+    if not os.path.isdir(data):
+        return {"referenced": 0, "deleted": 0, "bytes_freed": 0}
+    referenced: set[str] = set()
+    for name in list_snapshots(repo):
+        with open(os.path.join(repo, f"snap-{name}.json")) as f:
+            man = json.load(f)
+        for t in man["tables"].values():
+            referenced.update(os.path.normpath(r) for r in t["paths"])
+    deleted, freed = 0, 0
+    for table in sorted(os.listdir(data)):
+        tdir = os.path.join(data, table)
+        if not os.path.isdir(tdir):
+            continue
+        for snap in sorted(os.listdir(tdir)):
+            rel = os.path.normpath(os.path.join(table, snap))
+            full = os.path.join(tdir, snap)
+            if rel in referenced or not os.path.isdir(full):
+                continue
+            freed += sum(_walk_sizes(full).values())
+            shutil.rmtree(full)
+            deleted += 1
+        if not os.listdir(tdir):
+            os.rmdir(tdir)
+    return {"referenced": len(referenced), "deleted": deleted,
+            "bytes_freed": freed}
