@@ -207,6 +207,68 @@ class IVFIndex:
                 .select(ka, kb, cos.alias("cosine"))
                 .filter(F.col("cosine") >= threshold))
 
+    # ------------------------------------------------------------------
+    # incremental maintenance (frozen coarse quantizer — the
+    # FAISS/Milvus lifecycle: lists grow/shrink under fixed centroids,
+    # retrain when drift says so)
+    # ------------------------------------------------------------------
+    def upsert(self, embeddings: DataFrame) -> "IVFIndex":
+        """New index with ``embeddings`` added or replaced (matched by
+        key). Centroids are FROZEN — only the incoming batch is
+        assigned (O(|batch|·n_lists), never the existing table), so
+        ingest cost is independent of index size; re-upserted keys may
+        move lists (assignment follows the new vector). Search results
+        afterwards are identical to assigning the merged vector set
+        under the same centroids."""
+        vnorm = _norm(F.col("v"))
+        e = (embeddings
+             .select(self.key,
+                     F.col(self.vec_col).cast("array<double>").alias("v"))
+             .withColumn(
+                 "vn",
+                 F.when(vnorm > 0,
+                        F.transform("v", lambda x: x / vnorm))
+                 .otherwise(F.col("v"))))
+        fresh = self._assign(e, self.centroids)
+        kept = self.assignments.join(
+            e.select(self.key), self.key, "left_anti")
+        merged = (kept.unionByName(fresh)
+                  .repartition(max(self.centroids.shape[0], 1),
+                               "list_id")
+                  .localCheckpoint(eager=True))
+        return IVFIndex(self.centroids, merged, self.key, self.vec_col)
+
+    def remove(self, keys: "DataFrame | list") -> "IVFIndex":
+        """New index without the given keys (a DataFrame carrying
+        ``self.key``, or a plain list of key values)."""
+        if not isinstance(keys, DataFrame):
+            spark = self.assignments.sparkSession
+            kt = self.assignments.schema[self.key].dataType.simpleString()
+            keys = spark.createDataFrame(
+                [(k,) for k in keys], f"{self.key} {kt}")
+        kept = (self.assignments
+                .join(keys.select(self.key), self.key, "left_anti")
+                .localCheckpoint(eager=True))
+        return IVFIndex(self.centroids, kept, self.key, self.vec_col)
+
+    def list_stats(self) -> DataFrame:
+        """Per-list row counts — the drift signal for the frozen
+        quantizer: (list_id, n)."""
+        return self.assignments.groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("n"))
+
+    def skew_ratio(self) -> float:
+        """max(list size) / mean(list size) over non-empty lists. After
+        many frozen-centroid upserts this is the retrain tripwire
+        (probe cost is driven by the largest probed lists); ~1 is
+        balanced, >`~4` means the data drifted away from the trained
+        centroids and a fresh :meth:`build` is due."""
+        rows = self.list_stats().collect()
+        if not rows:
+            return 1.0
+        ns = [r["n"] for r in rows]
+        return float(max(ns) / (sum(ns) / len(ns)))
+
     def recall_at_k(self, embeddings: DataFrame, probe: list[float],
                     k: int = 10, n_probe: int = 4) -> float:
         exact = {r[self.key] for r in brute_force_top_k(
@@ -313,3 +375,67 @@ def load_ivf(store, name: str) -> IVFIndex:
     centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
     assignments = assignments.repartition(max(len(rows), 1), "list_id")
     return IVFIndex(centroids, assignments, key, vec_col)
+
+
+def upsert_ivf(store, name: str, embeddings: DataFrame) -> None:
+    """Incrementally add/replace vectors in a PERSISTED IVF index
+    without loading it: only the centroid table (n_lists rows) is read
+    eagerly; the incoming batch is assigned under the frozen centroids
+    and merged into the assignments table through the store's
+    partition-pruned copy-on-write, so the commit rewrites only the
+    touched ``list_id`` directories.
+
+    Soundness note — ``list_id`` is NOT a function of the key (a
+    re-upserted vector whose embedding changed can move lists), so a
+    single pruned merge keyed on the NEW list could leave the old copy
+    stale in an untouched directory. Keys that already exist in a
+    DIFFERENT list are therefore deleted first (pruned by their OLD
+    lists), then the merge lands the new rows (pruned by their NEW
+    lists). Two commits; a replay of either is idempotent, and the
+    inter-commit crash window loses only the moving keys' rows — the
+    next upsert replay restores them.
+    """
+    meta = store.table_meta(_IVF_ASSIGN_TBL.format(name=name)) or {}
+    key = meta.get("key", "vec_id")
+    vec_col = meta.get("vec_col", "embedding")
+    crows = (store.read(_IVF_CENTROID_TBL.format(name=name))
+             .orderBy("list_id").collect())
+    centroids = np.array([r["centroid"] for r in crows], dtype=np.float64)
+
+    vnorm = _norm(F.col("v"))
+    e = (embeddings
+         .select(key, F.col(vec_col).cast("array<double>").alias("v"))
+         .withColumn(
+             "vn",
+             F.when(vnorm > 0, F.transform("v", lambda x: x / vnorm))
+             .otherwise(F.col("v"))))
+    fresh = (IVFIndex._assign(e, centroids)
+             .select(key, "v", "vn", "list_id")
+             .localCheckpoint(eager=True))  # assign ONCE, reuse below
+
+    assign_tbl = _IVF_ASSIGN_TBL.format(name=name)
+    current = store.read(assign_tbl)
+    movers = (current.select(key, F.col("list_id").alias("_old"))
+              .join(fresh.select(key, "list_id"), key)
+              .filter(F.col("_old") != F.col("list_id"))
+              .select(key, F.col("_old").alias("list_id"))
+              .localCheckpoint(eager=True))
+    if movers.limit(1).count() > 0:
+        store.delete_by_key(assign_tbl, movers, key,
+                            partition_by=["list_id"])
+    store.merge_by_key(assign_tbl, fresh, key, partition_by=["list_id"])
+
+
+def remove_ivf(store, name: str, keys: DataFrame) -> None:
+    """Delete vectors from a persisted IVF index. ``keys`` carries the
+    index's key column; their ``list_id``s are resolved by one semi-join
+    against the assignments table so the CoW delete prunes to the
+    containing list directories only."""
+    meta = store.table_meta(_IVF_ASSIGN_TBL.format(name=name)) or {}
+    key = meta.get("key", "vec_id")
+    assign_tbl = _IVF_ASSIGN_TBL.format(name=name)
+    located = (store.read(assign_tbl)
+               .join(keys.select(key), key, "semi")
+               .select(key, "list_id"))
+    store.delete_by_key(assign_tbl, located, key,
+                        partition_by=["list_id"])
