@@ -111,3 +111,41 @@ def test_split_is_shuffle_free(spark, keys):
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_end_to_end_minhash_to_split(spark):
+    """Full pipeline composition: planted near-dup families detected by
+    the REAL detector (shingle MinHash -> LSH bands -> exact-Jaccard
+    verify), then split leakage-safe — every verified near-dup pair
+    shares a split, and distinct families can still land apart."""
+    from semantic_search_engine_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        shingle_minhash_signatures,
+        verify_jaccard,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank while birds sing in the morning light")
+    rows = []
+    for fam in range(12):
+        fam_text = base + f" family {fam} marker words here"
+        for v in range(3):  # 3 near-identical variants per family
+            rows.append((fam * 10 + v, fam_text + (" extra" * v)))
+    for i in range(200, 260):  # unrelated singletons
+        rows.append((i, f"totally different document number {i} with "
+                        f"unique content about topic {i * 7} and more "
+                        f"words {i * 13} to pass the shingle minimum"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = shingle_minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sigs)
+    pairs = verify_jaccard(docs, cand, threshold=0.6)
+    assert pairs.count() >= 12, "detector missed the planted families"
+
+    out = leakage_safe_split(docs, pairs.select("key_a", "key_b"),
+                             FR, seed=11)
+    smap = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in pairs.collect():
+        assert smap[r["key_a"]] == smap[r["key_b"]]
+    # sanity: the corpus still spreads across more than one split
+    assert len(set(smap.values())) > 1
