@@ -26,7 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["distinct_counts", "quantile_summary", "set_overlap"]
+__all__ = [
+    "distinct_counts",
+    "quantile_summary",
+    "set_overlap",
+    "count_min_table",
+    "count_min_estimate",
+    "heavy_hitters",
+    "heavy_hitters_exact",
+]
 
 
 def distinct_counts(df: DataFrame, keys: list[str], col: str,
@@ -99,3 +107,132 @@ def set_overlap(df_a: DataFrame, df_b: DataFrame, col: str,
         "jaccard": min(1.0, float(row["n_inter"]) / n_union)
         if n_union else 0.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# frequency sketches: Count-Min (point estimates) and Misra-Gries
+# (top-k heavy hitters) — the two classic companions to HLL/KLL/Theta
+# ---------------------------------------------------------------------------
+
+def _cm_bucket(col, d: int, width: int, seed: int):
+    return F.pmod(F.xxhash64(F.concat(col.cast("string"),
+                                      F.lit(f":{seed}:{d}"))),
+                  F.lit(int(width)))
+
+
+def count_min_table(df: DataFrame, col: str, depth: int = 4,
+                    width: int = 1024, seed: int = 0) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a DataFrame:
+    (depth, bucket, cnt), depth × width cells total. Pure codegen —
+    each row explodes into ``depth`` (row-hash, bucket) cells and ONE
+    groupBy sums them; map-side partial aggregation collapses the
+    shuffle to ≤ depth·width rows per map task regardless of input
+    size. Mergeable: two tables built with the same (depth, width,
+    seed) union + re-sum cell-wise.
+
+    Accuracy: estimates OVERCOUNT only; with width w and depth d,
+    err ≤ e·n/w with probability 1 − e^−d. 4×1024 ⇒ ±0.27%·n at
+    ~98% confidence, in 16 K cells."""
+    cells = F.array(*[
+        F.struct(F.lit(d).cast("int").alias("depth"),
+                 _cm_bucket(F.col(col), d, width, seed).alias("bucket"))
+        for d in range(depth)])
+    return (df.filter(F.col(col).isNotNull())
+            .select(F.explode(cells).alias("h"))
+            .groupBy(F.col("h.depth").alias("depth"),
+                     F.col("h.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def count_min_estimate(cm: DataFrame, values: DataFrame, col: str,
+                       depth: int = 4, width: int = 1024,
+                       seed: int = 0) -> DataFrame:
+    """Point-frequency estimates for ``values[col]`` against a
+    count-min table built with the SAME (depth, width, seed):
+    (value, est) with est = min over depth rows; est ≥ true count
+    always (never under). The probe set broadcast-joins the cell
+    table — querying costs |values|·depth lookups, not a data scan."""
+    probes = values.select(F.col(col).alias("value")).distinct()
+    cells = F.array(*[
+        F.struct(F.lit(d).cast("int").alias("depth"),
+                 _cm_bucket(F.col("value"), d, width, seed)
+                 .alias("bucket"))
+        for d in range(depth)])
+    probe_cells = probes.select(
+        "value", F.explode(cells).alias("h")).select(
+        "value", F.col("h.depth").alias("depth"),
+        F.col("h.bucket").alias("bucket"))
+    # broadcast the CELL table (≤ depth·width tiny rows) — the right
+    # side of the left join, which is the side a left-outer
+    # BroadcastHashJoin can actually broadcast
+    return (probe_cells
+            .join(F.broadcast(cm), ["depth", "bucket"], "left")
+            .na.fill({"cnt": 0})
+            .groupBy("value")
+            .agg(F.min("cnt").alias("est")))
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 20,
+                  capacity: int = 256) -> DataFrame:
+    """Top-k most frequent values via per-partition Misra-Gries
+    summaries (bounded memory: ``capacity`` counters per partition, NOT
+    per-partition distinct counts) merged by one tiny groupBy.
+
+    Returns (value, est, err) sorted by est desc: est ≤ true ≤ est +
+    err, where err = Σ per-partition decrement totals ≤ n/capacity.
+    Any value with true count > err is GUARANTEED to surface (the MG
+    property); with capacity ≥ per-partition distinct values the
+    summary is exact and err = 0 (pinned by test).
+
+    The kernel is Arrow-batched: per-batch counting is a vectorized
+    ``value_counts``; Python work is O(distinct-per-batch), never
+    per-row."""
+    def kernel(batches):
+        import pandas as pd
+        counters: dict = {}
+        delta = 0
+        pid = None
+        for pdf in batches:
+            if pid is None and len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
+            for val, c in pdf["_v"].dropna().value_counts().items():
+                counters[val] = counters.get(val, 0) + int(c)
+            if len(counters) > capacity:
+                ranked = sorted(counters.values(), reverse=True)
+                dec = ranked[capacity]  # (capacity+1)-th largest
+                delta += dec
+                counters = {v: c - dec for v, c in counters.items()
+                            if c > dec}
+        if pid is None:
+            return
+        yield pd.DataFrame({
+            "pid": pid,
+            "value": list(counters.keys()) + [None],
+            "est": list(counters.values()) + [0],
+            "delta": delta,  # repeated per row; read once per pid
+        })
+
+    summaries = (df
+                 .select(F.col(col).cast("string").alias("_v"),
+                         F.spark_partition_id().alias("_pid"))
+                 .mapInPandas(
+                     kernel,
+                     "pid int, value string, est long, delta long"))
+    summaries = summaries.localCheckpoint(eager=True)  # read twice below
+    total_err = (summaries.groupBy("pid").agg(F.first("delta").alias("d"))
+                 .agg(F.sum("d")).collect()[0][0]) or 0
+    return (summaries.filter(F.col("value").isNotNull())
+            .groupBy("value")
+            .agg(F.sum("est").alias("est"))
+            .withColumn("err", F.lit(int(total_err)))
+            .orderBy(F.desc("est"), F.asc("value"))
+            .limit(k))
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, k: int = 20) -> DataFrame:
+    """Exact top-k frequencies — the oracle baseline (one full groupBy
+    on the value: the shuffle the sketch form avoids)."""
+    return (df.filter(F.col(col).isNotNull())
+            .select(F.col(col).cast("string").alias("value"))
+            .groupBy("value").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("value")).limit(k))

@@ -100,3 +100,95 @@ def test_set_overlap_disjoint_and_identical(spark):
     assert d["n_intersection"] == 0.0 and d["jaccard"] == 0.0
     s = set_overlap(a, a, "v")
     assert s["jaccard"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# frequency sketches: Count-Min + Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def zipf_values(spark):
+    """Deterministic Zipf-ish stream: value v_i appears ~1000/i times
+    for i in 1..40, plus 2000 unique noise values."""
+    rows = []
+    for i in range(1, 41):
+        rows += [(f"hot_{i:02d}",)] * (1000 // i)
+    rows += [(f"noise_{j}",) for j in range(2000)]
+    return spark.createDataFrame(rows, "v string").repartition(8)
+
+
+def _exact_counts(df):
+    # NOT heavy_hitters_exact(k=huge): orderBy().limit(k) sizes a
+    # priority queue of k slots — collect the groupBy directly
+    import pyspark.sql.functions as F
+    return {r["v"]: r["n"] for r in
+            df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+
+def test_count_min_never_undercounts(spark, zipf_values):
+    from semantic_search_engine_spark.operators.sketches import (
+        count_min_estimate, count_min_table)
+    cm = count_min_table(zipf_values, "v", depth=4, width=1024)
+    true = _exact_counts(zipf_values)
+    probes = spark.createDataFrame(
+        [(v,) for v in list(true)[:50]] + [("absent_value",)], "v string")
+    est = {r["value"]: r["est"] for r in count_min_estimate(
+        cm, probes, "v", depth=4, width=1024).collect()}
+    n = sum(true.values())
+    for v, e in est.items():
+        t = true.get(v, 0)
+        assert e >= t, (v, e, t)
+        assert e <= t + 0.02 * n, (v, e, t)  # 2e/width ≈ 0.5%, slack 2%
+
+
+def test_count_min_mergeable(spark, zipf_values):
+    """Union of two half-stream tables re-summed cell-wise == the
+    one-pass table."""
+    from semantic_search_engine_spark.operators.sketches import (
+        count_min_table)
+    import pyspark.sql.functions as F
+    half_a = zipf_values.withColumn("r", F.monotonically_increasing_id())
+    a = half_a.filter(F.col("r") % 2 == 0).select("v")
+    b = half_a.filter(F.col("r") % 2 == 1).select("v")
+    merged = (count_min_table(a, "v").unionByName(count_min_table(b, "v"))
+              .groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt")))
+    one = count_min_table(zipf_values, "v")
+    m = {(r["depth"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    o = {(r["depth"], r["bucket"]): r["cnt"] for r in one.collect()}
+    assert m == o
+
+
+def test_heavy_hitters_recovers_head(spark, zipf_values):
+    from semantic_search_engine_spark.operators.sketches import (
+        heavy_hitters)
+    true = _exact_counts(zipf_values)
+    out = heavy_hitters(zipf_values, "v", k=10, capacity=128)
+    rows = out.collect()
+    got = [r["value"] for r in rows]
+    # the true top-10 are hot_01..hot_10 by construction
+    want = sorted(true, key=lambda v: (-true[v], v))[:10]
+    assert got == want, (got, want)
+    for r in rows:
+        t = true[r["value"]]
+        assert r["est"] <= t <= r["est"] + r["err"], (r, t)
+
+
+def test_heavy_hitters_exact_when_capacity_suffices(spark, zipf_values):
+    from semantic_search_engine_spark.operators.sketches import (
+        heavy_hitters)
+    true = _exact_counts(zipf_values)
+    out = heavy_hitters(zipf_values, "v", k=15, capacity=5000).collect()
+    assert all(r["err"] == 0 for r in out)
+    for r in out:
+        assert r["est"] == true[r["value"]]
+
+
+def test_heavy_hitters_null_and_empty(spark):
+    from semantic_search_engine_spark.operators.sketches import (
+        heavy_hitters)
+    df = spark.createDataFrame([(None,), ("a",), ("a",), ("b",)],
+                               "v string")
+    rows = heavy_hitters(df, "v", k=5, capacity=8).collect()
+    assert [(r["value"], r["est"]) for r in rows] == [("a", 2), ("b", 1)]
+    empty = spark.createDataFrame([], "v string")
+    assert heavy_hitters(empty, "v", k=5).count() == 0
