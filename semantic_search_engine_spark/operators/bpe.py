@@ -164,8 +164,29 @@ def _merge_fold(symbols_col, a: str, b: str):
         ).otherwise(F.concat(acc, F.array(s))))
 
 
+def _initial_vocab_df(wc: DataFrame) -> DataFrame:
+    return (wc.filter(F.length("word") > 0)
+            .select(
+                "count",
+                F.expr(
+                    "concat(slice(split(word, ''), 1, length(word) - 1),"
+                    f" array(concat(substring(word, -1, 1), '{EOW}')))"
+                ).alias("symbols"))
+            .localCheckpoint())
+
+
+def _pair_counts(vocab: DataFrame, sign: int = 1) -> DataFrame:
+    n = (F.sum("count") * sign) if sign != 1 else F.sum("count")
+    return (vocab
+            .select("count",
+                    F.explode(_adjacent_pairs("symbols")).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(n.alias("n")))
+
+
 def learn_bpe(wc: DataFrame, n_merges: int, min_pair_count: int = 2,
-              checkpoint_every: int = 8) -> list[tuple[str, str]]:
+              checkpoint_every: int = 8,
+              strategy: str = "recount") -> list[tuple[str, str]]:
     """Learn a BPE merge sequence from a (word, count) DataFrame.
 
     Returns the ordered merge list, identical to ``learn_bpe_local`` on
@@ -173,23 +194,29 @@ def learn_bpe(wc: DataFrame, n_merges: int, min_pair_count: int = 2,
     argmax pair); the word table stays distributed throughout.
     ``checkpoint_every`` bounds lineage depth (localCheckpoint; eager),
     so the logical plan does not grow linearly in n_merges.
+
+    ``strategy``:
+
+    * ``"recount"`` — pair counts recomputed from the full word table
+      each iteration: one job per merge, cost O(|vocab|·avg_symbols)
+      per iteration. Simple, and already corpus-size-independent.
+    * ``"delta"`` — the fastBPE trick, exact: pair counts are a
+      MAINTAINED table; each merge rewrites only the words that
+      CONTAIN the merged pair and folds their before/after pair
+      multisets into the counts as +/- deltas. Per-iteration work is
+      O(|touched words|) — under Zipf the touched set collapses
+      quickly, which is why 32k-merge production vocabularies train
+      this way. Same merges, pinned by test.
     """
-    vocab = (wc.filter(F.length("word") > 0)
-             .select(
-                 "count",
-                 F.expr(
-                     "concat(slice(split(word, ''), 1, length(word) - 1),"
-                     f" array(concat(substring(word, -1, 1), '{EOW}')))"
-                 ).alias("symbols"))
-             .localCheckpoint())
+    if strategy not in ("recount", "delta"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "delta":
+        return _learn_bpe_delta(wc, n_merges, min_pair_count,
+                                checkpoint_every)
+    vocab = _initial_vocab_df(wc)
     merges: list[tuple[str, str]] = []
     for it in range(n_merges):
-        best = (vocab
-                .select("count",
-                        F.explode(_adjacent_pairs("symbols"))
-                        .alias("p"))
-                .groupBy("p.a", "p.b")
-                .agg(F.sum("count").alias("n"))
+        best = (_pair_counts(vocab)
                 .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
                 .limit(1)
                 .collect())
@@ -205,6 +232,45 @@ def learn_bpe(wc: DataFrame, n_merges: int, min_pair_count: int = 2,
         new_vocab = vocab.select(
             "count",
             _merge_fold(F.col("symbols"), a, b).alias("symbols"))
+        if (it + 1) % checkpoint_every == 0:
+            new_vocab = new_vocab.localCheckpoint()
+        vocab = new_vocab
+    return merges
+
+
+def _learn_bpe_delta(wc: DataFrame, n_merges: int, min_pair_count: int,
+                     checkpoint_every: int) -> list[tuple[str, str]]:
+    """Delta-maintained trainer (exact): per iteration, only words
+    containing the merged pair are rewritten, and the pair-count table
+    absorbs their before/after difference. The vocab frame is kept as
+    untouched ∪ rewritten (a union, no shuffle), checkpointed every
+    ``checkpoint_every`` rounds to bound the union-tree depth; the
+    counts table is tiny (live pair set) and checkpointed each round
+    because the next argmax reads it anyway."""
+    vocab = _initial_vocab_df(wc)
+    counts = _pair_counts(vocab).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        best = (counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1).collect())
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        touched = vocab.filter(_has_pair("symbols", a, b)) \
+            .localCheckpoint()
+        rewritten = touched.select(
+            "count",
+            _merge_fold(F.col("symbols"), a, b).alias("symbols")) \
+            .localCheckpoint()
+        delta = (_pair_counts(rewritten)
+                 .unionByName(_pair_counts(touched, sign=-1)))
+        counts = (counts.unionByName(delta)
+                  .groupBy("a", "b").agg(F.sum("n").alias("n"))
+                  .filter(F.col("n") > 0)
+                  .localCheckpoint())
+        new_vocab = (vocab.filter(~_has_pair("symbols", a, b))
+                     .unionByName(rewritten))
         if (it + 1) % checkpoint_every == 0:
             new_vocab = new_vocab.localCheckpoint()
         vocab = new_vocab

@@ -130,3 +130,29 @@ def test_single_char_words_and_empty(spark):
                                "word string, count long")
     assert bpe.learn_bpe(wc, 5, min_pair_count=1) == ref == [
         ("a", "b</w>")]
+
+
+def test_delta_strategy_matches_recount_toy(spark):
+    wc = spark.createDataFrame(list(TOY.items()), "word string, count long")
+    ref = bpe.learn_bpe_local(TOY, 10)
+    assert bpe.learn_bpe(wc, 10, strategy="delta") == ref
+
+
+def test_delta_strategy_matches_recount_corpus(spark, tiny_corpus_dir):
+    docs = spark.read.parquet(f"{tiny_corpus_dir}/documents.parquet")
+    head = (bpe.word_counts(docs, text_col="text")
+            .orderBy(F.desc("count"), F.asc("word")).limit(200)
+            .localCheckpoint())
+    rec = bpe.learn_bpe(head, 10, strategy="recount")
+    dlt = bpe.learn_bpe(head, 10, strategy="delta")
+    assert rec == dlt and len(rec) == 10
+
+
+def test_delta_strategy_min_count_stop_and_validation(spark):
+    counts = {"ab": 3, "xy": 1}
+    wc = spark.createDataFrame(list(counts.items()),
+                               "word string, count long")
+    assert bpe.learn_bpe(wc, 10, min_pair_count=2,
+                         strategy="delta") == [("a", "b</w>")]
+    with pytest.raises(ValueError):
+        bpe.learn_bpe(wc, 3, strategy="nope")
