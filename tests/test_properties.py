@@ -112,3 +112,77 @@ def test_tokenizer_invariants(text):
         assert 1 <= len(t) <= 64
     # idempotent under re-join
     assert tokenize(" ".join(toks)) == toks
+
+
+# ---------------------------------------------------------------------------
+# BPE (operators/bpe.py) — pure-Python reference invariants; the Spark
+# trainer is pinned bit-equal to this reference in tests/test_bpe.py,
+# so properties proven here transfer to the distributed form.
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.text(alphabet="abcde01", min_size=1, max_size=8),
+    min_size=1, max_size=30)
+
+
+@given(words=_words, n_merges=st.integers(0, 12))
+@settings(max_examples=40, deadline=None)
+def test_bpe_encode_round_trip(words, n_merges):
+    """Concatenating a word's BPE tokens (EOW stripped) reproduces the
+    word, for any learned merge table."""
+    from collections import Counter
+    from semantic_search_engine_spark.operators.bpe import (
+        EOW, encode_word, learn_bpe_local)
+    counts = dict(Counter(words))
+    merges = learn_bpe_local(counts, n_merges, min_pair_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in set(words):
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + EOW
+        # more merges never produce an empty encoding
+        assert len(toks) >= 1
+
+
+@given(words=_words)
+@settings(max_examples=40, deadline=None)
+def test_bpe_merges_monotone_token_count(words):
+    """Each additional merge never increases any word's token count,
+    and the full merge budget compresses at least as well as half."""
+    from collections import Counter
+    from semantic_search_engine_spark.operators.bpe import (
+        encode_word, learn_bpe_local)
+    counts = dict(Counter(words))
+    full = learn_bpe_local(counts, 12, min_pair_count=1)
+    for cut in range(len(full)):
+        r_small = {p: i for i, p in enumerate(full[:cut])}
+        r_big = {p: i for i, p in enumerate(full[:cut + 1])}
+        for w in set(words):
+            assert len(encode_word(w, r_big)) <= len(
+                encode_word(w, r_small))
+
+
+@given(words=_words)
+@settings(max_examples=30, deadline=None)
+def test_bpe_training_encoding_consistency(words):
+    """Training's own symbol state after k merges == encoding each word
+    with those k merges (the invariant that lets bpe_vocab replay the
+    merge sequence instead of storing trainer state)."""
+    from collections import Counter
+    from semantic_search_engine_spark.operators.bpe import (
+        _initial_symbols, encode_word, learn_bpe_local)
+    counts = dict(Counter(words))
+    merges = learn_bpe_local(counts, 8, min_pair_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # replay trainer-style (apply merges in ORDER) and compare with
+    # encode_word (apply lowest-rank adjacent pair repeatedly)
+    for w in set(words):
+        syms = _initial_symbols(w)
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        assert syms == encode_word(w, ranks), (w, syms)
