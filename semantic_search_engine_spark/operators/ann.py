@@ -219,7 +219,13 @@ class IVFIndex:
         ingest cost is independent of index size; re-upserted keys may
         move lists (assignment follows the new vector). Search results
         afterwards are identical to assigning the merged vector set
-        under the same centroids."""
+        under the same centroids.
+
+        A batch carrying the same key twice is REFUSED (Iceberg MERGE
+        semantics: 'multiple rows match') — silently keeping both would
+        duplicate the key in the index, and picking one would be
+        order-dependent."""
+        _require_unique_keys(embeddings, self.key, "IVFIndex.upsert")
         vnorm = _norm(F.col("v"))
         e = (embeddings
              .select(self.key,
@@ -377,6 +383,18 @@ def load_ivf(store, name: str) -> IVFIndex:
     return IVFIndex(centroids, assignments, key, vec_col)
 
 
+def _require_unique_keys(df: DataFrame, key: str, op: str) -> None:
+    """Refuse batches with duplicate keys — one aggregation over the
+    BATCH (not the index)."""
+    r = df.agg(F.count(key).alias("n"),
+               F.countDistinct(key).alias("d")).collect()[0]
+    if r["n"] != r["d"]:
+        raise ValueError(
+            f"{op}: batch carries {r['n'] - r['d']} duplicate "
+            f"{key!r} rows — one vector per key per batch (dedup "
+            f"upstream or split the batch)")
+
+
 def upsert_ivf(store, name: str, embeddings: DataFrame) -> None:
     """Incrementally add/replace vectors in a PERSISTED IVF index
     without loading it: only the centroid table (n_lists rows) is read
@@ -387,17 +405,17 @@ def upsert_ivf(store, name: str, embeddings: DataFrame) -> None:
 
     Soundness note — ``list_id`` is NOT a function of the key (a
     re-upserted vector whose embedding changed can move lists), so a
-    single pruned merge keyed on the NEW list could leave the old copy
-    stale in an untouched directory. Keys that already exist in a
-    DIFFERENT list are therefore deleted first (pruned by their OLD
-    lists), then the merge lands the new rows (pruned by their NEW
-    lists). Two commits; a replay of either is idempotent, and the
-    inter-commit crash window loses only the moving keys' rows — the
-    next upsert replay restores them.
-    """
+    pruned merge keyed on the NEW lists alone could leave the old copy
+    stale in an untouched directory. The OLD lists of keys that moved
+    are resolved by one semi-join and passed to the store as
+    ``extra_touched``: their directories join the rewrite set of the
+    SAME single atomic commit, whose key anti-join drops the stale
+    copies. Batches with duplicate keys are refused (see
+    :meth:`IVFIndex.upsert`)."""
     meta = store.table_meta(_IVF_ASSIGN_TBL.format(name=name)) or {}
     key = meta.get("key", "vec_id")
     vec_col = meta.get("vec_col", "embedding")
+    _require_unique_keys(embeddings, key, "upsert_ivf")
     crows = (store.read(_IVF_CENTROID_TBL.format(name=name))
              .orderBy("list_id").collect())
     centroids = np.array([r["centroid"] for r in crows], dtype=np.float64)
@@ -415,27 +433,32 @@ def upsert_ivf(store, name: str, embeddings: DataFrame) -> None:
 
     assign_tbl = _IVF_ASSIGN_TBL.format(name=name)
     current = store.read(assign_tbl)
-    movers = (current.select(key, F.col("list_id").alias("_old"))
-              .join(fresh.select(key, "list_id"), key)
-              .filter(F.col("_old") != F.col("list_id"))
-              .select(key, F.col("_old").alias("list_id"))
-              .localCheckpoint(eager=True))
-    if movers.limit(1).count() > 0:
-        store.delete_by_key(assign_tbl, movers, key,
-                            partition_by=["list_id"])
-    store.merge_by_key(assign_tbl, fresh, key, partition_by=["list_id"])
+    moved_from = (current.select(key, "list_id")
+                  .join(fresh.select(key,
+                                     F.col("list_id").alias("_new")),
+                        key)
+                  .filter(F.col("list_id") != F.col("_new"))
+                  .select("list_id")
+                  .localCheckpoint(eager=True))  # pin BEFORE the commit
+    store.merge_by_key(assign_tbl, fresh, key, partition_by=["list_id"],
+                       extra_touched=moved_from)
 
 
 def remove_ivf(store, name: str, keys: DataFrame) -> None:
     """Delete vectors from a persisted IVF index. ``keys`` carries the
     index's key column; their ``list_id``s are resolved by one semi-join
     against the assignments table so the CoW delete prunes to the
-    containing list directories only."""
+    containing list directories only. Keys absent from the index are a
+    NO-OP (no empty commit, no data_uuid churn for downstream caches).
+    """
     meta = store.table_meta(_IVF_ASSIGN_TBL.format(name=name)) or {}
     key = meta.get("key", "vec_id")
     assign_tbl = _IVF_ASSIGN_TBL.format(name=name)
     located = (store.read(assign_tbl)
                .join(keys.select(key), key, "semi")
-               .select(key, "list_id"))
+               .select(key, "list_id")
+               .localCheckpoint(eager=True))
+    if located.limit(1).count() == 0:
+        return
     store.delete_by_key(assign_tbl, located, key,
                         partition_by=["list_id"])

@@ -46,7 +46,10 @@ from collections import Counter
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from semantic_search_engine_spark.textproc import TOKEN_RE
+from semantic_search_engine_spark.textproc import (
+    TOKEN_PATTERN_SQL,
+    TOKEN_RE,
+)
 
 __all__ = [
     "EOW",
@@ -73,8 +76,11 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ([a-z0-9]+ on lowercased text — textproc.TOKEN_RE). One projection
     + one explode + one groupBy shuffle keyed by word; this is the only
     stage whose input is corpus-sized."""
+    # TOKEN_PATTERN_SQL keeps training tokenization in lockstep with
+    # the TOKEN_RE the encoder (encode_bpe) uses — a drifted pattern
+    # would learn merges over symbols the encoder never produces
     toks = F.expr(
-        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN_SQL}', 0)")
     return (docs
             .select(F.explode(toks).alias("word"))
             .groupBy("word")
@@ -317,6 +323,7 @@ def encode_bpe(docs: DataFrame, merges: list[tuple[str, str]],
     ranks = {pair: i for i, pair in enumerate(merges)}
     pattern = TOKEN_RE.pattern
     out_id = id_col
+    id_type = dict(docs.dtypes)[id_col]  # don't assume string ids
 
     def kernel(iterator):
         import pandas as pd
@@ -346,7 +353,7 @@ def encode_bpe(docs: DataFrame, merges: list[tuple[str, str]],
                     F.col(text_col).alias("_text"))
             .mapInPandas(
                 kernel,
-                schema=(f"{out_id} string, bpe_tokens array<string>, "
+                schema=(f"{out_id} {id_type}, bpe_tokens array<string>, "
                         "n_bpe_tokens long")))
 
 

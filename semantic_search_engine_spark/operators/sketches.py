@@ -132,7 +132,17 @@ def count_min_table(df: DataFrame, col: str, depth: int = 4,
 
     Accuracy: estimates OVERCOUNT only; with width w and depth d,
     err ≤ e·n/w with probability 1 − e^−d. 4×1024 ⇒ ±0.27%·n at
-    ~98% confidence, in 16 K cells."""
+    ~98% confidence, in 16 K cells.
+
+    The table is SELF-DESCRIBING: (width, seed) ride every row as
+    constant columns (and depth is recoverable as max(depth)+1), so
+    :func:`count_min_estimate` derives the hash parameters from the
+    table instead of trusting the caller to repeat them — a silently
+    mismatched width/seed would probe the wrong buckets and UNDERcount
+    via the na.fill(0) misses, breaking the one guarantee the sketch
+    makes. Merging two tables must therefore groupBy
+    (depth, bucket, width, seed) — mixed-parameter unions then fail
+    loudly at estimate time instead of blending."""
     cells = F.array(*[
         F.struct(F.lit(d).cast("int").alias("depth"),
                  _cm_bucket(F.col(col), d, width, seed).alias("bucket"))
@@ -141,17 +151,33 @@ def count_min_table(df: DataFrame, col: str, depth: int = 4,
             .select(F.explode(cells).alias("h"))
             .groupBy(F.col("h.depth").alias("depth"),
                      F.col("h.bucket").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("cnt")))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("width", F.lit(int(width)))
+            .withColumn("seed", F.lit(int(seed))))
 
 
-def count_min_estimate(cm: DataFrame, values: DataFrame, col: str,
-                       depth: int = 4, width: int = 1024,
-                       seed: int = 0) -> DataFrame:
+def count_min_estimate(cm: DataFrame, values: DataFrame,
+                       col: str) -> DataFrame:
     """Point-frequency estimates for ``values[col]`` against a
-    count-min table built with the SAME (depth, width, seed):
-    (value, est) with est = min over depth rows; est ≥ true count
-    always (never under). The probe set broadcast-joins the cell
-    table — querying costs |values|·depth lookups, not a data scan."""
+    count-min table: (value, est) with est = min over depth rows;
+    est ≥ true count always (never under). The hash parameters are
+    READ FROM the table (see :func:`count_min_table`), so they cannot
+    silently mismatch. The probe set broadcast-joins the cell table —
+    querying costs |values|·depth lookups, not a data scan."""
+    params = cm.agg(
+        F.max("depth").alias("dmax"),
+        F.count_distinct("width", "seed").alias("nparams"),
+        F.first("width").alias("width"),
+        F.first("seed").alias("seed")).collect()[0]
+    if params["dmax"] is None:
+        raise ValueError("count-min table is empty")
+    if params["nparams"] != 1:
+        raise ValueError(
+            "count-min table mixes (width, seed) parameter sets — "
+            "tables merged with different hash parameters cannot be "
+            "queried")
+    depth = int(params["dmax"]) + 1
+    width, seed = int(params["width"]), int(params["seed"])
     probes = values.select(F.col(col).alias("value")).distinct()
     cells = F.array(*[
         F.struct(F.lit(d).cast("int").alias("depth"),
@@ -166,7 +192,8 @@ def count_min_estimate(cm: DataFrame, values: DataFrame, col: str,
     # side of the left join, which is the side a left-outer
     # BroadcastHashJoin can actually broadcast
     return (probe_cells
-            .join(F.broadcast(cm), ["depth", "bucket"], "left")
+            .join(F.broadcast(cm.select("depth", "bucket", "cnt")),
+                  ["depth", "bucket"], "left")
             .na.fill({"cnt": 0})
             .groupBy("value")
             .agg(F.min("cnt").alias("est")))

@@ -33,15 +33,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from semantic_search_engine_spark.operators.curate import (
+    _HASH_MOD,
+    _sample_hash,
+)
 from semantic_search_engine_spark.operators.dedup import cluster_pairs
 
 __all__ = ["assign_split", "leakage_safe_split", "split_report"]
-
-_HASH_MOD = 1 << 30
-
-
-def _unit_hash(col, seed: int):
-    return F.pmod(F.xxhash64(col, F.lit(int(seed))), F.lit(_HASH_MOD))
 
 
 def _validate_fractions(fractions: dict[str, float]) -> list[tuple]:
@@ -69,7 +67,9 @@ def assign_split(docs: DataFrame, fractions: dict[str, float],
     NULL unit get a NULL split (surface them, don't hide them in
     train)."""
     bins = _validate_fractions(fractions)
-    h = _unit_hash(F.col(unit_col), seed)
+    # the X62 sampler's hash, SHARED (imported), so split and sampling
+    # determinism can never drift apart
+    h = _sample_hash(unit_col, seed)
     expr = F.lit(None).cast("string")
     for name, upper in reversed(bins):
         expr = F.when(h < F.lit(upper), F.lit(name)).otherwise(expr)

@@ -39,7 +39,16 @@ class TableStore:
         raise NotImplementedError
 
     def merge_by_key(self, table: str, updates: DataFrame, key: str,
-                     partition_by=None) -> dict:
+                     partition_by=None,
+                     extra_touched: DataFrame | None = None) -> dict:
+        """Upsert ``updates`` by ``key``. ``extra_touched`` (optional):
+        a frame carrying the partition column, naming partitions that
+        must ALSO be rewritten even though no update lands in them —
+        the escape hatch for tables whose partition column is NOT a
+        pure function of the key (an updated row may have MOVED out of
+        one of those partitions, leaving a stale copy there). Row-level
+        stores (Iceberg MERGE) ignore it — they update by key
+        regardless of file layout."""
         raise NotImplementedError
 
     def append(self, table: str, df: DataFrame,
@@ -161,7 +170,8 @@ class HadoopTableStore(TableStore):
         return self._commit(table, snap, meta)
 
     def merge_by_key(self, table: str, updates: DataFrame, key: str,
-                     partition_by=None) -> dict:
+                     partition_by=None,
+                     extra_touched: DataFrame | None = None) -> dict:
         """Copy-on-write upsert — the ``INSERT ... ON CONFLICT DO UPDATE``
         analogue (``data_ingestion.py:224-243``); Iceberg path uses
         ``MERGE INTO`` instead.
@@ -184,10 +194,15 @@ class HadoopTableStore(TableStore):
         inodes — mirroring Iceberg's file-level CoW, where unchanged data
         files are referenced, not copied). Incremental ingest then pays
         |touched buckets|/P of the table rewrite instead of all of it.
-        Precondition (holds for every engine table): the partition column
-        is a pure function of ``key`` — an update can then never move a
-        row between partitions, so untouched directories cannot hold a
-        stale copy of an updated key.
+        Precondition (holds for every engine DOC/TERM table): the
+        partition column is a pure function of ``key`` — an update can
+        then never move a row between partitions, so untouched
+        directories cannot hold a stale copy of an updated key. Tables
+        where that does NOT hold (IVF assignments: a changed vector
+        moves lists) must pass ``extra_touched`` naming the partitions
+        updated keys are moving OUT of; those directories join the
+        rewrite set — still ONE atomic commit, and the anti-join on
+        ``key`` inside the rewrite drops the stale copies.
         """
         if not self.exists(table):
             return self.write(table, updates, partition_by=partition_by)
@@ -195,7 +210,7 @@ class HadoopTableStore(TableStore):
         prev_meta.pop("data_uuid", None)  # write() mints a fresh one
         prev_meta["merged_on"] = key
         pruned = self._merge_pruned(table, updates, key, partition_by,
-                                    prev_meta)
+                                    prev_meta, extra_touched)
         if pruned is not None:
             return pruned
         current = self.read(table)
@@ -207,7 +222,9 @@ class HadoopTableStore(TableStore):
                           partition_by=partition_by)
 
     def _merge_pruned(self, table: str, updates: DataFrame, key: str,
-                      partition_by, prev_meta: dict) -> dict | None:
+                      partition_by, prev_meta: dict,
+                      extra_touched: DataFrame | None = None
+                      ) -> dict | None:
         """Partition-pruned CoW merge; returns None when the layout
         preconditions don't hold (caller falls back to the full rewrite).
         """
@@ -227,6 +244,9 @@ class HadoopTableStore(TableStore):
             return None  # previous snapshot wasn't written with this layout
         touched = {str(r[0]) for r in
                    updates.select(part_col).distinct().collect()}
+        if extra_touched is not None:
+            touched |= {str(r[0]) for r in extra_touched
+                        .select(part_col).distinct().collect()}
         current = self.read(table)
         merged_touched = (
             current.filter(F.col(part_col).cast("string").isin(*touched))
@@ -375,9 +395,12 @@ class IcebergCatalogStore(TableStore):
             f"SET TBLPROPERTIES ('engine.meta'='{blob}')")
 
     def merge_by_key(self, table: str, updates: DataFrame, key: str,
-                     partition_by=None) -> dict:
+                     partition_by=None,
+                     extra_touched: DataFrame | None = None) -> dict:
         # An EXISTING Iceberg table keeps its declared partition spec, so
-        # partition_by only matters on the creation branch.
+        # partition_by only matters on the creation branch. extra_touched
+        # is a CoW-layout concern: MERGE INTO updates matched rows by key
+        # wherever their files live, so moved rows can't go stale here.
         if not self.exists(table):
             return self.write(table, updates, partition_by=partition_by)
         updates.createOrReplaceTempView("_merge_updates")

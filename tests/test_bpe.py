@@ -156,3 +156,13 @@ def test_delta_strategy_min_count_stop_and_validation(spark):
                          strategy="delta") == [("a", "b</w>")]
     with pytest.raises(ValueError):
         bpe.learn_bpe(wc, 3, strategy="nope")
+
+
+def test_encode_bpe_non_string_id(spark):
+    """The output schema follows the id column's actual type (a corpus
+    keyed by `doc_id long` must not crash on Arrow conversion)."""
+    merges = bpe.learn_bpe_local(TOY, 4)
+    docs = spark.createDataFrame([(7, "low newest")],
+                                 "doc_id long, text string")
+    rows = bpe.encode_bpe(docs, merges, id_col="doc_id").collect()
+    assert rows[0]["doc_id"] == 7 and rows[0]["n_bpe_tokens"] >= 2

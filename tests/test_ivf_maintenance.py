@@ -184,3 +184,55 @@ def test_persisted_upsert_mover_has_no_stale_copy(spark, embeddings,
     assert len(rows) == 1, f"stale duplicate: {rows}"
     assert rows[0]["list_id"] == new_list
     assert loaded.assignments.count() == 64
+
+
+def test_upsert_refuses_duplicate_keys(spark, embeddings):
+    idx = IVFIndex.build(embeddings.limit(32), n_lists=4, n_iters=1)
+    v = embeddings.orderBy("vec_id").limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(5, [float(x) for x in v["embedding"]]),
+         (5, [2.0 * float(x) for x in v["embedding"]])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.upsert(dup)
+
+
+def test_persisted_remove_missing_keys_is_noop(spark, embeddings,
+                                               tmp_path_factory):
+    """Removing keys that aren't in the index commits nothing (no
+    snapshot churn, no data_uuid change for downstream caches)."""
+    store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("ivf_no")))
+    idx = IVFIndex.build(embeddings.limit(32), n_lists=4, n_iters=1)
+    save_ivf(idx, store, "emb")
+    before = store.table_meta("ann_emb_assignments")["data_uuid"]
+    remove_ivf(store, "emb",
+               spark.createDataFrame([(10**9,)], "vec_id long"))
+    after = store.table_meta("ann_emb_assignments")["data_uuid"]
+    assert before == after
+    assert load_ivf(store, "emb").assignments.count() == 32
+
+
+def test_persisted_upsert_single_commit_for_movers(spark, embeddings,
+                                                   tmp_path_factory):
+    """A list-moving re-upsert is ONE atomic commit (the old-list
+    directory joins the rewrite set via extra_touched) — no
+    intermediate snapshot where the moving key is absent."""
+    import glob as _glob
+    store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("ivf_1c")))
+    idx = IVFIndex.build(embeddings.limit(64), n_lists=4, n_iters=2)
+    save_ivf(idx, store, "emb")
+    n_snaps_before = len(_glob.glob(
+        f"{store.root}/ann_emb_assignments/snap-*"))
+    row = load_ivf(store, "emb").assignments.filter(
+        F.col("vec_id") == 3).collect()[0]
+    new_list = (row["list_id"] + 1) % 4
+    moved = spark.createDataFrame(
+        [(3, [float(x) for x in idx.centroids[new_list]])],
+        "vec_id long, embedding array<double>")
+    upsert_ivf(store, "emb", moved)
+    n_snaps_after = len(_glob.glob(
+        f"{store.root}/ann_emb_assignments/snap-*"))
+    assert n_snaps_after == n_snaps_before + 1  # one commit, not two
+    loaded = load_ivf(store, "emb")
+    rows = loaded.assignments.filter(F.col("vec_id") == 3).collect()
+    assert len(rows) == 1 and rows[0]["list_id"] == new_list

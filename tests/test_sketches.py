@@ -132,8 +132,8 @@ def test_count_min_never_undercounts(spark, zipf_values):
     true = _exact_counts(zipf_values)
     probes = spark.createDataFrame(
         [(v,) for v in list(true)[:50]] + [("absent_value",)], "v string")
-    est = {r["value"]: r["est"] for r in count_min_estimate(
-        cm, probes, "v", depth=4, width=1024).collect()}
+    est = {r["value"]: r["est"]
+           for r in count_min_estimate(cm, probes, "v").collect()}
     n = sum(true.values())
     for v, e in est.items():
         t = true.get(v, 0)
@@ -151,11 +151,28 @@ def test_count_min_mergeable(spark, zipf_values):
     a = half_a.filter(F.col("r") % 2 == 0).select("v")
     b = half_a.filter(F.col("r") % 2 == 1).select("v")
     merged = (count_min_table(a, "v").unionByName(count_min_table(b, "v"))
-              .groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt")))
+              .groupBy("depth", "bucket", "width", "seed")
+              .agg(F.sum("cnt").alias("cnt")))
     one = count_min_table(zipf_values, "v")
     m = {(r["depth"], r["bucket"]): r["cnt"] for r in merged.collect()}
     o = {(r["depth"], r["bucket"]): r["cnt"] for r in one.collect()}
     assert m == o
+
+
+def test_count_min_rejects_mixed_or_empty_tables(spark, zipf_values):
+    """The self-describing parameters make a silent width/seed
+    mismatch impossible: mixed tables and empty tables fail loudly."""
+    from semantic_search_engine_spark.operators.sketches import (
+        count_min_estimate, count_min_table)
+    probes = spark.createDataFrame([("hot_01",)], "v string")
+    mixed = count_min_table(zipf_values, "v", width=1024).unionByName(
+        count_min_table(zipf_values, "v", width=2048))
+    with pytest.raises(ValueError, match="mixes"):
+        count_min_estimate(mixed, probes, "v")
+    empty = count_min_table(
+        spark.createDataFrame([], "v string"), "v")
+    with pytest.raises(ValueError, match="empty"):
+        count_min_estimate(empty, probes, "v")
 
 
 def test_heavy_hitters_recovers_head(spark, zipf_values):
@@ -164,10 +181,18 @@ def test_heavy_hitters_recovers_head(spark, zipf_values):
     true = _exact_counts(zipf_values)
     out = heavy_hitters(zipf_values, "v", k=10, capacity=128)
     rows = out.collect()
-    got = [r["value"] for r in rows]
-    # the true top-10 are hot_01..hot_10 by construction
-    want = sorted(true, key=lambda v: (-true[v], v))[:10]
-    assert got == want, (got, want)
+    got = {r["value"] for r in rows}
+    err = rows[0]["err"]
+    # assert only what the MG contract GUARANTEES: a value whose true
+    # count clears the 11th-ranked value's by more than err must be in
+    # the top-10 (adjacent head values within err of each other may
+    # legitimately swap under a different partitioning)
+    ranked = sorted(true, key=lambda v: (-true[v], v))
+    cutoff = true[ranked[10]]  # 11th value's true count
+    guaranteed = {v for v in ranked[:10] if true[v] - cutoff > err}
+    assert guaranteed, "fixture too flat to test anything"
+    assert guaranteed <= got, (guaranteed - got, err)
+    assert len(rows) == 10
     for r in rows:
         t = true[r["value"]]
         assert r["est"] <= t <= r["est"] + r["err"], (r, t)
