@@ -1,0 +1,148 @@
+"""Recrawl scheduling — per-URL change-rate estimation over crawl fetch
+history, and cross-snapshot corpus deltas.
+
+A production crawl of 10^12 pages cannot refetch everything each cycle;
+it budgets fetches by how likely each page is to have changed. The
+classic public model (Cho & Garcia-Molina, "Estimating Frequency of
+Change", ACM TOIT 3(3), 2003) treats page change as a Poisson process
+with rate λ and estimates λ from *sampled* observations — n revisits of
+which X showed a changed page. The naive X/n underestimates (multiple
+changes between visits collapse into one observation); the paper's
+bias-corrected estimator is
+
+    λ̂ = -log((n - X + 0.5) / (n + 0.5)) / Ī
+
+changes per unit time, with Ī the average revisit interval. Staleness
+probability after t time units without a fetch is 1 - exp(-λ̂ t); the
+scheduler orders the fetch budget by it.
+
+Input shape: the engine's own pre-dedup fetch log — `doc_features_raw`
+keeps one row per (url, warc_ts) fetch with the `extracted_sha256`
+content fingerprint computed inside the extract UDF (no text re-read
+here; this module touches only the three slim columns). Any
+(url, ts, sha) frame works, e.g. a WARC-derived fetch log
+(`sources/warc.py`).
+
+Plan shape / scale: `change_rate` is ONE hash exchange on url — the
+`lag` window partitions by url and the follow-up groupBy reuses that
+partitioning (Catalyst sees the child distribution satisfied; no second
+shuffle). At 10^12 urls × ~10 fetches that is one shuffle of three slim
+columns, partial-agg absorbed. `recrawl_schedule` is a top-k
+(TakeOrdered, never a full sort materialization); `corpus_delta` is one
+sort-merge full-outer join on url plus a small per-host aggregate.
+Everything is pure codegen — no Python rows anywhere.
+
+Reference parity note: the reference service has no crawler (it ingests
+a product CSV — data-pipeline/pipeline.py), so this operator is part of
+the web-scale pipeline extension surface, not §2 parity.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["change_rate", "staleness", "recrawl_schedule", "corpus_delta",
+           "delta_by_host"]
+
+_SEC_PER_DAY = 86400.0
+
+
+def change_rate(fetches: DataFrame, url_col: str = "url",
+                ts_col: str = "warc_ts",
+                sha_col: str = "extracted_sha256") -> DataFrame:
+    """Per-url Poisson change-rate estimate from a fetch log.
+
+    Returns (url, n_fetches, n_changes, first_ts, last_ts,
+    lambda_per_day). ``n_changes`` counts revisits whose fingerprint
+    differs from the previous fetch (ties on ``ts_col`` are broken by
+    ``sha_col`` so the lag is deterministic). ``lambda_per_day`` is the
+    Cho–Garcia-Molina bias-corrected MLE; NULL when the url has fewer
+    than two fetches or zero observation span (nothing to estimate
+    from — callers supply a prior, see :func:`staleness`).
+    """
+    url, ts, sha = F.col(url_col), F.col(ts_col), F.col(sha_col)
+    w = Window.partitionBy("url").orderBy("_ts", "_sha")
+    lagged = fetches.select(
+        url.alias("url"), ts.alias("_ts"), sha.alias("_sha")
+    ).withColumn("_prev", F.lag("_sha").over(w))
+    agg = lagged.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(((F.col("_prev").isNotNull())
+               & (F.col("_prev") != F.col("_sha"))).cast("long"))
+        .alias("n_changes"),
+        F.min("_ts").alias("first_ts"),
+        F.max("_ts").alias("last_ts"),
+    )
+    n_int = (F.col("n_fetches") - F.lit(1)).cast("double")
+    span_days = (F.unix_timestamp("last_ts").cast("double")
+                 - F.unix_timestamp("first_ts").cast("double")) / _SEC_PER_DAY
+    avg_interval = span_days / n_int
+    lam = (-F.log((n_int - F.col("n_changes").cast("double") + F.lit(0.5))
+                  / (n_int + F.lit(0.5)))
+           / avg_interval)
+    return agg.withColumn(
+        "lambda_per_day",
+        F.when((n_int > 0) & (span_days > 0), lam))
+
+
+def staleness(rates: DataFrame, as_of,
+              default_lambda_per_day: float | None = None) -> DataFrame:
+    """Adds ``p_stale`` — probability the page changed since its last
+    fetch, evaluated at ``as_of`` (a timestamp literal or column; passed
+    explicitly so schedules are reproducible). Urls with no estimate
+    (single fetch) use ``default_lambda_per_day`` when given, else NULL
+    p_stale (they sort last; a crawler typically gives first-seen pages
+    their own budget tier instead of a fake rate)."""
+    as_of_c = as_of if isinstance(as_of, Column) else F.lit(as_of)
+    age_days = ((F.unix_timestamp(as_of_c.cast("timestamp")).cast("double")
+                 - F.unix_timestamp("last_ts").cast("double"))
+                / _SEC_PER_DAY)
+    lam = F.col("lambda_per_day")
+    if default_lambda_per_day is not None:
+        lam = F.coalesce(lam, F.lit(float(default_lambda_per_day)))
+    return rates.withColumn(
+        "p_stale",
+        F.when(lam.isNotNull() & (age_days >= 0),
+               F.lit(1.0) - F.exp(-lam * age_days)))
+
+
+def recrawl_schedule(rates: DataFrame, budget: int, as_of,
+                     default_lambda_per_day: float | None = None
+                     ) -> DataFrame:
+    """The ``budget`` urls most worth refetching at ``as_of``: highest
+    ``p_stale`` first, url as the deterministic tie-break. A top-k
+    (orderBy+limit → TakeOrdered), never a global sort of the url
+    space."""
+    return (staleness(rates, as_of, default_lambda_per_day)
+            .filter(F.col("p_stale").isNotNull())
+            .orderBy(F.desc("p_stale"), F.asc("url"))
+            .limit(int(budget))
+            .select("url", "p_stale", "lambda_per_day", "last_ts"))
+
+
+def corpus_delta(old: DataFrame, new: DataFrame, url_col: str = "url",
+                 sha_col: str = "extracted_sha256") -> DataFrame:
+    """Per-url diff of two crawl snapshots: status ∈ added / removed /
+    changed / unchanged (by content fingerprint). One full-outer
+    sort-merge join on url; input frames need one row per url (apply
+    the per-url dedup first, as the build does)."""
+    o = old.select(F.col(url_col).alias("url"),
+                   F.col(sha_col).alias("_old_sha"))
+    n = new.select(F.col(url_col).alias("url"),
+                   F.col(sha_col).alias("_new_sha"))
+    joined = o.join(n, "url", "full_outer")
+    status = (F.when(F.col("_old_sha").isNull(), F.lit("added"))
+              .when(F.col("_new_sha").isNull(), F.lit("removed"))
+              .when(F.col("_old_sha") != F.col("_new_sha"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return joined.select("url", status.alias("status"))
+
+
+def delta_by_host(delta: DataFrame) -> DataFrame:
+    """Churn report: per (host, status) url counts over a
+    :func:`corpus_delta` frame — the shape a crawl operator watches
+    between snapshots."""
+    host = F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+    return (delta.groupBy(host.alias("host"), "status")
+            .agg(F.count(F.lit(1)).alias("n_urls")))
