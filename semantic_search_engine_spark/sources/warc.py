@@ -35,10 +35,14 @@ from __future__ import annotations
 
 import datetime
 import gzip
+import io
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "parse_warc_bytes"]
+__all__ = ["read_warc", "parse_warc_bytes", "wet_record_bytes",
+           "write_wet"]
 
 #: the engine ingest schema (streaming/ingest.py DOCUMENT_SCHEMA) plus
 #: per-file provenance
@@ -46,9 +50,13 @@ _SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
            "lang string, warc_path string")
 
 
-def parse_warc_bytes(data: bytes) -> tuple[list[dict], int]:
-    """Parse one WARC file's bytes; returns (response records, skipped
-    count). Pure function — unit-testable without Spark."""
+def parse_warc_bytes(data: bytes, record_types: tuple[str, ...] =
+                     ("response",)) -> tuple[list[dict], int]:
+    """Parse one WARC file's bytes; returns (records of the requested
+    WARC-Types, skipped count). ``response`` records carry an HTTP
+    payload (headers stripped); ``conversion`` records (WET extracted
+    text) carry the body directly. Pure function — unit-testable
+    without Spark."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)  # handles concatenated members
     out: list[dict] = []
@@ -79,7 +87,8 @@ def parse_warc_bytes(data: bytes) -> tuple[list[dict], int]:
         if len(payload) < clen:
             break  # truncated final record
         pos = hdr_end + 4 + clen
-        if headers.get("warc-type") != "response":
+        rtype = headers.get("warc-type")
+        if rtype not in record_types:
             skipped += 1
             continue
         url = headers.get("warc-target-uri")
@@ -89,21 +98,28 @@ def parse_warc_bytes(data: bytes) -> tuple[list[dict], int]:
             ts = ts.replace(tzinfo=None)  # engine stores NTZ (UTC)
         except ValueError:
             ts = None
-        # response payload = HTTP response; body follows its headers
-        http_end = payload.find(b"\r\n\r\n")
-        body = payload[http_end + 4:] if http_end >= 0 else payload
+        if rtype == "response":
+            # response payload = HTTP response; body follows its headers
+            http_end = payload.find(b"\r\n\r\n")
+            body = payload[http_end + 4:] if http_end >= 0 else payload
+        else:
+            body = payload  # conversion/WET: payload IS the body
         if not url:
             skipped += 1
             continue
-        out.append({"url": url, "warc_ts": ts, "html": body})
+        out.append({"url": url, "warc_ts": ts, "html": body,
+                    "rtype": rtype})
     return out, skipped
 
 
-def read_warc(spark: SparkSession, path: str,
-              with_stats: bool = False) -> DataFrame:
+def read_warc(spark: SparkSession, path: str, with_stats: bool = False,
+              record_types: tuple[str, ...] = ("response",)) -> DataFrame:
     """Documents from a WARC glob; see module docstring. With
     ``with_stats`` the result is (warc_path, n_records, n_skipped)
-    instead — the ingest-audit view."""
+    instead — the ingest-audit view. ``record_types=("conversion",)``
+    reads WET files: the extracted-text payload lands in ``text``
+    (utf-8) with ``html`` NULL, so a WET corpus feeds the build's
+    pre-extracted path directly."""
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
 
@@ -112,15 +128,19 @@ def read_warc(spark: SparkSession, path: str,
         for pdf in iterator:
             rows = []
             for p, c in zip(pdf["path"], pdf["content"]):
-                recs, skipped = parse_warc_bytes(bytes(c))
+                recs, skipped = parse_warc_bytes(bytes(c), record_types)
                 if with_stats:
                     rows.append({"warc_path": p,
                                  "n_records": len(recs),
                                  "n_skipped": skipped})
                     continue
                 for r in recs:
+                    conv = r["rtype"] != "response"
                     rows.append({"url": r["url"], "warc_ts": r["warc_ts"],
-                                 "html": r["html"], "text": None,
+                                 "html": None if conv else r["html"],
+                                 "text": (r["html"].decode("utf-8",
+                                                           "replace")
+                                          if conv else None),
                                  "lang": None, "warc_path": p})
             cols = (["warc_path", "n_records", "n_skipped"] if with_stats
                     else ["url", "warc_ts", "html", "text", "lang",
@@ -130,3 +150,103 @@ def read_warc(spark: SparkSession, path: str,
     schema = ("warc_path string, n_records int, n_skipped int"
               if with_stats else _SCHEMA)
     return files.mapInPandas(_parse, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# WET writer — the other half of the interchange cycle: export an
+# extracted-text corpus as Common-Crawl-style WET files (WARC 1.0
+# ``conversion`` records, one gzip member per record exactly as CC
+# ships them, so range readers and `read_warc` both consume the
+# output). Deterministic: record ids are uuid5(url|ts) and gzip
+# members carry mtime=0, so the same frame always serializes to the
+# same bytes — the property every resume/audit story in this engine
+# leans on.
+
+_WET_NS = uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")  # RFC 4122 URL ns
+
+
+def _gzip_member(raw: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    return buf.getvalue()
+
+
+def _record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode("utf-8") for k, v in headers)
+    return (head + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + b"\r\n\r\n")
+
+
+def wet_record_bytes(url: str, ts, text: str) -> bytes:
+    """One uncompressed WET ``conversion`` record. Pure function."""
+    payload = (text or "").encode("utf-8")
+    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None
+            else "1970-01-01T00:00:00Z")
+    rid = uuid.uuid5(_WET_NS, f"{url}|{date}")
+    return _record([
+        ("WARC-Type", "conversion"),
+        ("WARC-Target-URI", url),
+        ("WARC-Date", date),
+        ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+        ("Content-Type", "text/plain"),
+    ], payload)
+
+
+def _warcinfo_bytes(filename: str) -> bytes:
+    payload = (b"software: spark-fulltext wet-writer\r\n"
+               b"format: WARC File Format 1.0\r\n")
+    rid = uuid.uuid5(_WET_NS, f"warcinfo|{filename}")
+    return _record([
+        ("WARC-Type", "warcinfo"),
+        ("WARC-Filename", filename),
+        ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+        ("Content-Type", "application/warc-fields"),
+    ], payload)
+
+
+def write_wet(df: DataFrame, out_dir: str, url_col: str = "url",
+              ts_col: str = "warc_ts", text_col: str = "text"
+              ) -> list[tuple[str, int]]:
+    """Write ``df`` as ``part-NNNNN.warc.wet.gz`` under ``out_dir``
+    (one file per partition, one warcinfo header record each). Returns
+    the audit list [(file, n_records)] — one row per partition, a
+    bounded driver collect. Executors write to ``out_dir`` directly,
+    so at cluster scale it must be shared storage (HDFS/S3 via a
+    mounted path); in local mode any directory works. Repartition the
+    frame first to choose the file count/size (CC ships ~150 MB WET
+    files)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    slim = df.select(F.col(url_col).alias("url"),
+                     F.col(ts_col).alias("ts"),
+                     F.col(text_col).alias("text"))
+
+    def _write(iterator):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}.warc.wet.gz"
+        path = os.path.join(out_dir, name)
+        n = 0
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as fh:
+            fh.write(_gzip_member(_warcinfo_bytes(name)))
+            for pdf in iterator:
+                for url, ts, text in zip(pdf["url"], pdf["ts"],
+                                         pdf["text"]):
+                    if url is None:
+                        continue
+                    ts_py = None if pd.isnull(ts) else ts.to_pydatetime()
+                    fh.write(_gzip_member(
+                        wet_record_bytes(url, ts_py, text)))
+                    n += 1
+        os.replace(tmp, path)  # atomic publish, no torn files
+        yield pd.DataFrame({"wet_path": [path], "n_records": [n]})
+
+    audit = slim.mapInPandas(_write, schema="wet_path string, "
+                                            "n_records long").collect()
+    return sorted((r.wet_path, r.n_records) for r in audit)
