@@ -107,15 +107,29 @@ def staleness(rates: DataFrame, as_of,
 
 
 def recrawl_schedule(rates: DataFrame, budget: int, as_of,
-                     default_lambda_per_day: float | None = None
-                     ) -> DataFrame:
+                     default_lambda_per_day: float | None = None,
+                     per_host_cap: int | None = None) -> DataFrame:
     """The ``budget`` urls most worth refetching at ``as_of``: highest
     ``p_stale`` first, url as the deterministic tie-break. A top-k
     (orderBy+limit → TakeOrdered), never a global sort of the url
-    space."""
-    return (staleness(rates, as_of, default_lambda_per_day)
-            .filter(F.col("p_stale").isNotNull())
-            .orderBy(F.desc("p_stale"), F.asc("url"))
+    space.
+
+    ``per_host_cap`` is the politeness knob: at most that many urls per
+    host enter the cycle (a single stale-heavy host must not eat the
+    fetch budget, and crawlers rate-limit per host anyway). Costs one
+    extra hash exchange keyed on host; a host's candidate set is its
+    url count, so no skew treatment is needed beyond what the window
+    already gets from AQE."""
+    cand = (staleness(rates, as_of, default_lambda_per_day)
+            .filter(F.col("p_stale").isNotNull()))
+    if per_host_cap is not None:
+        w = Window.partitionBy(
+            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+        ).orderBy(F.desc("p_stale"), F.asc("url"))
+        cand = (cand.withColumn("_hrank", F.row_number().over(w))
+                .filter(F.col("_hrank") <= int(per_host_cap))
+                .drop("_hrank"))
+    return (cand.orderBy(F.desc("p_stale"), F.asc("url"))
             .limit(int(budget))
             .select("url", "p_stale", "lambda_per_day", "last_ts"))
 

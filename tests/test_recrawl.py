@@ -158,3 +158,25 @@ def test_change_rate_single_exchange(spark):
     df = spark.createDataFrame(_fetch_log())
     plan = change_rate(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_per_host_cap_politeness(spark):
+    # hog.example has 5 always-changing urls; quiet.example has 1
+    rows = []
+    for i in range(5):
+        for j in range(3):
+            rows.append((f"https://hog.example/p{i}",
+                         T0 + dt.timedelta(days=j), f"v{i}-{j}"))
+    for j in range(3):
+        rows.append(("https://quiet.example/only",
+                     T0 + dt.timedelta(days=j), f"q{j}"))
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "extracted_sha256 string")
+    rates = change_rate(df)
+    as_of = T0 + dt.timedelta(days=9)
+    uncapped = recrawl_schedule(rates, budget=3, as_of=as_of).collect()
+    assert all("hog.example" in r.url for r in uncapped)
+    capped = recrawl_schedule(rates, budget=3, as_of=as_of,
+                              per_host_cap=2).collect()
+    hosts = [("hog" if "hog" in r.url else "quiet") for r in capped]
+    assert hosts.count("hog") == 2 and hosts.count("quiet") == 1
