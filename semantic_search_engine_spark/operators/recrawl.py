@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["change_rate", "staleness", "recrawl_schedule", "corpus_delta",
+           "discover_frontier",
            "delta_by_host"]
 
 _SEC_PER_DAY = 86400.0
@@ -132,6 +133,63 @@ def recrawl_schedule(rates: DataFrame, budget: int, as_of,
     return (cand.orderBy(F.desc("p_stale"), F.asc("url"))
             .limit(int(budget))
             .select("url", "p_stale", "lambda_per_day", "last_ts"))
+
+
+def discover_frontier(links: DataFrame, fetched: DataFrame,
+                      ranks: DataFrame | None = None,
+                      budget: int | None = None,
+                      per_host_cap: int | None = None,
+                      src_col: str = "src_url", dst_col: str = "dst_url"
+                      ) -> DataFrame:
+    """New-URL discovery: outlink targets the crawl has never fetched,
+    ranked by the link mass pointing at them.
+
+    ``links``: the edge list `operators/linkgraph.py:extract_links`
+    produces. ``fetched``: frame with a ``url`` column (the corpus).
+    ``ranks``: optional (url, rank) from ``pagerank`` — when given,
+    candidates order by ``inlink_rank`` (the summed rank of their
+    linkers: a page recommended by important pages outranks one with
+    many low-value inlinks); otherwise by linking-HOST count then
+    inlink count (host diversity is the cheap spam counter — 10^4
+    inlinks from one domain is one vote). ``per_host_cap`` /
+    ``budget`` bound the cycle exactly as in :func:`recrawl_schedule`.
+
+    Plan: one anti-join of the slim edge list against the corpus urls,
+    one groupBy dst (the (dst, src-host) distinct inside is bounded by
+    distinct pairs; swap `countDistinct` for `approx_count_distinct`
+    at web scale if a mega-inlinked url's pair set ever dominates),
+    plus a broadcast-or-merge join against the KB-to-GB rank table.
+    Returns (url, n_inlinks, n_hosts, inlink_rank).
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    cand = (links.select(src.alias("_src"), dst.alias("url"))
+            .join(fetched.select("url"), "url", "left_anti"))
+    if ranks is not None:
+        r = ranks.select(F.col("url").alias("_src"),
+                         F.col("rank").alias("_r"))
+        cand = cand.join(r, "_src", "left")
+    else:
+        cand = cand.withColumn("_r", F.lit(None).cast("double"))
+    agg = (cand.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct(
+            F.lower(F.try_parse_url(F.col("_src"), F.lit("HOST"))))
+        .alias("n_hosts"),
+        F.sum("_r").alias("inlink_rank")))
+    order = ([F.desc("inlink_rank")] if ranks is not None
+             else [F.desc("n_hosts"), F.desc("n_inlinks")]) + \
+        [F.asc("url")]
+    if per_host_cap is not None:
+        w = Window.partitionBy(
+            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+        ).orderBy(*order)
+        agg = (agg.withColumn("_hrank", F.row_number().over(w))
+               .filter(F.col("_hrank") <= int(per_host_cap))
+               .drop("_hrank"))
+    out = agg.orderBy(*order)
+    if budget is not None:
+        out = out.limit(int(budget))
+    return out
 
 
 def corpus_delta(old: DataFrame, new: DataFrame, url_col: str = "url",

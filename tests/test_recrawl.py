@@ -180,3 +180,75 @@ def test_per_host_cap_politeness(spark):
                               per_host_cap=2).collect()
     hosts = [("hog" if "hog" in r.url else "quiet") for r in capped]
     assert hosts.count("hog") == 2 and hosts.count("quiet") == 1
+
+
+FRONTIER_ORACLE = """
+WITH cand AS (
+  SELECT l.src_url, l.dst_url FROM links l
+  WHERE l.dst_url NOT IN (SELECT url FROM fetched)
+)
+SELECT dst_url AS url, count(*) AS n_inlinks,
+       count(DISTINCT lower(split_part(split_part(src_url, '://', 2),
+                                       '/', 1))) AS n_hosts
+FROM cand GROUP BY dst_url
+ORDER BY n_hosts DESC, n_inlinks DESC, url ASC
+"""
+
+
+def test_discover_frontier_matches_duckdb_oracle(spark):
+    import duckdb as _ddb
+    from semantic_search_engine_spark.operators.recrawl import (
+        discover_frontier)
+    links = []
+    for i in range(30):
+        links.append((f"https://h{i % 4}.example/src{i}",
+                      f"https://new{i % 6}.example/page"))
+    for i in range(10):  # already-fetched targets must be excluded
+        links.append((f"https://h{i % 4}.example/src{i}",
+                      "https://old.example/known"))
+    links_pdf = pd.DataFrame(links, columns=["src_url", "dst_url"])
+    fetched_pdf = pd.DataFrame(
+        {"url": ["https://old.example/known"]
+         + [f"https://h{i}.example/src{i}" for i in range(4)]})
+    got = discover_frontier(
+        spark.createDataFrame(links_pdf),
+        spark.createDataFrame(fetched_pdf)).toPandas()
+    con = _ddb.connect()
+    con.register("links", links_pdf)
+    con.register("fetched", fetched_pdf)
+    want = con.execute(FRONTIER_ORACLE).fetchdf()
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["n_inlinks"]) == list(want["n_inlinks"])
+    assert list(got["n_hosts"]) == list(want["n_hosts"])
+    assert got["inlink_rank"].isna().all()  # no ranks given
+
+
+def test_discover_frontier_rank_ordering_and_caps(spark):
+    from semantic_search_engine_spark.operators.recrawl import (
+        discover_frontier)
+    links = spark.createDataFrame(
+        [("https://big.example/", "https://n.example/by-big"),
+         ("https://tiny1.example/", "https://n.example/by-tiny"),
+         ("https://tiny2.example/", "https://n.example/by-tiny"),
+         ("https://tiny3.example/", "https://n.example/by-tiny"),
+         ("https://big.example/", "https://m.example/other")],
+        "src_url string, dst_url string")
+    fetched = spark.createDataFrame(
+        [("https://big.example/",)], "url string")
+    ranks = spark.createDataFrame(
+        [("https://big.example/", 0.9), ("https://tiny1.example/", 0.01),
+         ("https://tiny2.example/", 0.01), ("https://tiny3.example/", 0.01)],
+        "url string, rank double")
+    # host-diversity order: by-tiny (3 hosts) first
+    plain = discover_frontier(links, fetched).collect()
+    assert plain[0].url == "https://n.example/by-tiny"
+    # rank order: the single big-rank inlink wins
+    ranked = discover_frontier(links, fetched, ranks=ranks).collect()
+    assert ranked[0].url in ("https://n.example/by-big",
+                             "https://m.example/other")
+    assert ranked[0].inlink_rank == pytest.approx(0.9)
+    # politeness: one url per host with budget 2 -> two distinct hosts
+    capped = discover_frontier(links, fetched, per_host_cap=1,
+                               budget=2).collect()
+    assert len(capped) == 2
+    assert len({r.url.split("/")[2] for r in capped}) == 2
