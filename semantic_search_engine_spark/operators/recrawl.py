@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["change_rate", "staleness", "recrawl_schedule", "corpus_delta",
-           "discover_frontier",
+           "discover_frontier", "host_crawl_stats", "trap_hosts",
            "delta_by_host"]
 
 _SEC_PER_DAY = 86400.0
@@ -209,6 +209,56 @@ def corpus_delta(old: DataFrame, new: DataFrame, url_col: str = "url",
                     F.lit("changed"))
               .otherwise(F.lit("unchanged")))
     return joined.select("url", status.alias("status"))
+
+
+def host_crawl_stats(fetches: DataFrame, url_col: str = "url",
+                     sha_col: str = "extracted_sha256") -> DataFrame:
+    """Per-host crawl-shape statistics: (host, n_urls, n_contents,
+    urls_per_content, query_frac, avg_depth). The signals crawl-trap
+    detection reads — a session-id or calendar trap mints unbounded
+    urls over few distinct contents (urls_per_content explodes),
+    usually with query strings (query_frac) or deep generated paths
+    (avg_depth). One groupBy host over two slim columns; the distinct
+    counts are per-host exact (swap to approx_count_distinct at web
+    scale if a single mega-host dominates, same note as frontier
+    discovery)."""
+    url = F.col(url_col)
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("/"))
+    has_q = F.try_parse_url(url, F.lit("QUERY")).isNotNull()
+    depth = F.size(F.filter(F.split(path, "/"),
+                            lambda s: s != F.lit("")))
+    per_url = fetches.select(
+        host.alias("host"), url.alias("_url"),
+        F.col(sha_col).alias("_sha"), has_q.alias("_q"),
+        depth.alias("_d"))
+    return (per_url.groupBy("host").agg(
+        F.countDistinct("_url").alias("n_urls"),
+        F.countDistinct("_sha").alias("n_contents"),
+        (F.sum(F.col("_q").cast("long")) / F.count(F.lit(1)))
+        .alias("query_frac"),
+        F.avg("_d").alias("avg_depth"))
+        .withColumn("urls_per_content",
+                    F.col("n_urls") / F.col("n_contents")))
+
+
+def trap_hosts(fetches: DataFrame, min_urls: int = 100,
+               max_urls_per_content: float = 5.0,
+               url_col: str = "url",
+               sha_col: str = "extracted_sha256") -> DataFrame:
+    """Hosts whose url space is exploding over duplicated content — the
+    crawl-trap tripwire. Thresholds are the operational knobs: a host
+    needs ``min_urls`` distinct urls before the ratio means anything
+    (small hosts with one mirrored page are not traps), and
+    ``max_urls_per_content`` is how many urls per distinct content a
+    legitimate site plausibly mints (faceted navigation sits around
+    2-4; session-id traps reach thousands). Feed the result to the
+    frontier/schedule as an anti-join, and to `operators/urlnorm.py`
+    as the queue of hosts needing parameter-stripping rules."""
+    return (host_crawl_stats(fetches, url_col, sha_col)
+            .filter((F.col("n_urls") >= int(min_urls))
+                    & (F.col("urls_per_content")
+                       > float(max_urls_per_content))))
 
 
 def delta_by_host(delta: DataFrame) -> DataFrame:

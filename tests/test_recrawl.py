@@ -252,3 +252,55 @@ def test_discover_frontier_rank_ordering_and_caps(spark):
                                budget=2).collect()
     assert len(capped) == 2
     assert len({r.url.split("/")[2] for r in capped}) == 2
+
+
+HOST_STATS_ORACLE = """
+SELECT lower(split_part(split_part(url, '://', 2), '/', 1)) AS host,
+       count(DISTINCT url) AS n_urls,
+       count(DISTINCT extracted_sha256) AS n_contents
+FROM fetches GROUP BY 1 ORDER BY 1
+"""
+
+
+def test_host_crawl_stats_matches_duckdb_oracle(spark):
+    import duckdb as _ddb
+    from semantic_search_engine_spark.operators.recrawl import (
+        host_crawl_stats)
+    pdf = _fetch_log()
+    got = (host_crawl_stats(spark.createDataFrame(pdf))
+           .orderBy("host").toPandas())
+    con = _ddb.connect()
+    con.register("fetches", pdf)
+    want = con.execute(HOST_STATS_ORACLE).fetchdf()
+    assert list(got["host"]) == list(want["host"])
+    assert list(got["n_urls"]) == list(want["n_urls"])
+    assert list(got["n_contents"]) == list(want["n_contents"])
+    for _, r in got.iterrows():
+        assert r["urls_per_content"] == pytest.approx(
+            r["n_urls"] / r["n_contents"])
+
+
+def test_trap_hosts_flags_session_id_explosion(spark):
+    from semantic_search_engine_spark.operators.recrawl import (
+        host_crawl_stats, trap_hosts)
+    t = T0
+    rows = []
+    # trap: 120 urls with session ids, only 3 distinct contents
+    for i in range(120):
+        rows.append((f"https://trap.example/item?sid={i:04d}", t,
+                     f"content-{i % 3}"))
+    # healthy: 120 urls, 120 contents
+    for i in range(120):
+        rows.append((f"https://ok.example/page/{i}", t, f"unique-{i}"))
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "extracted_sha256 string")
+    flagged = trap_hosts(df, min_urls=100, max_urls_per_content=5.0)
+    assert [r.host for r in flagged.collect()] == ["trap.example"]
+    stats = {r.host: r for r in host_crawl_stats(df).collect()}
+    assert stats["trap.example"].urls_per_content == pytest.approx(40.0)
+    assert stats["trap.example"].query_frac == pytest.approx(1.0)
+    assert stats["ok.example"].query_frac == pytest.approx(0.0)
+    assert stats["ok.example"].avg_depth == pytest.approx(2.0)
+    # below min_urls the same ratio is NOT flagged
+    small = df.filter(F.col("url").contains("sid=000"))  # 10 trap urls
+    assert trap_hosts(small, min_urls=100).isEmpty()
