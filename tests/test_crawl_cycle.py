@@ -114,3 +114,44 @@ def test_full_crawl_cycle(spark, tmp_path):
                      record_types=("conversion",))
     assert {r.url for r in back.collect()} == {
         r.url for r in latest.select("url").collect()}
+
+
+def test_discovery_and_trap_stages_compose(spark, tmp_path):
+    """Frontier discovery + trap detection over the same fetch shapes
+    the cycle test uses: outlinks from crawled HTML propose new urls,
+    trap hosts are excluded from the proposal."""
+    from semantic_search_engine_spark.operators.linkgraph import (
+        extract_links)
+    from semantic_search_engine_spark.operators.recrawl import (
+        discover_frontier, trap_hosts)
+
+    html = (b'<html><body>'
+            b'<a href="https://fresh.example/new1">one</a>'
+            b'<a href="https://fresh.example/new2">two</a>'
+            b'<a href="https://good.example/keep">known</a>'
+            b'</body></html>')
+    docs = spark.createDataFrame(
+        [("https://good.example/keep", html)], "url string, html binary")
+    links = extract_links(docs)
+    fetched = docs.select("url")
+    frontier = discover_frontier(links, fetched, budget=10)
+    assert {r.url for r in frontier.collect()} == {
+        "https://fresh.example/new1", "https://fresh.example/new2"}
+
+    # a trap host's proposals are excluded by anti-joining the flags
+    trap_fetches = spark.createDataFrame(
+        [(f"https://trap.example/x?s={i}", f"c{i % 2}")
+         for i in range(120)], "url string, extracted_sha256 string")
+    flags = trap_hosts(trap_fetches, min_urls=100,
+                       max_urls_per_content=5.0)
+    trap_links = spark.createDataFrame(
+        [("https://trap.example/x?s=1", "https://trap.example/x?s=999")],
+        "src_url string, dst_url string")
+    all_links = links.select("src_url", "dst_url").union(trap_links)
+    host = F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+    clean = (discover_frontier(all_links, fetched, budget=10)
+             .withColumn("_h", host)
+             .join(flags.select(F.col("host").alias("_h")), "_h",
+                   "left_anti").drop("_h"))
+    assert {r.url for r in clean.collect()} == {
+        "https://fresh.example/new1", "https://fresh.example/new2"}
