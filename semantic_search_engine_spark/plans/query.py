@@ -382,6 +382,51 @@ class QueryEngine:
                 .select("doc_id", "score")
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
+    def maxscore_top_k_df(self, query: str, k: int | None = None,
+                          min_score: float = 0.0) -> DataFrame:
+        """MaxScore top-k (X108) — same results as :meth:`wand_top_k_df`,
+        different DAAT pruning strategy (plans/maxscore.py).
+
+        One job, same plan shape as the WAND serve path: pruned postings
+        scan (+ broadcast term_stats join so the global ``df`` rides each
+        block row) → per-doc-bucket MaxScore (``applyInPandas`` on
+        ``partition_id``) → TakeOrderedAndProject merge of ≤ P·k local
+        hits. Kept as a first-class alternative because the two
+        strategies' pruning profiles differ (MaxScore avoids WAND's
+        per-step cursor sort and touches long low-idf lists only by
+        random access — the long-query / stopword-heavy shape), while the
+        results are rank-identical by construction.
+        """
+        from .maxscore import MAXSCORE_OUT_SCHEMA, make_maxscore_group_fn
+
+        cfg = self.cfg
+        k = cfg.default_k if k is None \
+            else min(k, cfg.max_k + cfg.max_offset)
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len, cfg.analyzer)))
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not qterms or k <= 0:
+            return empty
+        stats = self.corpus_stats()
+        avgdl, n_docs = stats["avg_doc_len"], stats["n_docs"]
+        if avgdl <= 0:
+            return empty
+        blocks = self._pruned_term_scan(f"postings{self._sfx()}",
+                                        qterms).select(
+            "term", "partition_id", "block_id", "last_doc_id",
+            "block_max_tf_norm", "doc_ids_vb", "tfs_vb", "dls_vb")
+        df_side = self._pruned_term_scan(f"term_stats{self._sfx()}",
+                                         qterms).select("term", "df")
+        blocks = blocks.join(F.broadcast(df_side), "term")
+        fn = make_maxscore_group_fn(qterms, k, float(cfg.k1),
+                                    float(cfg.b), avgdl, n_docs,
+                                    min_score=float(min_score))
+        local = blocks.groupBy("partition_id").applyInPandas(
+            fn, schema=MAXSCORE_OUT_SCHEMA)
+        return (local.select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k))
+
     def wand_filtered_top_k_df(self, query: str, k: int | None = None,
                                lang: str | None = None, warc_ts_min=None,
                                warc_ts_max=None) -> DataFrame:
