@@ -1192,7 +1192,9 @@ class IndexBuilder:
 
     # ------------------------------------------------------------------
     def build_embeddings(self, field: str = "text", dim: int = 64,
-                         run_id: str | None = None) -> StageRunner:
+                         run_id: str | None = None,
+                         embedder=None,
+                         embedder_tag: str = "hash") -> StageRunner:
         """Opt-in hashed document embeddings (operators/hybrid.py) — the
         semantic leg of hybrid retrieval (the reference's pgvector column,
         ``ProductRepository.java:66-93``, re-expressed with a public
@@ -1205,6 +1207,13 @@ class IndexBuilder:
         same ``partition_id`` buckets it was read with. Resumable like
         every stage; invalidated when doc_features changes (merge/delete
         reruns it) or when ``dim`` changes (folded into the fingerprint).
+
+        ``embedder``: optional replacement ``tf_map -> array<float>``
+        pandas UDF — the model swap the hybrid module promises. Pass a
+        distinct ``embedder_tag`` with it (folded into the resume
+        fingerprint so hashed and trained embeddings never alias): e.g.
+        the corpus-trained PPMI-SVD featurizer
+        (``operators/embed_train.make_trained_embedding_udf``, X109).
         """
         from ..operators.hybrid import make_hashed_embedding_udf
 
@@ -1216,7 +1225,8 @@ class IndexBuilder:
                 "before its embeddings")
         runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
                              run_id=run_id)
-        embed = make_hashed_embedding_udf(dim)
+        embed = embedder if embedder is not None \
+            else make_hashed_embedding_udf(dim)
 
         def _emb():
             feats = self.store.read(f"doc_features{sfx}")
@@ -1237,7 +1247,7 @@ class IndexBuilder:
                                  if cfg.partition_doc_features else None),
                    partition_col="partition_id",
                    n_partitions=cfg.n_doc_buckets,
-                   extra_key=f"/dim{dim}")
+                   extra_key=f"/dim{dim}/{embedder_tag}")
         runner.commit_lineage(self.spark)
         return runner
 

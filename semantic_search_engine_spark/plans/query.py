@@ -2120,8 +2120,8 @@ class QueryEngine:
         object.__setattr__(self, "_embedding_dim_cache", dim)
         return dim
 
-    def semantic_top_k_df(self, query: str, k: int | None = None
-                          ) -> DataFrame:
+    def semantic_top_k_df(self, query: str, k: int | None = None,
+                          probe: list[float] | None = None) -> DataFrame:
         """Embedding-cosine top-k over the hashed doc_embeddings table
         (operators/hybrid.py) — the reference's actual ranking signal
         (``ProductRepository.java:72``: ``1 - (embedding <=> ?)``),
@@ -2134,6 +2134,13 @@ class QueryEngine:
         carry no signal and are excluded via a CASE WHEN guard — under
         ANSI SQL (Spark 4 default) an unguarded 0/0 is a runtime error,
         not NaN.
+
+        ``probe``: optional pre-embedded query vector — callers holding a
+        trained model (e.g. the PPMI-SVD word vectors, X109:
+        ``embed_train.embed_query_trained``) pass the probe their model
+        produces, so the scan/cosine/top-k plan serves ANY embedding the
+        doc_embeddings table was built with; default is the hashed
+        featurizer matching the default ``build_embeddings``.
         """
         from ..operators.hybrid import embed_query_tokens
 
@@ -2142,7 +2149,8 @@ class QueryEngine:
         dim = self._embedding_dim()
         toks = tokenize(query, cfg.max_token_len, cfg.min_token_len,
                         cfg.analyzer)
-        probe = embed_query_tokens(toks, dim) if dim else []
+        if probe is None:
+            probe = embed_query_tokens(toks, dim) if dim else []
         if not any(probe):
             return self.spark.createDataFrame(
                 [], "doc_id long, cosine double")
