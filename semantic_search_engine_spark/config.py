@@ -28,7 +28,11 @@ class EngineConfig:
     # stopword removal + Porter stemming (functions/stem.py) — the
     # normalization inside the reference's actual index DDL,
     # to_tsvector('english', ...) at data-pipeline/database.py:60.
-    # Part of the fingerprint: changing it changes every index artifact.
+    # "unaccent": diacritics folded to ASCII BEFORE tokenization
+    # (Postgres unaccent + simple chain; Lucene ASCIIFoldingFilter).
+    # "english_unaccent": unaccent → stopwords → stem (the chained
+    # unaccent+english config). Part of the fingerprint: changing it
+    # changes every index artifact.
     analyzer: str = "simple"
 
     # --- document resolution ---

@@ -185,6 +185,39 @@ same so than too very s t can will just don should now
 """.split())
 
 
+#: multi-char / non-decomposing folds Postgres's unaccent.rules applies
+#: beyond combining-mark stripping (NFKD leaves these untouched)
+_FOLD_MAP = str.maketrans({
+    "ß": "ss", "ẞ": "SS", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+    "ı": "i", "ĸ": "k", "ŋ": "ng", "Ŋ": "NG",
+})
+
+#: analyzers whose token stream is accent-folded BEFORE the ASCII token
+#: regex runs (textproc.tokenize checks this set) — folding after
+#: tokenization would be too late: `[a-z0-9]+` treats é as a separator
+UNACCENT_ANALYZERS = frozenset({"unaccent", "english_unaccent"})
+
+ANALYZERS = frozenset({"simple", "english"}) | UNACCENT_ANALYZERS
+
+
+def fold_accents(text: str) -> str:
+    """Strip diacritics: NFKD-decompose, drop combining marks, then apply
+    the non-decomposing ligature/letter folds (ß→ss, ø→o, æ→ae, …) —
+    the transliteration Postgres's ``unaccent`` extension dictionary and
+    Lucene's ``ASCIIFoldingFilter`` perform (both public rule sets).
+    Pure stdlib (``unicodedata``), deterministic, no locale dependence.
+    """
+    import unicodedata
+
+    if text.isascii():  # the common web-text fast path: no-op
+        return text
+    decomposed = unicodedata.normalize("NFKD", text.translate(_FOLD_MAP))
+    return "".join(ch for ch in decomposed
+                   if not unicodedata.combining(ch))
+
+
 def analyze_tokens(tokens: list[str], analyzer: str = "simple"
                    ) -> list[str]:
     """Apply a named analyzer to an already-tokenized stream.
@@ -192,14 +225,19 @@ def analyze_tokens(tokens: list[str], analyzer: str = "simple"
     ``"simple"``: identity (Postgres ``simple`` config — today's default,
     bit-identical to the pre-analyzer engine). ``"english"``: drop
     Snowball stopwords, Porter-stem the rest (Postgres ``english``
-    config, the reference's actual GIN configuration). Unknown names
-    raise — a typo must not silently index raw tokens.
+    config, the reference's actual GIN configuration). ``"unaccent"``:
+    identity here — the accent fold already ran before tokenization
+    (see :data:`UNACCENT_ANALYZERS`), matching Postgres's
+    ``unaccent``-then-``simple`` chained configuration.
+    ``"english_unaccent"``: unaccent → stopwords → stem (the chained
+    ``unaccent``+``english`` config). Unknown names raise — a typo must
+    not silently index raw tokens.
     """
-    if analyzer == "simple":
+    if analyzer in ("simple", "unaccent"):
         return tokens
-    if analyzer != "english":
+    if analyzer not in ("english", "english_unaccent"):
         raise ValueError(f"unknown analyzer {analyzer!r} "
-                         "(expected 'simple' or 'english')")
+                         f"(expected one of {sorted(ANALYZERS)})")
     memo: dict[str, str] = {}
     out = []
     for t in tokens:

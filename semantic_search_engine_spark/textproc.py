@@ -291,6 +291,13 @@ def tokenize(text: str | None, max_token_len: int = MAX_TOKEN_LEN,
              analyzer: str = "simple") -> list[str]:
     if not text:
         return []
+    if analyzer != "simple" and analyzer != "english":
+        # unaccent analyzers fold BEFORE the ASCII token regex — after
+        # tokenization would be too late ([a-z0-9]+ treats é as a
+        # separator and "café" would already have split to "caf")
+        from .functions.stem import UNACCENT_ANALYZERS, fold_accents
+        if analyzer in UNACCENT_ANALYZERS:
+            text = fold_accents(text)
     low = text.lower()
     toks = TOKEN_RE.findall(low)
     # default-config fast path: min<=1 never drops, and if no run of
