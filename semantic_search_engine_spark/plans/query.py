@@ -1953,6 +1953,69 @@ class QueryEngine:
                 "n_docs": n, "total": total, "terms": terms}
 
     # -------------------------------------------------------- index stats
+    def get_docs(self, urls: list[str] | None = None,
+                 doc_ids: list[int] | None = None,
+                 with_text: bool = False,
+                 max_docs: int = 1000) -> DataFrame:
+        """Realtime point lookup by key (X111) — Elasticsearch's
+        ``_mget`` / the reference's get-by-``asin`` row fetch
+        (``ProductRepository.java:22-64`` maps single rows by unique
+        key). Returns one row per REQUESTED key with a ``found`` flag
+        (missing keys come back ``found=false`` with NULL metadata, the
+        ES envelope shape).
+
+        Scale shape: keys name their own storage — ``doc_id =
+        f(url)`` (sha256 prefix) and ``partition_id = g(doc_id)``
+        (range bucket) — so the doc_meta scan prunes to the requested
+        buckets (partition filter when the layout is partitioned) plus a
+        ``doc_id IN`` pushdown, and the ≤ ``max_docs`` survivor rows
+        broadcast-join the request list: a point lookup reads
+        |buckets|/P of the metadata, never the table. ``with_text``
+        joins the stored text from doc_features under the same pruning.
+        ``max_docs`` refuses unbounded use (batch reads are scans, not
+        mgets — same discipline as ``term_vectors``).
+        """
+        from ..textproc import doc_bucket, doc_id_for_url
+
+        if (urls is None) == (doc_ids is None):
+            raise ValueError("pass exactly one of urls / doc_ids")
+        if urls is not None:
+            req = [(u, doc_id_for_url(u)) for u in dict.fromkeys(urls)]
+        else:
+            req = [(None, int(d)) for d in dict.fromkeys(doc_ids)]
+        if len(req) > max_docs:
+            raise ValueError(
+                f"get_docs is a point-lookup API: {len(req)} keys "
+                f"> max_docs={max_docs}")
+        cfg = self.cfg
+        out_schema = ("doc_id long, url string, found boolean, "
+                      "warc_ts timestamp, lang string, doc_len int"
+                      + (", text string" if with_text else ""))
+        if not req:
+            return self.spark.createDataFrame([], out_schema)
+        ids = [d for _, d in req]
+        buckets = sorted({doc_bucket(d, cfg.n_doc_buckets) for d in ids})
+        reqdf = self.spark.createDataFrame(
+            req, "req_url string, doc_id long")
+        meta = (self.store.read(f"doc_meta{self._sfx()}")
+                .filter(F.col("partition_id").isin(buckets))
+                .filter(F.col("doc_id").isin(ids))
+                .select("doc_id", "url", "warc_ts", "lang", "doc_len"))
+        # the pruned scan is ≤ |req| rows (doc_id unique) — broadcasting
+        # it keeps the left join a BroadcastHashJoin with no exchange
+        out = (reqdf.join(F.broadcast(meta), "doc_id", "left")
+               .withColumn("found", F.col("url").isNotNull())
+               .select("doc_id",
+                       F.coalesce("url", "req_url").alias("url"),
+                       "found", "warc_ts", "lang", "doc_len"))
+        if with_text:
+            feats = (self.store.read(f"doc_features{self._sfx()}")
+                     .filter(F.col("partition_id").isin(buckets))
+                     .filter(F.col("doc_id").isin(ids))
+                     .select("doc_id", "text"))
+            out = out.join(F.broadcast(feats), "doc_id", "left")
+        return out.orderBy("doc_id")
+
     def term_vectors(self, doc_ids: list[int],
                      with_positions: bool = True,
                      max_docs: int = 100) -> DataFrame:
