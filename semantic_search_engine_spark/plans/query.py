@@ -1953,6 +1953,51 @@ class QueryEngine:
                 "n_docs": n, "total": total, "terms": terms}
 
     # -------------------------------------------------------- index stats
+    def ltr_features_df(self, query: str, window: int = 100,
+                        statics: list[str] = ("url_prior",)) -> DataFrame:
+        """Hydrated feature frame for the BM25 top-``window`` (X112):
+        (partition_id, doc_id, bm25, doc_len, <statics…>). This is both
+        the TRAINING feature extractor (join labels on doc_id, feed
+        ``operators/ltr.fit_linear_ltr``) and the SERVING window for
+        :meth:`ltr_top_k_df` — same columns, same pruning, so
+        training/serving feature skew is impossible by construction.
+
+        Scale shape: features are hydrated for the window ONLY — the
+        broadcast hits drive dynamic partition pruning on the doc_meta
+        scan exactly like result hydration, so cost is O(window)
+        regardless of corpus size.
+        """
+        hits = self._batch_wand_ranked([query], k=int(window)).select(
+            "partition_id", "doc_id", F.col("score").alias("bm25"))
+        meta = self.store.read(f"doc_meta{self._sfx()}")
+        static_cols = [self.static_prior_col(s).alias(s) for s in statics]
+        meta = meta.select("partition_id", "doc_id", "doc_len",
+                           *static_cols)
+        return (F.broadcast(hits).join(meta, ["partition_id", "doc_id"])
+                .select("partition_id", "doc_id", "bm25",
+                        F.col("doc_len").cast("double").alias("doc_len"),
+                        *statics))
+
+    def ltr_top_k_df(self, query: str, weights: dict[str, float],
+                     k: int | None = None, window: int | None = None,
+                     statics: list[str] = ("url_prior",)) -> DataFrame:
+        """Learned linear re-ranking of the BM25 top-window (X112) — the
+        ES/Solr LTR-plugin serve shape with a model
+        ``operators/ltr.fit_linear_ltr`` trained on this cluster. The
+        model applies as a pure-JVM expression over the hydrated window
+        (no UDF at serve time); docs outside the BM25 window are not
+        rescued — the same window contract as :meth:`rescore_top_k_df`.
+        Returns (doc_id, ltr_score, bm25)."""
+        from ..operators.ltr import ltr_rescore
+
+        cfg = self.cfg
+        k = min(k or cfg.default_k, cfg.max_k + cfg.max_offset)
+        window = window or 5 * k
+        feats = self.ltr_features_df(query, window=window, statics=statics)
+        feature_cols = [c for c in weights if c != "_intercept"]
+        return (ltr_rescore(feats, weights, k, feature_cols)
+                .select("doc_id", "ltr_score", "bm25"))
+
     def get_docs(self, urls: list[str] | None = None,
                  doc_ids: list[int] | None = None,
                  with_text: bool = False,
