@@ -427,6 +427,52 @@ class QueryEngine:
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k))
 
+    #: strategy rule (X113): at or above this many distinct query terms,
+    #: MaxScore's fixed cursor order beats WAND's per-step re-sort
+    MAXSCORE_MIN_TERMS = 4
+    #: …or when any term's df/N exceeds this (stopword-heavy queries):
+    #: MaxScore touches that long list only by random-access probes
+    MAXSCORE_DF_RATIO = 0.20
+
+    def choose_strategy(self, qterms: list[str]) -> str:
+        """Pick the DAAT kernel for a query (X113) — the decision
+        Lucene's ``WANDScorer``/``MaxScoreBulkScorer`` selection makes.
+        Both kernels are exact from the same blocks, so this is purely a
+        cost call: term COUNT is free (the tokenized query), and the
+        df check reads the pruned term_stats scan — ≤ |qterms| rows, the
+        same lookup the exhaustive path already pays. Returns
+        ``"maxscore"`` or ``"wand"``; deterministic.
+        """
+        if len(qterms) >= self.MAXSCORE_MIN_TERMS:
+            return "maxscore"
+        n = self.corpus_stats()["n_docs"]
+        if n <= 0:
+            return "wand"
+        rows = (self._pruned_term_scan(f"term_stats{self._sfx()}",
+                                       qterms)
+                .select("term", "df").collect())
+        if rows and max(int(r["df"]) for r in rows) / n \
+                >= self.MAXSCORE_DF_RATIO:
+            return "maxscore"
+        return "wand"
+
+    def auto_top_k_df(self, query: str, k: int | None = None,
+                      min_score: float = 0.0) -> DataFrame:
+        """Strategy-adaptive exact top-k (X113): short selective queries
+        run block-max WAND, long or stopword-heavy queries run MaxScore
+        (see :meth:`choose_strategy`). The two kernels are rank- and
+        score-identical by construction (tests pin it), so the choice
+        changes cost, never results."""
+        cfg = self.cfg
+        qterms = sorted(set(tokenize(query, cfg.max_token_len,
+                                     cfg.min_token_len, cfg.analyzer)))
+        if not qterms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        if self.choose_strategy(qterms) == "maxscore":
+            return self.maxscore_top_k_df(query, k=k, min_score=min_score)
+        return self.wand_top_k_df(query, k=k, min_score=min_score)
+
     def wand_filtered_top_k_df(self, query: str, k: int | None = None,
                                lang: str | None = None, warc_ts_min=None,
                                warc_ts_max=None) -> DataFrame:

@@ -177,3 +177,33 @@ def test_engine_maxscore_min_score(built, tiny_rows):
                                            min_score=cut).collect()]
     want = [(d, s) for d, s in full if s >= cut][:10]
     assert [d for d, _ in ms] == [d for d, _ in want]
+
+
+# ---------------------------------------------------------------------------
+# adaptive strategy selection (X113)
+# ---------------------------------------------------------------------------
+
+def test_choose_strategy_rules(built):
+    # short selective query -> WAND
+    assert built.choose_strategy(["raretermxq"]) == "wand"
+    assert built.choose_strategy(["gaming", "laptop"]) == "wand"
+    # term-count rule: >= 4 distinct terms -> MaxScore
+    assert built.choose_strategy(
+        ["aa", "bb", "cc", "dd"]) == "maxscore"
+    # df-ratio rule: the Zipf head appears in most docs
+    assert built.choose_strategy(["zipfhead0", "w0042"]) == "maxscore"
+
+
+@pytest.mark.parametrize("q", [
+    "wireless bluetooth headphones",            # 3 terms, selective: wand
+    "zipfhead0 w0042",                          # stopword-heavy: maxscore
+    "wireless bluetooth headphones gaming laptop",  # >=4 terms: maxscore
+])
+def test_auto_top_k_identical_to_both_kernels(built, tiny_rows, q):
+    oracle = OracleIndex.build(tiny_rows, CFG)
+    auto = [(r["doc_id"], r["score"])
+            for r in built.auto_top_k_df(q, k=10).collect()]
+    want = oracle.top_k(q, k=10)
+    assert [d for d, _ in auto] == [d for d, _ in want], q
+    for (gd, gs), (wd, ws) in zip(auto, want):
+        assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-12)
