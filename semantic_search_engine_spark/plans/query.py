@@ -2316,6 +2316,79 @@ class QueryEngine:
                 .filter(F.col("cosine").isNotNull())
                 .orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k))
 
+    def rocchio_probe(self, query: str, fb_docs: int = 5,
+                      alpha: float = 1.0, beta: float = 0.75,
+                      gamma: float = 0.0, nonrel_docs: int = 0,
+                      probe: list[float] | None = None) -> list[float]:
+        """Rocchio relevance feedback in embedding space (X114; Rocchio
+        1971, the SMART formulation — public): move the probe toward the
+        centroid of the pseudo-relevant top-``fb_docs`` and (optionally,
+        ``gamma>0``) away from the centroid of the ``nonrel_docs``
+        BOTTOM of the feedback window —
+        ``q' = α·q + β·mean(R) − γ·mean(NR)``. The semantic-space
+        sibling of the term-space PRF expansion (X47).
+
+        Cost shape: one cosine top-(fb+nonrel) job, then the feedback
+        vectors are fetched with a bucket-pruned ``doc_id IN`` read
+        (keys name their buckets — the get_docs discipline) and averaged
+        on the driver: O(fb_docs·dim) floats, corpus-independent.
+        """
+        from ..textproc import doc_bucket
+
+        cfg = self.cfg
+        dim = self._embedding_dim()
+        if dim == 0:
+            raise ValueError("no doc_embeddings table — build embeddings "
+                             "before Rocchio feedback")
+        if probe is None:
+            from ..operators.hybrid import embed_query_tokens
+            toks = tokenize(query, cfg.max_token_len, cfg.min_token_len,
+                            cfg.analyzer)
+            probe = embed_query_tokens(toks, dim)
+        if not any(probe):
+            return list(probe)
+        window = int(fb_docs) + (int(nonrel_docs) if gamma > 0.0 else 0)
+        ranked = self.semantic_top_k_df(query, k=window,
+                                        probe=probe).collect()
+        rel_ids = [int(r["doc_id"]) for r in ranked[:fb_docs]]
+        nr_ids = ([int(r["doc_id"]) for r in ranked[fb_docs:]]
+                  if gamma > 0.0 else [])
+        ids = rel_ids + nr_ids
+        if not ids:
+            return list(probe)
+        buckets = sorted({doc_bucket(d, cfg.n_doc_buckets) for d in ids})
+        vecs = {int(r["doc_id"]): r["emb"] for r in
+                (self.store.read(f"doc_embeddings{self._sfx()}")
+                 .filter(F.col("partition_id").isin(buckets))
+                 .filter(F.col("doc_id").isin(ids))
+                 .select("doc_id", "emb").collect())}
+        import numpy as _np
+
+        def _centroid(dids):
+            vs = [_np.asarray(vecs[d], dtype=_np.float64) for d in dids
+                  if d in vecs]
+            return (sum(vs) / len(vs)) if vs else _np.zeros(dim)
+
+        q = _np.asarray(probe, dtype=_np.float64)
+        out = alpha * q + beta * _centroid(rel_ids)
+        if gamma > 0.0 and nr_ids:
+            out = out - gamma * _centroid(nr_ids)
+        return [float(x) for x in out]
+
+    def rocchio_top_k_df(self, query: str, k: int | None = None,
+                         fb_docs: int = 5, alpha: float = 1.0,
+                         beta: float = 0.75, gamma: float = 0.0,
+                         nonrel_docs: int = 0,
+                         probe: list[float] | None = None) -> DataFrame:
+        """Semantic retrieval with one round of Rocchio feedback (X114):
+        compute the moved probe, re-run the cosine top-k. Same plan as
+        :meth:`semantic_top_k_df` — feedback only changes the probe
+        literals, so Catalyst sees an identical shape."""
+        moved = self.rocchio_probe(query, fb_docs=fb_docs, alpha=alpha,
+                                   beta=beta, gamma=gamma,
+                                   nonrel_docs=nonrel_docs, probe=probe)
+        return self.semantic_top_k_df(query, k=k, probe=moved)
+
     def hybrid_top_k_df(self, query: str, k: int | None = None,
                         k_each: int | None = None, rrf_k: float = 60.0,
                         w_lex: float = 1.0, w_sem: float = 1.0
