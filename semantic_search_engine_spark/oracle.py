@@ -382,6 +382,28 @@ class OracleIndex:
                       key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
+    def span_near_top_k(self, query: str, max_span: int,
+                        k: int = 10) -> list[tuple[int, float, int]]:
+        """Ordered proximity (Lucene ``SpanNearQuery(inOrder=true)``):
+        the query terms in query order within ``max_span`` tokens,
+        ranked by BM25. Returns [(doc_id, score, span)]."""
+        from .textproc import min_ordered_window_span
+
+        cfg = self.cfg
+        qterms = tokenize(query, cfg.max_token_len, cfg.min_token_len,
+                          cfg.analyzer)
+        if not qterms:
+            return []
+        matched: dict[int, int] = {}
+        for did, pos in self.doc_positions.items():
+            span = min_ordered_window_span(pos, qterms)
+            if span is not None and span <= max_span:
+                matched[did] = span
+        scores = self._bm25_for_docs(sorted(set(qterms)), set(matched))
+        hits = sorted(((did, s, matched[did]) for did, s in scores.items()),
+                      key=lambda x: (-x[1], x[0]))
+        return hits[:k]
+
     # ----------------------------------------------------------- boolean
     def boolean_matches(self, query: str) -> dict[int, float]:
         """Websearch-boolean match set (``plans/boolean.py`` grammar):

@@ -47,7 +47,7 @@ from ..functions.varbyte import (
     delta_encode,
     encode_varbyte,
 )
-from ..textproc import min_window_span_lists
+from ..textproc import min_ordered_window_span_lists, min_window_span_lists
 
 POSITIONS_SCHEMA = (
     "term string, partition_id int, block_id int, n_docs int, "
@@ -241,16 +241,26 @@ def _min_window(doc_slices: list[np.ndarray]) -> int:
     return min_window_span_lists(doc_slices)
 
 
+def _min_ordered_window(doc_slices: list[np.ndarray]) -> int | None:
+    """Minimum inclusive span of an in-order position chain (Lucene
+    ``SpanNearQuery(inOrder=true)``) — shared core, same reason."""
+    return min_ordered_window_span_lists(doc_slices)
+
+
 def make_positional_bucket_fn(phrase_terms: list[str], k: int, k1: float,
                               b: float, avgdl: float, n_docs: int,
-                              max_span: int | None = None):
+                              max_span: int | None = None,
+                              ordered: bool = False):
     """``applyInPandas`` body: one doc bucket's position blocks (with the
     term's global ``df`` broadcast-joined onto every row) → local top-k of
     (doc_id, BM25 score, n_matches).
 
     ``max_span=None`` → exact phrase (term i adjacent at offset i);
     ``max_span=N`` → proximity (all distinct terms within an N-token
-    window; n_matches column carries the minimal span instead).
+    window; n_matches column carries the minimal span instead);
+    ``ordered=True`` (with ``max_span``) → span-near: the terms must
+    appear IN QUERY ORDER within the window (Lucene
+    ``SpanNearQuery(inOrder=true)``), repeats at distinct positions.
     BM25 accumulates in sorted-term order — the oracle's float order —
     so scores are bit-identical to ``OracleIndex.phrase_top_k``.
     """
@@ -281,7 +291,8 @@ def make_positional_bucket_fn(phrase_terms: list[str], k: int, k1: float,
         # per-term row index of each candidate (ids are sorted)
         locs = {t: np.searchsorted(lists[t][0], cand) for t in uniq}
         hits: list[tuple[int, float, int]] = []
-        order = phrase_terms if max_span is None else uniq
+        order = uniq if (max_span is not None and not ordered) \
+            else phrase_terms
         for ci, did in enumerate(cand):
             slices = []
             for t in order:
@@ -291,6 +302,10 @@ def make_positional_bucket_fn(phrase_terms: list[str], k: int, k1: float,
             if max_span is None:
                 nm = _phrase_starts(slices)
                 if nm == 0:
+                    continue
+            elif ordered:
+                nm = _min_ordered_window(slices)
+                if nm is None or nm > max_span:
                     continue
             else:
                 nm = _min_window(slices)

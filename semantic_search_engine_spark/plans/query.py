@@ -653,13 +653,19 @@ class QueryEngine:
 
     def phrase_top_k_df(self, phrase: str, k: int | None = None,
                         mode: str = "auto",
-                        max_span: int | None = None) -> DataFrame:
+                        max_span: int | None = None,
+                        ordered: bool = False) -> DataFrame:
         """Phrase (terms consecutive, in order) or proximity
         (``max_span``: all distinct terms within an N-token window) top-k
         ranked by BM25 of the constituent terms — Postgres
         ``phraseto_tsquery`` / ``<->`` / ``<N>`` semantics
         (the positional layer over the reference's GIN index,
-        ``data-pipeline/database.py:60``).
+        ``data-pipeline/database.py:60``). ``ordered=True`` (requires
+        ``max_span``) tightens proximity to span-near: the terms must
+        appear in query order within the window — Lucene
+        ``SpanNearQuery(inOrder=true)``, the in-between point on the
+        phrase↔proximity strictness axis (repeated query terms must
+        match distinct ascending positions).
 
         ``mode``: "positions" (positional index — one job: pruned
         positions scan → per-bucket verify+score → ≤ P·k merge),
@@ -673,6 +679,10 @@ class QueryEngine:
         minimal window span instead of the phrase-occurrence count.
         """
         cfg = self.cfg
+        if ordered and max_span is None:
+            raise ValueError("ordered=True requires max_span (an exact "
+                             "in-order adjacency query is a phrase — "
+                             "call with max_span=None, ordered=False)")
         k = cfg.default_k if k is None else min(k, cfg.max_k)
         pterms = tokenize(phrase, cfg.max_token_len, cfg.min_token_len,
                           cfg.analyzer)
@@ -684,7 +694,8 @@ class QueryEngine:
                     if self.store.exists(f"positions{self._sfx()}")
                     else "recheck")
         if mode == "recheck":
-            return self._phrase_recheck_df(pterms, k, max_span=max_span)
+            return self._phrase_recheck_df(pterms, k, max_span=max_span,
+                                           ordered=ordered)
 
         from .phrase import PHRASE_OUT_SCHEMA, make_positional_bucket_fn
 
@@ -702,13 +713,14 @@ class QueryEngine:
         blocks = blocks.join(F.broadcast(df_side), "term")
         fn = make_positional_bucket_fn(pterms, k, float(cfg.k1),
                                        float(cfg.b), avgdl, n_docs,
-                                       max_span=max_span)
+                                       max_span=max_span, ordered=ordered)
         local = blocks.groupBy("partition_id").applyInPandas(
             fn, schema=PHRASE_OUT_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def _phrase_recheck_df(self, pterms: list[str], k: int,
-                           max_span: int | None = None) -> DataFrame:
+                           max_span: int | None = None,
+                           ordered: bool = False) -> DataFrame:
         """GIN-style recheck: conjunction candidates from the plain
         postings, then verify positions by re-tokenizing each candidate's
         stored text (Arrow-batched) and score from its tf_map — no
@@ -718,6 +730,7 @@ class QueryEngine:
         from pyspark.sql.functions import pandas_udf
 
         from ..textproc import (
+            min_ordered_window_span,
             min_window_span,
             phrase_match_count,
             token_positions,
@@ -748,7 +761,7 @@ class QueryEngine:
 
         mtl, mnl = cfg.max_token_len, cfg.min_token_len
         anlz = cfg.analyzer
-        terms, span = list(pterms), max_span
+        terms, span, in_order = list(pterms), max_span, ordered
 
         @pandas_udf("int")
         def verify(text: pd.Series) -> pd.Series:
@@ -758,7 +771,8 @@ class QueryEngine:
                 if span is None:
                     out.append(phrase_match_count(pos, terms))
                 else:
-                    w = min_window_span(pos, terms)
+                    w = (min_ordered_window_span(pos, terms) if in_order
+                         else min_window_span(pos, terms))
                     out.append(w if w is not None and w <= span else 0)
             return pd.Series(out, dtype="int64")
 
@@ -792,6 +806,18 @@ class QueryEngine:
         top-k: all distinct query terms within ``max_span`` tokens."""
         rows = self.phrase_top_k_df(query, k=k, mode=mode,
                                     max_span=max_span).collect()
+        return [(int(r["doc_id"]), float(r["score"]), int(r["n_matches"]))
+                for r in rows]
+
+    def span_near_top_k(self, query: str, max_span: int, k: int = 10,
+                        mode: str = "auto"
+                        ) -> list[tuple[int, float, int]]:
+        """Materialized [(doc_id, score, min_ordered_span)] span-near
+        top-k: the query terms in query order within ``max_span`` tokens
+        — Lucene ``SpanNearQuery(inOrder=true)``."""
+        rows = self.phrase_top_k_df(query, k=k, mode=mode,
+                                    max_span=max_span,
+                                    ordered=True).collect()
         return [(int(r["doc_id"]), float(r["score"]), int(r["n_matches"]))
                 for r in rows]
 

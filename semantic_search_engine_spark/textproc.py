@@ -406,6 +406,55 @@ def min_window_span_lists(lists) -> int:
         cur_max = max(cur_max, nxt)
 
 
+def min_ordered_window_span_lists(lists) -> int | None:
+    """Ordered-window sweep core — smallest inclusive span of a chain
+    p0 < p1 < ... < p_{n-1} taking one position from each list IN ORDER
+    (Lucene ``SpanNearQuery(inOrder=true)``; Postgres has no ordered-
+    proximity operator, so this follows Lucene's). ``lists`` are the
+    query terms' sorted position arrays in QUERY order — a repeated term
+    contributes its (same) list once per occurrence, and the strict
+    ``<`` chain forces distinct positions for repeats. None when no
+    ordered chain exists. Greedy is exact: for a fixed start, picking
+    the smallest valid next position at every step minimises the chain
+    end, so scanning starts ascending finds the global minimum; the
+    per-list cursors only move forward → O(Σ|lists|) total."""
+    if len(lists) == 1:
+        return 1 if len(lists[0]) else None
+    ptrs = [0] * len(lists)
+    best: int | None = None
+    for p0 in lists[0]:
+        prev = int(p0)
+        for i in range(1, len(lists)):
+            li, j = lists[i], ptrs[i]
+            while j < len(li) and int(li[j]) <= prev:
+                j += 1
+            ptrs[i] = j
+            if j >= len(li):
+                return best  # later starts can't help: cursor exhausted
+            prev = int(li[j])
+        span = prev - int(p0) + 1
+        if best is None or span < best:
+            best = span
+    return best
+
+
+def min_ordered_window_span(positions: dict[str, list[int]],
+                            terms: list[str]) -> int | None:
+    """Dict-form ordered window (recheck / brute-force path) — smallest
+    span containing the query terms in query order; None when absent.
+    Delegates to :func:`min_ordered_window_span_lists` so the positional
+    kernel and the recheck path can never drift apart."""
+    lists = []
+    for t in terms:
+        pl = positions.get(t)
+        if not pl:
+            return None
+        lists.append(pl)
+    if not lists:
+        return None
+    return min_ordered_window_span_lists(lists)
+
+
 # ---------------------------------------------------------------------------
 # Snippets (ts_headline parity)
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from semantic_search_engine_spark.plans.query import QueryEngine
 from semantic_search_engine_spark.sources.store import HadoopTableStore
 from semantic_search_engine_spark.textproc import (
     make_snippet,
+    min_ordered_window_span,
     min_window_span,
     phrase_match_count,
     token_positions,
@@ -72,6 +73,61 @@ def test_min_window_span_basic():
     assert min_window_span(pos, ["a", "c"]) is None
     pos2 = token_positions("a x b x c")
     assert min_window_span(pos2, ["a", "b", "c"]) == 5
+
+
+def test_min_ordered_window_span_basic():
+    pos = token_positions("b x x a x b a")
+    # unordered best window is (b,a)@5,6 span 2; ordered a→b best is
+    # a@3 .. b@5 span 3
+    assert min_window_span(pos, ["a", "b"]) == 2
+    assert min_ordered_window_span(pos, ["a", "b"]) == 3
+    assert min_ordered_window_span(pos, ["b", "a"]) == 2   # b@5 a@6
+    # order unsatisfiable: no b after the last a
+    pos2 = token_positions("b x a")
+    assert min_ordered_window_span(pos2, ["a", "b"]) is None
+    assert min_ordered_window_span(pos2, ["b", "a"]) == 3
+    # repeats need distinct ascending positions
+    pos3 = token_positions("a x a")
+    assert min_ordered_window_span(pos3, ["a", "a"]) == 3
+    assert min_ordered_window_span(token_positions("a"), ["a", "a"]) is None
+    assert min_ordered_window_span(pos3, ["a"]) == 1
+    assert min_ordered_window_span(pos3, ["a", "c"]) is None
+    # phrase adjacency is the span == len(terms) special case
+    pos4 = token_positions("x a b y")
+    assert min_ordered_window_span(pos4, ["a", "b"]) == 2
+
+
+def _naive_ordered_span(lists):
+    """Exponential reference: try every combination, keep chains with
+    strictly increasing positions, return the minimal inclusive span."""
+    import itertools
+    best = None
+    for combo in itertools.product(*lists):
+        if all(combo[i] < combo[i + 1] for i in range(len(combo) - 1)):
+            span = combo[-1] - combo[0] + 1
+            if best is None or span < best:
+                best = span
+    return best
+
+
+def test_min_ordered_window_span_matches_bruteforce():
+    from semantic_search_engine_spark.textproc import (
+        min_ordered_window_span_lists,
+    )
+
+    rng = np.random.default_rng(13)
+    for trial in range(300):
+        n_lists = int(rng.integers(1, 5))
+        lists = []
+        for _ in range(n_lists):
+            n = int(rng.integers(1, 6))
+            lists.append(sorted(rng.choice(20, size=n,
+                                           replace=False).tolist()))
+        # sometimes alias a list to model a repeated query term
+        if n_lists > 1 and rng.random() < 0.3:
+            lists[-1] = lists[0]
+        got = min_ordered_window_span_lists(lists)
+        assert got == _naive_ordered_span(lists), lists
 
 
 # ------------------------------------------------------------------- codec
@@ -219,6 +275,49 @@ def test_near_top_k_matches_oracle(built_pos, spark, tiny_oracle_pos):
         assert got == exp, (q, span)
         rec = qe.near_top_k(q, max_span=span, k=10, mode="recheck")
         assert rec == got, (q, span)
+
+
+def test_span_near_top_k_matches_oracle(built_pos, spark, tiny_oracle_pos):
+    store, _ = built_pos
+    qe = QueryEngine(spark, store, CFG)
+    for q, span in [("wireless headphones", 3),
+                    ("headphones wireless", 3),   # order-sensitive flip
+                    ("gaming laptop", 2),
+                    ("zipfhead0 zipfhead3", 12),
+                    ("zipfhead3 zipfhead0", 12)]:
+        got = qe.span_near_top_k(q, max_span=span, k=10, mode="positions")
+        exp = tiny_oracle_pos.span_near_top_k(q, max_span=span, k=10)
+        assert got == exp, (q, span)
+        rec = qe.span_near_top_k(q, max_span=span, k=10, mode="recheck")
+        assert rec == got, (q, span)
+
+
+def test_span_near_is_order_sensitive(tiny_oracle_pos):
+    """The ordered match set must be a subset of the unordered one, and
+    at least one query on this corpus must show a strict difference
+    between the two directions (else the tests above prove nothing)."""
+    differs = False
+    for q in ["wireless headphones", "headphones wireless",
+              "zipfhead0 zipfhead3", "zipfhead3 zipfhead0"]:
+        near = {d for d, _s, _n in
+                tiny_oracle_pos.near_top_k(q, max_span=4, k=10**6)}
+        span = {d for d, _s, _n in
+                tiny_oracle_pos.span_near_top_k(q, max_span=4, k=10**6)}
+        assert span <= near, q
+        rev = " ".join(reversed(q.split()))
+        span_rev = {d for d, _s, _n in
+                    tiny_oracle_pos.span_near_top_k(rev, max_span=4,
+                                                    k=10**6)}
+        if span != span_rev:
+            differs = True
+    assert differs
+
+
+def test_span_near_requires_max_span(built_pos, spark):
+    store, _ = built_pos
+    qe = QueryEngine(spark, store, CFG)
+    with pytest.raises(ValueError):
+        qe.phrase_top_k_df("wireless headphones", ordered=True)
 
 
 def test_phrase_auto_mode_uses_positions_table(built_pos, spark):
