@@ -213,7 +213,10 @@ def fold_accents(text: str) -> str:
 
     if text.isascii():  # the common web-text fast path: no-op
         return text
-    decomposed = unicodedata.normalize("NFKD", text.translate(_FOLD_MAP))
+    # translate AFTER decomposing: ǣ/ǽ/ǿ-class letters NFKD-decompose
+    # INTO foldable bases (æ/ø + combining mark), so folding first would
+    # leave residual non-ASCII that the [a-z0-9] tokenizer splits on
+    decomposed = unicodedata.normalize("NFKD", text).translate(_FOLD_MAP)
     return "".join(ch for ch in decomposed
                    if not unicodedata.combining(ch))
 

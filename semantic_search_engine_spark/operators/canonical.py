@@ -71,12 +71,14 @@ def resolve_canonical(edges: DataFrame, src_col: str = "src_url",
     f = functionalize(edges, src_col, dst_col).localCheckpoint(eager=True)
     domain = f.select("url")  # urls with an outgoing claim
 
-    # pointer doubling: p(u) starts as f(u); each round follows the
-    # pointer's own pointer. A pointer that leaves the domain is final.
+    # pointer doubling: p(u) starts as f(u) = f^(2^0); composing p with
+    # ITSELF each round squares the hop count (p ← p∘p = f^(2^k)), so a
+    # chain of length L saturates in ⌈log2 L⌉ rounds. A pointer that
+    # leaves the domain is final and carries through unchanged.
     p = f.select("url", F.col("next").alias("ptr"))
     for _ in range(max(0, int(max_doublings))):
-        hop = f.select(F.col("url").alias("ptr"),
-                       F.col("next").alias("_next2"))
+        hop = p.select(F.col("url").alias("ptr"),
+                       F.col("ptr").alias("_next2"))
         stepped = (p.join(hop, "ptr", "left")
                    .select("url",
                            F.coalesce("_next2", "ptr").alias("ptr"),

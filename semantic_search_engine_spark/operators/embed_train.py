@@ -116,6 +116,8 @@ def ppmi_edges(cooc: DataFrame) -> DataFrame:
                                     (F.col("cnt") * 2).alias("cnt"))))
     marg = ordered.groupBy("a").agg(F.sum("cnt").alias("c_a"))
     total = ordered.agg(F.sum("cnt")).collect()[0][0]
+    if total is None:  # no co-occurrences at all (tiny corpus / window)
+        return ordered.select("a", "b", F.lit(0.0).alias("ppmi")).limit(0)
     out = (ordered
            .join(F.broadcast(marg), "a")
            .join(F.broadcast(marg.select(F.col("a").alias("b"),

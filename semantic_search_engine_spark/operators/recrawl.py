@@ -48,6 +48,25 @@ __all__ = ["change_rate", "staleness", "recrawl_schedule", "corpus_delta",
 _SEC_PER_DAY = 86400.0
 
 
+def _host(col: Column) -> Column:
+    """Lowercased host of a url column — the ONE definition the
+    schedule / frontier / trap / churn paths all share, so a future
+    host-normalization change (e.g. trailing-dot stripping) lands
+    everywhere at once instead of silently diverging per path."""
+    return F.lower(F.try_parse_url(col, F.lit("HOST")))
+
+
+def _cap_per_host(df: DataFrame, order: list, cap: int,
+                  url_col: str = "url") -> DataFrame:
+    """Politeness cap: keep the best ``cap`` rows per host under
+    ``order``. One extra hash exchange keyed on host; a host's
+    candidate set is its url count, so no skew treatment beyond AQE."""
+    w = Window.partitionBy(_host(F.col(url_col))).orderBy(*order)
+    return (df.withColumn("_hrank", F.row_number().over(w))
+            .filter(F.col("_hrank") <= int(cap))
+            .drop("_hrank"))
+
+
 def change_rate(fetches: DataFrame, url_col: str = "url",
                 ts_col: str = "warc_ts",
                 sha_col: str = "extracted_sha256") -> DataFrame:
@@ -124,12 +143,8 @@ def recrawl_schedule(rates: DataFrame, budget: int, as_of,
     cand = (staleness(rates, as_of, default_lambda_per_day)
             .filter(F.col("p_stale").isNotNull()))
     if per_host_cap is not None:
-        w = Window.partitionBy(
-            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
-        ).orderBy(F.desc("p_stale"), F.asc("url"))
-        cand = (cand.withColumn("_hrank", F.row_number().over(w))
-                .filter(F.col("_hrank") <= int(per_host_cap))
-                .drop("_hrank"))
+        cand = _cap_per_host(cand, [F.desc("p_stale"), F.asc("url")],
+                             per_host_cap)
     return (cand.orderBy(F.desc("p_stale"), F.asc("url"))
             .limit(int(budget))
             .select("url", "p_stale", "lambda_per_day", "last_ts"))
@@ -172,20 +187,13 @@ def discover_frontier(links: DataFrame, fetched: DataFrame,
         cand = cand.withColumn("_r", F.lit(None).cast("double"))
     agg = (cand.groupBy("url").agg(
         F.count(F.lit(1)).alias("n_inlinks"),
-        F.countDistinct(
-            F.lower(F.try_parse_url(F.col("_src"), F.lit("HOST"))))
-        .alias("n_hosts"),
+        F.countDistinct(_host(F.col("_src"))).alias("n_hosts"),
         F.sum("_r").alias("inlink_rank")))
     order = ([F.desc("inlink_rank")] if ranks is not None
              else [F.desc("n_hosts"), F.desc("n_inlinks")]) + \
         [F.asc("url")]
     if per_host_cap is not None:
-        w = Window.partitionBy(
-            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
-        ).orderBy(*order)
-        agg = (agg.withColumn("_hrank", F.row_number().over(w))
-               .filter(F.col("_hrank") <= int(per_host_cap))
-               .drop("_hrank"))
+        agg = _cap_per_host(agg, order, per_host_cap)
     out = agg.orderBy(*order)
     if budget is not None:
         out = out.limit(int(budget))
@@ -223,7 +231,7 @@ def host_crawl_stats(fetches: DataFrame, url_col: str = "url",
     scale if a single mega-host dominates, same note as frontier
     discovery)."""
     url = F.col(url_col)
-    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    host = _host(url)
     path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("/"))
     has_q = F.try_parse_url(url, F.lit("QUERY")).isNotNull()
     depth = F.size(F.filter(F.split(path, "/"),
@@ -265,6 +273,5 @@ def delta_by_host(delta: DataFrame) -> DataFrame:
     """Churn report: per (host, status) url counts over a
     :func:`corpus_delta` frame — the shape a crawl operator watches
     between snapshots."""
-    host = F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
-    return (delta.groupBy(host.alias("host"), "status")
+    return (delta.groupBy(_host(F.col("url")).alias("host"), "status")
             .agg(F.count(F.lit(1)).alias("n_urls")))

@@ -96,18 +96,31 @@ def maxscore_top_k(
     skipped_evals = 0
     filtered_out = 0
     ess = 0  # first essential index; only grows as theta rises
+    # live view of the essential tail minus exhausted cursors — the
+    # candidate-min / gather / advance loops run every step, and a short
+    # rare-term list that exhausts early must not be re-scanned for the
+    # whole remainder of a long list (WAND drops dead cursors the same
+    # way). Rebuilt only when ess grows or a cursor exhausts; prefix[]
+    # keeps indexing the FIXED sorted list, so prune bounds are unchanged
+    # (an exhausted non-essential list only over-estimates the remaining
+    # bound, which is conservative).
+    live = [c for c in cursors if c.cur_doc != EXHAUSTED]
 
     while ess < n:
         theta = heap[0][0] if len(heap) >= k else seed_theta
         # lists 0..j with prefix[j] <= theta are non-essential: a doc seen
         # ONLY there can at best tie theta and loses the doc_id tie-break
+        ess_moved = False
         while ess < n and prefix[ess] <= theta:
             ess += 1
+            ess_moved = True
         if ess >= n:
             break  # even all lists together cannot beat theta
+        if ess_moved:
+            live = [c for c in cursors[ess:] if c.cur_doc != EXHAUSTED]
         # next candidate: the minimum head among essential cursors
         candidate = EXHAUSTED
-        for c in cursors[ess:]:
+        for c in live:
             if c.cur_doc < candidate:
                 candidate = c.cur_doc
         if candidate == EXHAUSTED:
@@ -117,15 +130,19 @@ def maxscore_top_k(
             and int(allowed[i]) == candidate)
         if excluded:
             filtered_out += 1
-            for c in cursors[ess:]:
+            hit_end = False
+            for c in live:
                 if c.cur_doc == candidate:
                     c.next_doc()
+                    hit_end |= c.cur_doc == EXHAUSTED
+            if hit_end:
+                live = [c for c in live if c.cur_doc != EXHAUSTED]
             continue
         # gather essential contributions (probe-order running sum for the
         # prune tests; exact oracle-order summation happens at the end)
         contribs: list[tuple[int, float]] = []
         running = 0.0
-        for c in cursors[ess:]:
+        for c in live:
             if c.cur_doc == candidate:
                 contrib = c.contrib()
                 contribs.append((c.term_rank, contrib))
@@ -133,6 +150,7 @@ def maxscore_top_k(
         # probe non-essential lists from the largest bound downward,
         # bailing as soon as the remaining prefix cannot reach theta
         pruned = False
+        landed: list[BlockCursor] = []  # probed cursors on the candidate
         for j in range(ess - 1, -1, -1):
             if running + prefix[j] + _PRUNE_SLACK <= theta:
                 pruned = True
@@ -140,6 +158,7 @@ def maxscore_top_k(
             c = cursors[j]
             c.seek(candidate)
             if c.cur_doc == candidate:
+                landed.append(c)
                 contrib = c.contrib()
                 contribs.append((c.term_rank, contrib))
                 running += contrib
@@ -162,7 +181,14 @@ def maxscore_top_k(
         # advance every cursor standing on the candidate (essential ones
         # always; non-essential ones only if a probe landed them here —
         # un-probed ones were left untouched and stay lazy)
-        for c in cursors:
+        hit_end = False
+        for c in live:
+            if c.cur_doc == candidate:
+                c.next_doc()
+                hit_end |= c.cur_doc == EXHAUSTED
+        if hit_end:
+            live = [c for c in live if c.cur_doc != EXHAUSTED]
+        for c in landed:
             if c.cur_doc == candidate:
                 c.next_doc()
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import datetime
 import gzip
+import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -65,7 +66,10 @@ def parse_sitemap(body: bytes | str | None
     if data[:2] == b"\x1f\x8b":
         try:
             data = gzip.decompress(data)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # BadGzipFile is an OSError; a TRUNCATED stream raises
+            # EOFError and corrupt deflate data zlib.error — all three
+            # must stay inside the per-body skip contract
             return [], "invalid"
     try:
         root = ET.fromstring(data)

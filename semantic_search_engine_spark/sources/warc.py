@@ -217,9 +217,17 @@ def write_wet(df: DataFrame, out_dir: str, url_col: str = "url",
     mounted path); in local mode any directory works. Repartition the
     frame first to choose the file count/size (CC ships ~150 MB WET
     files)."""
+    import glob
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    # clear prior exports: a re-export with FEWER partitions would
+    # otherwise leave stale part-NNNNN files mixed into the directory,
+    # and read_warc(out_dir) round-trips the directory, not this run
+    for stale in glob.glob(os.path.join(out_dir, "part-*.warc.wet.gz")):
+        os.remove(stale)
+    for stale in glob.glob(os.path.join(out_dir, "*.inprogress")):
+        os.remove(stale)
     slim = df.select(F.col(url_col).alias("url"),
                      F.col(ts_col).alias("ts"),
                      F.col(text_col).alias("text"))

@@ -51,6 +51,16 @@ def test_conflicting_claims_functionalize_to_min(spark):
     assert got["a"] == ("b", True)
 
 
+def test_doubling_is_logarithmic_not_linear(spark):
+    # 12-hop chain: true pointer doubling reaches 2^4 = 16 hops in 4
+    # rounds; single-hop stepping would only reach 5 and wrongly flag
+    # the chain head as cycle residue
+    chain = [(f"c{i:02d}", f"c{i+1:02d}") for i in range(12)]
+    got = _resolve(spark, chain, max_doublings=4)
+    assert got["c00"] == ("c12", True)
+    assert all(c == "c12" and r for c, r in got.values())
+
+
 def test_doubling_cap_flags_overlong_chains(spark):
     # 6-hop chain with max_doublings=1 -> 2 hops reachable -> unresolved
     chain = [(f"u{i}", f"u{i+1}") for i in range(6)]

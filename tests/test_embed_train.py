@@ -99,6 +99,16 @@ def _cos(a, b):
     return float(a @ b / (na * nb)) if na and nb else 0.0
 
 
+def test_ppmi_empty_cooccurrence_table(spark):
+    """No co-occurring pairs at all (window too small / disjoint vocab):
+    an empty edge frame, not a float(None) crash on the total."""
+    cooc = cooccurrence_counts(_feats(spark, ["aa", "bb"]),
+                               ["aa", "bb"], window=1)
+    edges = ppmi_edges(cooc)
+    assert edges.count() == 0
+    assert set(edges.columns) == {"a", "b", "ppmi"}
+
+
 def test_trained_vectors_recover_topics(spark):
     vocab = TOPIC_A.split() + TOPIC_B.split()
     cooc = cooccurrence_counts(_feats(spark, _topic_corpus()), vocab,

@@ -56,6 +56,10 @@ def test_parse_gzip_and_malformed():
     assert kind == "urlset" and len(entries) == 3
     assert parse_sitemap(b"<html>not a sitemap</html>")[1] == "invalid"
     assert parse_sitemap(b"\x1f\x8btruncated")[1] == "invalid"
+    # a gzip stream cut off mid-body raises EOFError (not OSError) —
+    # must stay inside the per-body skip contract, never fail the task
+    cut = gzip.compress(URLSET.encode())[:-5]
+    assert parse_sitemap(cut)[1] == "invalid"
     assert parse_sitemap(None)[1] == "invalid"
     assert parse_sitemap(b"<urlset><url></url></urlset>") == ([], "urlset")
 

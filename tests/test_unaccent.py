@@ -47,6 +47,11 @@ from semantic_search_engine_spark.textproc import (
     ("smörgåsbord", "smorgasbord"),
     ("Reykjavík þing", "Reykjavik thing"),
     ("plain ascii stays", "plain ascii stays"),
+    # letters that NFKD-decompose INTO foldable bases (æ/ø + mark):
+    # the ligature fold must run AFTER decomposition or residue is left
+    ("ǣther", "aether"),
+    ("Ǽsir", "AEsir"),
+    ("sǿster", "soster"),
 ])
 def test_fold_accents(raw, folded):
     assert fold_accents(raw) == folded

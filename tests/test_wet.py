@@ -49,6 +49,21 @@ def test_write_wet_read_warc_end_to_end(spark, tmp_path):
     assert all(r.n_skipped == 1 for r in stats)
 
 
+def test_write_wet_reexport_clears_stale_parts(spark, tmp_path):
+    """Re-exporting into the same directory with FEWER partitions must
+    not leave the previous run's extra part files mixed into the
+    round-trip read."""
+    docs = [(f"https://s.example/p{i}", TS, f"text {i}") for i in range(8)]
+    df = spark.createDataFrame(
+        docs, "url string, warc_ts timestamp, text string")
+    out = str(tmp_path / "wet")
+    write_wet(df.repartition(4), out)
+    audit = write_wet(df.repartition(1), out)
+    assert len(audit) == 1 and audit[0][1] == 8
+    back = read_warc(spark, out, record_types=("conversion",)).collect()
+    assert len(back) == 8  # stale part-00001..3 would double-count
+
+
 def test_write_wet_deterministic_bytes(spark, tmp_path):
     docs = [("https://s.example/a", TS, "alpha"),
             ("https://s.example/b", TS, "beta")]
