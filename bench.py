@@ -344,7 +344,14 @@ def main() -> None:
     # push the whole recording past a driver timeout).
     fast_enough = float(os.environ.get("SPARK_GRAFT_FAST_BUILD_SEC", "50"))
     want_cycles = int(os.environ.get("SPARK_GRAFT_BUILD_CYCLES", "2"))
-    deadline = float(os.environ.get("SPARK_GRAFT_CYCLE2_DEADLINE", "360"))
+    # Generous by default: at sf0.1 a CONTENDED window (the case where a
+    # second sample matters most) pushes the query phase alone past
+    # ~9 minutes of elapsed process time, and the old 360 s deadline
+    # skipped cycle-2 exactly then — leaving the contended build as the
+    # recording's ONLY sample. 660 s still bounds the worst case
+    # (deadline + one contended cycle ≈ 12.5 min) well under any
+    # plausible runner cap.
+    deadline = float(os.environ.get("SPARK_GRAFT_CYCLE2_DEADLINE", "660"))
     if (want_cycles > 1 and cyc1["sec"] > fast_enough
             and time.time() - _PROC_T0 < deadline):
         cyc2 = _build_cycle("_cycle2")
