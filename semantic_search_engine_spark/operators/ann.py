@@ -29,8 +29,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: above this many centroid components, assignment switches from column
-#: expressions to the Arrow/numpy path
-_EXPR_ASSIGN_MAX_COMPONENTS = 4096
+#: expressions to the Arrow/numpy path. The expression plan carries one
+#: aggregate-fold struct PER CENTROID — past a few hundred components the
+#: Catalyst compile time alone dwarfs the Arrow batch transfer it avoids
+#: (measured: 44 lists × 64 dims took seconds per assign to compile; the
+#: numpy matmul path assigns the same table in milliseconds), so the
+#: threshold sits where codegen stays small. Both paths are pinned equal
+#: (test_operators.py).
+_EXPR_ASSIGN_MAX_COMPONENTS = 512
 
 
 def _dot(a, b):
@@ -319,7 +325,8 @@ _IVF_ASSIGN_TBL = "ann_{name}_assignments"
 _IVF_CENTROID_TBL = "ann_{name}_centroids"
 
 
-def save_ivf(index: IVFIndex, store, name: str) -> None:
+def save_ivf(index: IVFIndex, store, name: str,
+             extra_meta: dict | None = None) -> None:
     """Persist an IVF index through the TableStore: assignments partitioned
     by list_id (query-time partition pruning survives the round trip) and
     the centroid matrix as one tiny table. Index metadata (key/vec_col)
@@ -327,6 +334,11 @@ def save_ivf(index: IVFIndex, store, name: str) -> None:
 
     This makes ANN a real index lifecycle like the text index — build
     once, serve from storage — instead of a per-session in-memory object.
+
+    ``extra_meta``: caller bookkeeping merged into the assignments
+    table's commit meta (e.g. ``IndexBuilder.build_ann`` records the
+    source embeddings table's ``data_uuid`` so the serve path can detect
+    a stale index after an embeddings rebuild).
     """
     import uuid as _uuid
 
@@ -338,7 +350,8 @@ def save_ivf(index: IVFIndex, store, name: str) -> None:
     store.write(_IVF_ASSIGN_TBL.format(name=name),
                 index.assignments.select(index.key, "v", "vn", "list_id"),
                 partition_by=["list_id"],
-                meta={"key": index.key, "vec_col": index.vec_col,
+                meta={**(extra_meta or {}),
+                      "key": index.key, "vec_col": index.vec_col,
                       "n_lists": int(index.centroids.shape[0]),
                       "save_id": save_id})
     cent = spark.createDataFrame(

@@ -1251,6 +1251,59 @@ class IndexBuilder:
         runner.commit_lineage(self.spark)
         return runner
 
+    def build_ann(self, field: str = "text", n_lists: int | None = None,
+                  n_iters: int = 3, seed: int = 42) -> str:
+        """Opt-in persisted IVF index over the committed
+        ``doc_embeddings`` table — the reference's ivfflat accelerator
+        (``data-pipeline/database.py:47-54``: ``CREATE INDEX ... USING
+        ivfflat (embedding vector_cosine_ops)``) as a real index
+        lifecycle: built once here, served from storage by
+        ``QueryEngine.semantic_top_k_df(ann=...)`` with partition-pruned
+        probes (assignments are partitioned by ``list_id``).
+
+        Resume semantics match the other opt-in stages: the save records
+        the source embeddings table's ``data_uuid`` plus the build
+        parameters; a repeat call with an unchanged source and identical
+        parameters is a no-op, and the serve path refuses (falls back to
+        exact) when the recorded source_uuid no longer matches the
+        embeddings table — a rebuilt corpus never serves a stale index.
+
+        ``n_lists`` defaults to the classic ``sqrt(n_docs)`` IVF sizing
+        (clamped to [8, 1024] for the sandbox; at 10^12 docs pass it
+        explicitly — lists ≈ sqrt(N) keeps probe cost O(sqrt(N)·n_probe)).
+        Returns the index name for :func:`operators.ann.load_ivf`.
+        """
+        import math as _math
+
+        from ..operators.ann import _IVF_ASSIGN_TBL, IVFIndex, save_ivf
+
+        sfx = "" if field == "text" else f"_{field}"
+        emb_tbl = f"doc_embeddings{sfx}"
+        if not self.store.exists(emb_tbl):
+            raise ValueError(
+                f"no {emb_tbl} table — build_embeddings() before its "
+                "ANN index")
+        src_uuid = (self.store.table_meta(emb_tbl) or {}).get("data_uuid")
+        if n_lists is None:
+            cs = self.store.read(f"corpus_stats{sfx}").collect()[0]
+            n_lists = max(8, min(1024,
+                                 int(_math.sqrt(max(int(cs["n_docs"]), 1)))))
+        name = f"doc_emb{sfx}"
+        meta = self.store.table_meta(_IVF_ASSIGN_TBL.format(name=name)) or {}
+        if (meta.get("source_uuid") == src_uuid
+                and int(meta.get("n_lists", 0)) == int(n_lists)
+                and int(meta.get("ann_n_iters", -1)) == int(n_iters)
+                and int(meta.get("ann_seed", -1)) == int(seed)):
+            return name  # checkpoint hit: same source, same parameters
+        idx = IVFIndex.build(self.store.read(emb_tbl),
+                             n_lists=n_lists, n_iters=n_iters, seed=seed,
+                             key="doc_id", vec_col="emb")
+        save_ivf(idx, self.store, name,
+                 extra_meta={"source_uuid": src_uuid,
+                             "ann_n_iters": int(n_iters),
+                             "ann_seed": int(seed)})
+        return name
+
     def build_champions(self, field: str = "text",
                         run_id: str | None = None) -> StageRunner:
         """Opt-in impact-ordered champion lists (plans/champions.py) —

