@@ -269,8 +269,10 @@ def main() -> None:
     qe.search("wireless bluetooth headphones", k=10, lang="en",
               count_mode="approx")
     queries["q_approx_count"] = round(time.time() - t0, 3)
-    # positional index (opt-in, timed separately — not part of the
-    # headline build) + phrase retrieval over it
+    # positional index: the after-the-fact path (re-tokenize over the
+    # committed corpus — what a corpus indexed WITHOUT positions=True
+    # pays exactly once); the fused single-pass form is measured below
+    # as build_with_positions / positions_marginal_*
     t0 = time.time()
     builder.build_positions()
     queries["positions_build"] = round(time.time() - t0, 3)
@@ -379,6 +381,37 @@ def main() -> None:
     build_sec, stage_sec, pyw = best["sec"], best["stage_sec"], best["pyw"]
     queries["index_build"] = round(build_sec, 3)
 
+    # Fused positional build (VERDICT r3 #3): one COLD build(positions=True)
+    # into its own warehouse — position lists ride the SAME extract+tokenize
+    # Arrow pass and the positions table encodes pure-JVM from the committed
+    # pos_map, so the marginal cost over the core build replaces the old
+    # full second Python pass (positions_build above). One sample in
+    # whatever window this lands in; read beside build_cycles_sec.
+    if (os.environ.get("SPARK_GRAFT_POSITIONS_BUILD", "1") != "0"
+            and time.time() - _PROC_T0 < deadline):
+        wh = os.path.join(cache_root, f"warehouse_n{n_docs}_c{cpus}_pos")
+        shutil.rmtree(wh, ignore_errors=True)
+        stp = HadoopTableStore(spark, wh)
+        cfp = EngineConfig(shuffle_partitions=cpus,
+                           n_doc_buckets=max(32, cpus),
+                           python_stage_parallelism=best["pyw"])
+        t0 = time.time()
+        rnp = IndexBuilder(spark, stp, cfp).build(docs, positions=True)
+        dt = time.time() - t0
+        queries["build_with_positions"] = round(dt, 3)
+        # cross-window subtraction (can go negative in a kinder window —
+        # the same-run stage table below is the variance-free evidence:
+        # the fused positional cost is the pure-JVM `positions` encode
+        # stage plus whatever the pos_map emission added to doc_features)
+        queries["positions_marginal_sec"] = round(dt - build_sec, 3)
+        queries["positions_marginal_pct"] = round(
+            100.0 * (dt - build_sec) / build_sec, 1)
+        pos_stage_sec = {m["stage"]: round(m["wall_ms"] / 1000.0, 3)
+                         for m in rnp.metrics}
+        shutil.rmtree(wh, ignore_errors=True)
+    else:
+        pos_stage_sec = None
+
     total = build_sec + sum(qtimes) + queries["q_filtered_exact_count"]
     out = {
         "metric": "index_build_plus_query_wall",
@@ -392,6 +425,7 @@ def main() -> None:
         "python_stage_parallelism": pyw,
         "corpus_gen_sec": round(gen_sec, 3),
         "stage_sec": {k: round(v, 3) for k, v in stage_sec.items()},
+        "positions_build_stage_sec": pos_stage_sec,
         # best-of-cycles bookkeeping: every sample shown, nothing hidden
         "build_cycles_sec": [round(c["sec"], 3) for c in cycles],
         "build_cycles_pyw": [c["pyw"] for c in cycles],

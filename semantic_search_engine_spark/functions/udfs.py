@@ -27,10 +27,11 @@ def make_extract_features_udf(prefer_provided: bool = True,
                               max_token_len: int = 64,
                               min_token_len: int = 1,
                               analyzer: str = "simple",
-                              indexed: str = "text"):
-    """(text, html) -> struct(title, text, extracted_sha256, tf_map):
-    the engine's two permitted Python text stages (extract, tokenize)
-    FUSED into one Arrow pass.
+                              indexed: str = "text",
+                              with_positions: bool = False):
+    """(text, html) -> struct(title, text, extracted_sha256, tf_map
+    [, pos_map]): the engine's two permitted Python text stages
+    (extract, tokenize) FUSED into one Arrow pass.
 
     Why fused: as separate UDFs they run in two Python stages with the
     full document text crossing the JVM↔Python Arrow boundary twice and
@@ -48,13 +49,25 @@ def make_extract_features_udf(prefer_provided: bool = True,
     validity filter (``data_ingestion.py:100-103`` analogue).
 
     ``indexed``: which resolved column feeds the tf map ("text"/"title").
-    """
 
-    @pandas_udf("title string, text string, extracted_sha256 string, "
-                "tf_map map<string,int>")
+    ``with_positions`` (VERDICT r3 #3): also emit the tsvector-style
+    ``pos_map`` (term -> kept-token positions) from the SAME pass, so a
+    positional index never pays a second corpus-wide Python pass over
+    raw text. The tf map is derived as ``len(positions[t])`` from the
+    single ``token_positions`` walk — identical to ``Counter(tokenize)``
+    by construction (same kept-token stream; pinned by test), so every
+    downstream statistic is unchanged.
+    """
+    out_schema = ("title string, text string, extracted_sha256 string, "
+                  "tf_map map<string,int>")
+    if with_positions:
+        out_schema += ", pos_map map<string,array<int>>"
+
+    @pandas_udf(out_schema)
     def resolve_extract_features(text: pd.Series,
                                  html: pd.Series) -> pd.DataFrame:
         titles, bodies, shas, maps = [], [], [], []
+        pmaps = [] if with_positions else None
         for t, h in zip(text, html):
             hb = bytes(h) if h is not None else None
             title = ""
@@ -74,11 +87,21 @@ def make_extract_features_udf(prefer_provided: bool = True,
                 hashlib.sha256(body.encode("utf-8")).hexdigest()
                 if body is not None else None)
             src = body if indexed == "text" else title
-            maps.append(
-                dict(Counter(tokenize(src, max_token_len, min_token_len,
-                                      analyzer))) if src else {})
-        return pd.DataFrame({"title": titles, "text": bodies,
-                             "extracted_sha256": shas, "tf_map": maps})
+            if with_positions:
+                pmap = (token_positions(src, max_token_len, min_token_len,
+                                        analyzer) if src else {})
+                pmaps.append(pmap)
+                maps.append({t_: len(ps) for t_, ps in pmap.items()})
+            else:
+                maps.append(
+                    dict(Counter(tokenize(src, max_token_len,
+                                          min_token_len, analyzer)))
+                    if src else {})
+        out = {"title": titles, "text": bodies,
+               "extracted_sha256": shas, "tf_map": maps}
+        if with_positions:
+            out["pos_map"] = pmaps
+        return pd.DataFrame(out)
 
     return resolve_extract_features
 

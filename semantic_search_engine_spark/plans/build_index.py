@@ -207,7 +207,8 @@ class IndexBuilder:
     # ------------------------------------------------------------------
     def build(self, documents: DataFrame, field: str = "text",
               run_id: str | None = None,
-              input_version: str = "static") -> StageRunner:
+              input_version: str = "static",
+              positions: bool = False) -> StageRunner:
         """documents: (url, warc_ts, html, text, lang) — BASELINE input_hint.
 
         ``field`` selects the indexed field: "text" (body) or "title" — the
@@ -220,11 +221,23 @@ class IndexBuilder:
         an unchanged source skips every stage, and data changes are
         propagated either by a new ``input_version`` or via
         :meth:`ingest_updates` (which mints a new table identity).
+
+        ``positions`` (VERDICT r3 #3): build the positional index IN the
+        same pass — the fused extract+tokenize UDF also emits ``pos_map``
+        (kept-token positions per term) into ``doc_features``, and the
+        positions table encodes from that committed column with NO second
+        Python pass over raw text. The after-the-fact
+        :meth:`build_positions` stays available for corpora indexed
+        without the flag (it pays the re-tokenize exactly once, and any
+        later maintenance reuses ``pos_map`` when present). The flag is
+        folded into the doc_features checkpoint key: toggling it is a
+        layout change and rebuilds stage 1, like any other layout knob.
         """
         cfg = self.cfg
         runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
                              run_id=run_id)
         sfx = "" if field == "text" else f"_{field}"
+        input_version = input_version + ("/positions" if positions else "")
 
         # -- stage 1: doc_features ------------------------------------------
         df_layout = ["partition_id"] if cfg.partition_doc_features else None
@@ -239,10 +252,11 @@ class IndexBuilder:
             # here too.
             runner.run(f"doc_features{sfx}", f"doc_features{sfx}",
                        ["doc_features"],
-                       lambda: self._refield_doc_features(field),
+                       lambda: self._refield_doc_features(field, positions),
                        partition_by=df_layout,
                        partition_col="partition_id",
-                       n_partitions=cfg.n_doc_buckets)
+                       n_partitions=cfg.n_doc_buckets,
+                       extra_key="/positions" if positions else "")
         elif cfg.dedup != "none":
             # Content dedup at ingest (X60): extraction, the drop
             # decision, and the filtered corpus are SEPARATE resumable
@@ -257,7 +271,8 @@ class IndexBuilder:
                                      run_id=runner.run_id)
             raw_runner.run(f"doc_features_raw{sfx}",
                            f"doc_features_raw{sfx}", [],
-                           lambda: self._doc_features_df(documents, field),
+                           lambda: self._doc_features_df(documents, field,
+                                                         positions),
                            partition_by=df_layout,
                            partition_col="partition_id",
                            n_partitions=cfg.n_doc_buckets,
@@ -266,13 +281,27 @@ class IndexBuilder:
             self._run_dedup_stages(runner, sfx)
         else:
             runner.run(f"doc_features{sfx}", f"doc_features{sfx}", [],
-                       lambda: self._doc_features_df(documents, field),
+                       lambda: self._doc_features_df(documents, field,
+                                                     positions),
                        partition_by=df_layout,
                        partition_col="partition_id",
                        n_partitions=cfg.n_doc_buckets,
                        extra_key=input_version)
 
         self._run_downstream(runner, sfx)
+        if positions and not self.store.exists(f"positions{sfx}"):
+            # first positions=True build: encode the positional index from
+            # the pos_map column just committed (stage 4b handles every
+            # later refresh; _positions_df's JVM fast path reads pos_map —
+            # no text re-tokenization anywhere in this build)
+            runner.run(f"positions{sfx}", f"positions{sfx}",
+                       [f"doc_features{sfx}"],
+                       lambda: self._positions_df(sfx, field),
+                       partition_by=["term_bucket"],
+                       sort_within_partitions=["term", "partition_id",
+                                               "block_id"],
+                       partition_col="partition_id",
+                       n_partitions=cfg.n_doc_buckets)
         self._persist_config(sfx)
         runner.commit_lineage(self.spark)
         return runner
@@ -315,16 +344,19 @@ class IndexBuilder:
 
     # ------------------------------------------------------------------
     def _doc_features_df(self, documents: DataFrame,
-                         field: str) -> DataFrame:
+                         field: str,
+                         positions: bool = False) -> DataFrame:
         """The shared ingest transform (build stage 1 AND upsert path):
         extract → validity filter → deterministic per-url winner →
-        stable ids → tf map → doc_len."""
+        stable ids → tf map → doc_len. With ``positions``, the same
+        Arrow pass also emits ``pos_map`` (see build(positions=True))."""
         cfg = self.cfg
         indexed_col = "text" if field == "text" else "title"
         fused = make_extract_features_udf(cfg.prefer_provided_text,
                                           cfg.max_token_len,
                                           cfg.min_token_len,
-                                          cfg.analyzer, indexed_col)
+                                          cfg.analyzer, indexed_col,
+                                          with_positions=positions)
         # Width of the Python-UDF stage: the configured cap when set
         # (see EngineConfig.python_stage_parallelism), else the stage's
         # natural shuffle width.
@@ -354,6 +386,8 @@ class IndexBuilder:
         # stage is pure JVM and takes the full shuffle width.
         w = Window.partitionBy("url").orderBy(
             F.desc_nulls_last("warc_ts"), F.desc("extracted_sha256"))
+        pos_cols = ([F.col("ex.pos_map").alias("pos_map")]
+                    if positions else [])
         ex = (
             src
             .filter(F.col("url").isNotNull())
@@ -362,7 +396,7 @@ class IndexBuilder:
                     F.col("ex.title").alias("title"),
                     F.col("ex.text").alias("text"),
                     F.col("ex.extracted_sha256").alias("extracted_sha256"),
-                    F.col("ex.tf_map").alias("tf_map"))
+                    F.col("ex.tf_map").alias("tf_map"), *pos_cols)
             .filter(F.col("text").isNotNull())       # validity filter
             .repartition(cfg.shuffle_partitions, "url")
             .withColumn("_rn", F.row_number().over(w))
@@ -380,33 +414,52 @@ class IndexBuilder:
                 F.lit(0)))
         return ex.select("doc_id", "url", "warc_ts", "lang", "title",
                          "text", "extracted_sha256", "doc_len", "tf_map",
-                         "partition_id")
+                         "partition_id",
+                         *(["pos_map"] if positions else []))
 
     # ------------------------------------------------------------------
-    def _refield_doc_features(self, field: str) -> DataFrame:
+    def _refield_doc_features(self, field: str,
+                              positions: bool = False) -> DataFrame:
         """doc_features for a secondary indexed field, derived from the
         committed text-field table: identical rows (extraction, validity,
         per-url dedup, ids, buckets all already applied — deterministic,
         so bit-identical to a from-scratch build of the same field),
-        with only tf_map/doc_len recomputed over the ``field`` column."""
-        term_freqs = make_term_freqs_udf(self.cfg.max_token_len,
-                                         self.cfg.min_token_len,
-                                         self.cfg.analyzer)
+        with only tf_map/doc_len recomputed over the ``field`` column.
+        With ``positions``, ONE tokenize-positions pass produces
+        ``pos_map`` and tf_map derives from it JVM-side
+        (``transform_values(pos_map, size)``) — still a single Python
+        pass over the column."""
+        from ..functions.udfs import make_token_positions_udf
+
         src = self.store.read("doc_features")
+        if "pos_map" in src.columns:
+            src = src.drop("pos_map")
         if self.cfg.python_stage_parallelism:   # tokenize is a UDF stage
             src = src.repartition(self.cfg.python_stage_parallelism)
-        ex = (src
-              .drop("tf_map", "doc_len")
-              .withColumn("tf_map", term_freqs(F.col(field)))
-              .withColumn(
-                  "doc_len",
-                  F.coalesce(
-                      F.aggregate(F.map_values("tf_map"), F.lit(0),
-                                  lambda acc, x: acc + x),
-                      F.lit(0))))
+        src = src.drop("tf_map", "doc_len")
+        if positions:
+            pos_udf = make_token_positions_udf(self.cfg.max_token_len,
+                                               self.cfg.min_token_len,
+                                               self.cfg.analyzer)
+            ex = (src.withColumn("pos_map", pos_udf(F.col(field)))
+                  .withColumn("tf_map",
+                              F.transform_values(
+                                  "pos_map", lambda _k, v: F.size(v))))
+        else:
+            term_freqs = make_term_freqs_udf(self.cfg.max_token_len,
+                                             self.cfg.min_token_len,
+                                             self.cfg.analyzer)
+            ex = src.withColumn("tf_map", term_freqs(F.col(field)))
+        ex = ex.withColumn(
+            "doc_len",
+            F.coalesce(
+                F.aggregate(F.map_values("tf_map"), F.lit(0),
+                            lambda acc, x: acc + x),
+                F.lit(0)))
         return ex.select("doc_id", "url", "warc_ts", "lang", "title",
                          "text", "extracted_sha256", "doc_len", "tf_map",
-                         "partition_id")
+                         "partition_id",
+                         *(["pos_map"] if positions else []))
 
     # ------------------------------------------------------------------
     def build_link_graph(self, documents: DataFrame,
@@ -1380,7 +1433,14 @@ class IndexBuilder:
         re-encodes only those doc-range buckets and carries every other
         bucket's rows from the previous snapshot BYTE-FOR-BYTE — unlike
         postings, position payloads bake in no corpus statistic (no
-        avgdl), so the carry needs no metadata refresh at all."""
+        avgdl), so the carry needs no metadata refresh at all.
+
+        When doc_features carries the fused ``pos_map`` column
+        (build(positions=True)), the stage is PURE JVM: a column-pruned
+        scan + explode + the numpy block encoder — no second Python pass
+        over raw text (VERDICT r3 #3). Output is identical either way
+        (the fused UDF and ``make_token_positions_udf`` walk the same
+        kept-token stream; pinned by test)."""
         from ..functions.udfs import make_token_positions_udf
         from .phrase import (
             POSITIONS_COLS,
@@ -1390,22 +1450,30 @@ class IndexBuilder:
 
         cfg = self.cfg
         col = "text" if field == "text" else field
-        src = self.store.read(f"doc_features{sfx}").select(
-            "doc_id", "partition_id", "doc_len", col)
+        feats = self.store.read(f"doc_features{sfx}")
+        fused_pos = "pos_map" in feats.columns
+        src = feats.select("doc_id", "partition_id", "doc_len",
+                           "pos_map" if fused_pos else col)
         incremental = (changed_buckets is not None
                        and self.store.exists(f"positions{sfx}"))
         if incremental:
             src = src.filter(F.col("partition_id").isin(changed_buckets))
-        pyw = cfg.python_stage_parallelism or cfg.shuffle_partitions
-        if cfg.python_stage_parallelism:  # tokenize is a UDF stage
-            src = src.repartition(pyw)
-        pos_udf = make_token_positions_udf(cfg.max_token_len,
-                                           cfg.min_token_len,
-                                           cfg.analyzer)
-        pairs = (src.withColumn("pmap", pos_udf(F.col(col)))
-                 .select("partition_id", "doc_id",
-                         F.col("doc_len").alias("dl"),
-                         F.explode("pmap").alias("term", "positions")))
+        if fused_pos:
+            pairs = src.select("partition_id", "doc_id",
+                               F.col("doc_len").alias("dl"),
+                               F.explode("pos_map").alias("term",
+                                                          "positions"))
+        else:
+            pyw = cfg.python_stage_parallelism or cfg.shuffle_partitions
+            if cfg.python_stage_parallelism:  # tokenize is a UDF stage
+                src = src.repartition(pyw)
+            pos_udf = make_token_positions_udf(cfg.max_token_len,
+                                               cfg.min_token_len,
+                                               cfg.analyzer)
+            pairs = (src.withColumn("pmap", pos_udf(F.col(col)))
+                     .select("partition_id", "doc_id",
+                             F.col("doc_len").alias("dl"),
+                             F.explode("pmap").alias("term", "positions")))
         # Encode at full width (same exemption as the postings encoder:
         # numpy stream + JVM sort, not an interpreter-bound text kernel)
         shuffled = (pairs.repartition(cfg.shuffle_partitions,
@@ -1450,7 +1518,16 @@ class IndexBuilder:
         """
         cfg = self.cfg
         sfx = "" if field == "text" else f"_{field}"
-        ex = self._doc_features_df(updates, field).cache()
+        # match the committed layout: a positions=True-built table carries
+        # pos_map, so the upsert batch must too (merge unions by name)
+        tgt = (f"doc_features_raw{sfx}"
+               if cfg.dedup != "none"
+               and self.store.exists(f"doc_features_raw{sfx}")
+               else f"doc_features{sfx}")
+        has_pos = (self.store.exists(tgt)
+                   and "pos_map" in self.store.read(tgt).columns)
+        ex = self._doc_features_df(updates, field,
+                                   positions=has_pos).cache()
         changed: list[int] | None = None
         pos_changed: list[int] | None = None
         if incremental:

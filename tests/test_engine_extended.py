@@ -91,7 +91,8 @@ def test_dual_field_build_single_extract_pass(spark, tiny_corpus_dir,
     orig = IndexBuilder._doc_features_df
     monkeypatch.setattr(
         IndexBuilder, "_doc_features_df",
-        lambda self, d, f: calls.append(f) or orig(self, d, f))
+        lambda self, d, f, positions=False:
+            calls.append(f) or orig(self, d, f, positions))
     ba.build(docs, field="title")
     assert calls == [], "title build re-ran the extract pipeline"
 
