@@ -1247,7 +1247,8 @@ class IndexBuilder:
     def build_embeddings(self, field: str = "text", dim: int = 64,
                          run_id: str | None = None,
                          embedder=None,
-                         embedder_tag: str = "hash") -> StageRunner:
+                         embedder_tag: str = "hash",
+                         embedder_source: str = "tf_map") -> StageRunner:
         """Opt-in hashed document embeddings (operators/hybrid.py) — the
         semantic leg of hybrid retrieval (the reference's pgvector column,
         ``ProductRepository.java:66-93``, re-expressed with a public
@@ -1267,6 +1268,14 @@ class IndexBuilder:
         fingerprint so hashed and trained embeddings never alias): e.g.
         the corpus-trained PPMI-SVD featurizer
         (``operators/embed_train.make_trained_embedding_udf``, X109).
+
+        ``embedder_source``: which doc_features column feeds the UDF —
+        ``"tf_map"`` (default; the hashed/PPMI featurizers) or a text
+        column (``"text"``/``"title"``) for sentence-encoder adapters
+        (``operators/neural.make_encoder_embedding_udf`` — the
+        reference's ``model.encode`` shape, ``ml-model/app.py:70-74``).
+        Folded into the fingerprint when non-default (existing tf_map
+        checkpoints stay valid).
         """
         from ..operators.hybrid import make_hashed_embedding_udf
 
@@ -1291,7 +1300,7 @@ class IndexBuilder:
                 feats = feats.repartition(pyw)
             return feats.select(
                 "doc_id", "partition_id",
-                embed(F.col("tf_map")).alias("emb"))
+                embed(F.col(embedder_source)).alias("emb"))
 
         runner.run(f"doc_embeddings{sfx}", f"doc_embeddings{sfx}",
                    [f"doc_features{sfx}"],
@@ -1300,7 +1309,9 @@ class IndexBuilder:
                                  if cfg.partition_doc_features else None),
                    partition_col="partition_id",
                    n_partitions=cfg.n_doc_buckets,
-                   extra_key=f"/dim{dim}/{embedder_tag}")
+                   extra_key=f"/dim{dim}/{embedder_tag}"
+                   + ("" if embedder_source == "tf_map"
+                      else f"/{embedder_source}"))
         runner.commit_lineage(self.spark)
         return runner
 

@@ -2510,7 +2510,8 @@ class QueryEngine:
                         k_each: int | None = None, rrf_k: float = 60.0,
                         w_lex: float = 1.0, w_sem: float = 1.0,
                         ann: str = "auto",
-                        n_probe: int | None = None) -> DataFrame:
+                        n_probe: int | None = None,
+                        probe: list[float] | None = None) -> DataFrame:
         """Hybrid retrieval: BM25 WAND ranks ⊕ embedding-cosine ranks via
         reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09).
         Returns (doc_id, rrf_score, lex_rank, sem_rank) — the per-path
@@ -2522,7 +2523,10 @@ class QueryEngine:
         ``ann``/``n_probe`` route the semantic leg (see
         :meth:`semantic_top_k_df`): with a persisted IVF index the leg
         reads only the probed lists' partitions instead of full-scanning
-        ``doc_embeddings`` per query — the 10^12-doc serve shape."""
+        ``doc_embeddings`` per query — the 10^12-doc serve shape.
+        ``probe`` pre-embeds the query for the semantic leg — the hook
+        for injected encoders (``operators/neural.encode_query``), so a
+        neural-embedded index fuses with BM25 through the same plan."""
         from ..operators.hybrid import rrf_fused_df
 
         cfg = self.cfg
@@ -2534,7 +2538,7 @@ class QueryEngine:
                            .select("doc_id", "score"), "score", w_lex))
         if w_sem:
             sem = self.semantic_top_k_df(query, k=k_each, ann=ann,
-                                         n_probe=n_probe)
+                                         n_probe=n_probe, probe=probe)
             if "cosine" in sem.columns:
                 ranked.append((sem, "cosine", w_sem))
         if not ranked:
