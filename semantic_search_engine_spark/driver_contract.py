@@ -12,6 +12,7 @@ sides; ordering keys use raw values with a deterministic integer tie-break.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1119,22 +1120,73 @@ FROM ({SQL_JACCARD}) u JOIN ({SQL_JACCARD_BIGRAM}) g USING (doc_id)
 
 
 def q_binary_payload_stats(spark, sf_dir):
-    """Opaque binary payload metadata (the multimodal-column pattern,
-    sources/multimodal.py): byte length + content hash computed on the
-    binary column without decoding — here the payload is the utf-8 bytes
-    of the text column, standing in for image/audio bytes."""
+    """Multimodal binary-column gate (sources/multimodal.py), two layers:
+
+    * metadata WITHOUT decode: byte length + content hash of an opaque
+      payload (utf-8 bytes of the text column standing in for blobs);
+    * a REAL codec round-trip (round 4 — X7 no longer partial): per doc,
+      a deterministic int16 signal (a pure function of doc_id, so DuckDB
+      can mirror it arithmetically) is encoded to genuine RIFF/WAVE PCM
+      bytes by the stdlib ``wave`` writer and decoded back by the
+      engine's manual RIFF parser (``decode_media(codec="real")``); the
+      emitted integer aggregates (n_samples, sample_sum, sample_peak)
+      match the oracle's closed-form only if every byte of the container
+      was written and parsed correctly.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_samples bigint, sample_sum bigint, sample_peak bigint")
+    def wav_roundtrip(doc_id: pd.Series) -> pd.DataFrame:
+        from semantic_search_engine_spark.sources.multimodal import (
+            decode_media, encode_wav_pcm16)
+        ns, ss, pk = [], [], []
+        for d in doc_id:
+            d = int(d)
+            m = d % 65536
+            n = d % 17 + 3
+            vals = np.array([(m * 31 + k * 7) % 65536 - 32768
+                             for k in range(n)], dtype=np.int16)
+            x = decode_media(encode_wav_pcm16(vals), "audio", codec="real")
+            # int16/32768 is exactly representable in float32: recover
+            # the integers losslessly and aggregate hash-exact
+            ints = np.rint(x.astype(np.float64) * 32768.0).astype(np.int64)
+            ns.append(len(ints))
+            ss.append(int(ints.sum()))
+            pk.append(int(np.abs(ints).max()))
+        return pd.DataFrame({"n_samples": ns, "sample_sum": ss,
+                             "sample_peak": pk})
+
     d = _t(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
-    return d.select("doc_id",
-                    F.length(payload).alias("n_bytes"),
-                    F.md5(payload).alias("payload_md5"))
+    return (d.select("doc_id",
+                     F.length(payload).alias("n_bytes"),
+                     F.md5(payload).alias("payload_md5"),
+                     wav_roundtrip(F.col("doc_id")).alias("w"))
+            .select("doc_id", "n_bytes", "payload_md5",
+                    F.col("w.n_samples").alias("n_samples"),
+                    F.col("w.sample_sum").alias("sample_sum"),
+                    F.col("w.sample_peak").alias("sample_peak")))
 
 
 SQL_BINARY_PAYLOAD = """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       md5(text) AS payload_md5
-FROM documents
+WITH s AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(doc_id % 17 AS INTEGER) + 2)) AS k
+  FROM documents),
+sig AS (
+  SELECT doc_id, ((doc_id % 65536) * 31 + k * 7) % 65536 - 32768 AS v
+  FROM s),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(v) AS BIGINT) AS sample_sum,
+         CAST(max(abs(v)) AS BIGINT) AS sample_peak
+  FROM sig GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes,
+       md5(d.text) AS payload_md5,
+       a.n_samples, a.sample_sum, a.sample_peak
+FROM documents d JOIN agg a USING (doc_id)
 """
 
 

@@ -11,15 +11,21 @@ Design for binary payload columns at 100 TB scale:
   metadata — the parquet scan of a metadata-only query must not read the
   blob column (verified by test via ``ReadSchema``).
 
-The image/audio codec libraries are not in this container, so the byte-level
-decode is STUBBED two ways (clearly marked):
+Byte-level decode (round 4 — no longer a pure stub):
 
-* ``decode_media(..., codec="real")`` raises ``NotImplementedError`` naming
-  the library that a production deployment would plug in;
+* ``decode_media(..., codec="real")`` FULLY decodes the two uncompressed
+  containers expressible with stdlib+numpy — RIFF/WAVE PCM audio
+  (manual chunk walk, 8/16-bit, channel-averaged) and 24-bit BI_RGB BMP
+  images (bottom-up/BGR/padded rows → BT.601 luminance). Matching
+  encoders (:func:`encode_wav_pcm16` via the stdlib ``wave`` writer,
+  :func:`encode_bmp_rgb24`) let tests round-trip real bytes through two
+  independent implementations. Compressed formats (JPEG/MP3/H.264 …)
+  still raise ``NotImplementedError`` naming the library a production
+  deployment would plug in — that part remains an honest boundary.
 * the default ``codec="fake"`` is a *deterministic* stand-in (sha256-seeded
   statistics of the payload bytes) so every piece of Spark-side plumbing —
   schemas, batch shapes, partitioning, UDF signatures, downstream joins —
-  is real and testable end-to-end.
+  is testable without caring about container formats.
 
 Reference analogue: the dense-feature columns and batched featurizer of the
 reference ingest (``data-pipeline/data_ingestion.py:179-218``, 3×384-d
@@ -77,26 +83,152 @@ RESIZED_SCHEMA = (
 
 
 # ---------------------------------------------------------------------------
-# Decode stubs — the ONLY place a codec library would plug in
+# Real codecs (pure stdlib+numpy — uncompressed containers) and the decode
+# dispatch. Compressed formats (JPEG/MP3/H.264 …) still need external
+# libraries and keep the honest NotImplementedError stub.
 # ---------------------------------------------------------------------------
+
+def encode_wav_pcm16(samples, sample_rate: int = 16_000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM bytes, via the STDLIB ``wave``
+    writer — deliberately a different implementation than
+    :func:`decode_wav`'s manual RIFF walk, so round-trip tests cross-check
+    two code paths instead of inverting one."""
+    import io
+    import wave
+
+    s16 = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(s16.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM → float32 samples in [-1, 1), channels averaged.
+
+    Manual chunk walk (word-aligned chunk skipping, ``fmt ``/``data``
+    located wherever they sit — extra chunks like LIST/fact are skipped,
+    as the spec requires). PCM 8-bit (unsigned) and 16-bit (signed LE)
+    supported; anything else is a compressed/extended format and raises
+    ``NotImplementedError`` naming the real dependency."""
+    import struct
+
+    if (len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("RIFF/WAVE payload missing fmt/data chunk")
+    audio_fmt, n_ch, _rate, _bps, _align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0)
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"WAVE format tag {audio_fmt} is not plain PCM — compressed "
+            "audio needs soundfile/ffmpeg; plug it in here")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8)
+             .astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM is out of scope for the "
+                                  "stdlib decoder (8/16-bit supported)")
+    if n_ch > 1:
+        x = x[:len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x.astype(np.float32)
+
+
+def encode_bmp_rgb24(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB (rows top-down) → uncompressed 24-bit BI_RGB
+    BMP bytes (bottom-up rows, BGR order, 4-byte row padding — the
+    on-disk conventions the decoder must undo)."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = b"".join(
+        px[r, :, ::-1].tobytes() + b"\x00" * pad
+        for r in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    off = 14 + 40
+    head = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return head + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB BMP → float32 luminance samples in [0, 1],
+    row-major top-down (BT.601 weights). 24-bit supported; paletted /
+    compressed variants raise ``NotImplementedError``."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_sz, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bits = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bits != 24 or compression != 0:
+        raise NotImplementedError(
+            f"{bits}-bit/compression={compression} BMP needs Pillow — "
+            "only uncompressed 24-bit BI_RGB is decoded here")
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    rows = []
+    for r in range(h):
+        src = off + r * stride
+        line = np.frombuffer(payload, dtype=np.uint8, count=row,
+                             offset=src).reshape(w, 3)[:, ::-1]  # BGR→RGB
+        rows.append(line)
+    if bottom_up:
+        rows.reverse()
+    img = np.stack(rows).astype(np.float32)
+    lum = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+           + 0.114 * img[..., 2]) / 255.0
+    return lum.reshape(-1).astype(np.float32)
+
 
 def decode_media(payload: bytes, media_type: str, codec: str = "fake"
                  ) -> np.ndarray:
     """Decode one payload to a float sample array.
 
-    ``codec="real"`` is the production hook — STUB: this container ships no
-    image/audio libraries, so it raises ``NotImplementedError`` naming the
-    dependency a deployment would provide (Pillow / soundfile / PyAV).
+    ``codec="real"``: sniff the container magic and decode with the
+    pure-stdlib codecs above — RIFF/WAVE PCM audio and uncompressed
+    24-bit BMP images are FULLY decoded (no external library); any other
+    format raises ``NotImplementedError`` naming the dependency a
+    production deployment would plug in (Pillow / soundfile / PyAV).
 
     ``codec="fake"`` (default) is a deterministic stand-in: a 256-sample
     float array seeded from sha256(payload) — stable across runs, machines
     and parallelism levels, which is what the plumbing tests need.
     """
     if codec == "real":
+        p = payload or b""
+        if p[:2] == b"BM":
+            return decode_bmp(p)
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            return decode_wav(p)
         raise NotImplementedError(
-            "real media decode requires Pillow (image) / soundfile (audio) "
-            "/ PyAV (video) — not available in this environment; plug the "
-            "library call in here and keep the same array contract")
+            "unrecognized container: real decode beyond uncompressed "
+            "BMP/WAV-PCM requires Pillow (image) / soundfile (audio) "
+            "/ PyAV (video) — plug the library call in here and keep the "
+            "same array contract")
     digest = hashlib.sha256(payload or b"").digest()
     seed = int.from_bytes(digest[:8], "big") % (2**32)
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -115,19 +247,43 @@ def _batch_fake_decode(payloads: pd.Series) -> np.ndarray:
 # mapInPandas operators (Arrow-batched; real plumbing, stubbed byte-decode)
 # ---------------------------------------------------------------------------
 
-def extract_features(media: DataFrame, feature_dim: int = FEATURE_DIM
-                     ) -> DataFrame:
+def _resample_fixed(x: np.ndarray, n: int = 256) -> np.ndarray:
+    """Variable-length decoded signal → fixed n samples (linear
+    interpolation over normalized time) so real-codec outputs feed the
+    same pooling as the fixed-width fake decode."""
+    if len(x) == 0:
+        return np.zeros(n, dtype=np.float32)
+    if len(x) == n:
+        return x.astype(np.float32)
+    xp = np.linspace(0.0, 1.0, num=len(x))
+    xq = np.linspace(0.0, 1.0, num=n)
+    return np.interp(xq, xp, x.astype(np.float64)).astype(np.float32)
+
+
+def extract_features(media: DataFrame, feature_dim: int = FEATURE_DIM,
+                     codec: str = "fake") -> DataFrame:
     """payload → dense feature vector (the U1 analogue for media).
 
     Column-prunes to (media_id, media_type, payload) before the Python
     boundary so Arrow only transfers what the stage uses.
+
+    ``codec="real"`` decodes BMP/WAV payloads with the stdlib codecs
+    (variable-length signals are resampled to the fixed pooling width);
+    formats the stdlib codecs can't read raise, like :func:`decode_media`.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            samples = _batch_fake_decode(pdf["payload"])  # (n, 256)
+            if codec == "real":
+                samples = np.stack([
+                    _resample_fixed(decode_media(
+                        bytes(p) if p is not None else b"", mt,
+                        codec="real"))
+                    for p, mt in zip(pdf["payload"], pdf["media_type"])])
+            else:
+                samples = _batch_fake_decode(pdf["payload"])  # (n, 256)
             # "feature extraction": banded mean-pool to feature_dim, then
             # L2-normalize — numpy-vectorized over the whole batch
             pooled = samples.reshape(len(pdf), feature_dim,
@@ -227,21 +383,48 @@ def media_stats(media: DataFrame) -> DataFrame:
 # Deterministic synthetic media corpus (tests/bench)
 # ---------------------------------------------------------------------------
 
-def generate_media_rows(n: int, seed: int = 7):
+def generate_media_rows(n: int, seed: int = 7, real: bool = False):
+    """Synthetic media corpus. ``real=True`` emits genuinely decodable
+    payloads for image/audio — real uncompressed 24-bit BMPs and
+    16-bit PCM WAVs built by the encoders above — so the real-codec path
+    runs end-to-end on synthetic bytes; video payloads stay opaque (no
+    stdlib container). Default keeps the original opaque bytes (existing
+    determinism pins)."""
     rng = np.random.Generator(np.random.PCG64(seed))
     types = ["image", "audio", "video"]
     for i in range(n):
         mt = types[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(64, 4096)),
-                               dtype=np.uint8).tobytes()
+        width = height = duration = None
+        if real and mt == "image":
+            width = int(rng.integers(4, 24))
+            height = int(rng.integers(4, 24))
+            px = rng.integers(0, 256, size=(height, width, 3),
+                              dtype=np.uint8)
+            payload = encode_bmp_rgb24(px)
+        elif real and mt == "audio":
+            duration = int(rng.integers(500, 20_000))
+            n_samp = int(rng.integers(32, 512))
+            payload = encode_wav_pcm16(
+                rng.integers(-32768, 32768, size=n_samp, dtype=np.int64)
+                .astype(np.int16))
+        else:
+            payload = rng.integers(0, 256, size=int(rng.integers(64, 4096)),
+                                   dtype=np.uint8).tobytes()
+            width = int(rng.integers(64, 4096)) if mt == "image" else None
+            height = int(rng.integers(64, 4096)) if mt == "image" else None
+            duration = (int(rng.integers(500, 20_000))
+                        if mt in ("audio", "video") else None)
+        if real and mt == "video":
+            duration = int(rng.integers(500, 20_000))
         meta = {
-            "width": int(rng.integers(64, 4096)) if mt == "image" else None,
-            "height": int(rng.integers(64, 4096)) if mt == "image" else None,
-            "duration_ms": int(rng.integers(500, 20_000))
-            if mt in ("audio", "video") else None,
+            "width": width,
+            "height": height,
+            "duration_ms": duration,
             "sample_rate": 16_000 if mt == "audio" else None,
-            "codec": {"image": "px-fake", "audio": "pcm-fake",
-                      "video": "vid-fake"}[mt],
+            "codec": ({"image": "bmp", "audio": "wav-pcm16",
+                       "video": "vid-fake"}[mt] if real else
+                      {"image": "px-fake", "audio": "pcm-fake",
+                       "video": "vid-fake"}[mt]),
             "n_bytes": len(payload),
         }
         yield {
@@ -255,6 +438,6 @@ def generate_media_rows(n: int, seed: int = 7):
 
 
 def media_df(spark: SparkSession, n: int = 300, seed: int = 7,
-             n_partitions: int = 8) -> DataFrame:
-    rows = list(generate_media_rows(n, seed))
+             n_partitions: int = 8, real: bool = False) -> DataFrame:
+    rows = list(generate_media_rows(n, seed, real=real))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(n_partitions)

@@ -93,3 +93,90 @@ def test_metadata_query_prunes_payload_column(spark, media):
     stats = {r["media_type"]: r["n_items"]
              for r in media_stats(media).collect()}
     assert stats == {"image": 40, "audio": 40, "video": 40}
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codecs (round 4): WAV PCM + 24-bit BMP decoded for real
+# ---------------------------------------------------------------------------
+
+def test_wav_pcm16_roundtrip_exact():
+    """stdlib-wave-written bytes → manual RIFF parser → the exact int16
+    signal back (two independent implementations cross-check)."""
+    from semantic_search_engine_spark.sources.multimodal import (
+        decode_wav, encode_wav_pcm16)
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    vals = rng.integers(-32768, 32768, size=333).astype(np.int16)
+    x = decode_wav(encode_wav_pcm16(vals, sample_rate=8000))
+    back = np.rint(x.astype(np.float64) * 32768.0).astype(np.int64)
+    assert np.array_equal(back, vals.astype(np.int64))
+    assert x.dtype == np.float32
+
+
+def test_wav_8bit_and_stereo_paths():
+    import struct
+
+    from semantic_search_engine_spark.sources.multimodal import decode_wav
+
+    # hand-built 8-bit mono WAV: samples 128 (zero) and 255/0 (extremes)
+    data = bytes([128, 255, 0, 128])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    x = decode_wav(wav)
+    assert np.allclose(x, [0.0, 127 / 128, -1.0, 0.0])
+    # stereo 16-bit: channels averaged
+    sdata = np.array([100, 300, -50, 50], dtype="<i2").tobytes()
+    sfmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    swav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(sfmt) + 8 + len(sdata))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(sfmt)) + sfmt
+            + b"data" + struct.pack("<I", len(sdata)) + sdata)
+    sx = decode_wav(swav)
+    assert np.allclose(sx, [200 / 32768.0, 0.0])
+
+
+def test_bmp_roundtrip_luminance_with_padded_rows():
+    """w=3 → 9-byte rows → 3 pad bytes each: the decoder must skip the
+    padding and undo bottom-up/BGR ordering exactly."""
+    from semantic_search_engine_spark.sources.multimodal import (
+        decode_bmp, encode_bmp_rgb24)
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    px = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    lum = decode_bmp(encode_bmp_rgb24(px))
+    img = px.astype(np.float32)
+    expected = ((0.299 * img[..., 0] + 0.587 * img[..., 1]
+                 + 0.114 * img[..., 2]) / 255.0).reshape(-1)
+    assert np.allclose(lum, expected, atol=1e-6)
+    assert lum.shape == (12,)
+
+
+def test_decode_media_real_dispatches_by_magic():
+    from semantic_search_engine_spark.sources.multimodal import (
+        decode_media, encode_bmp_rgb24, encode_wav_pcm16)
+
+    wav = encode_wav_pcm16(np.array([1000, -1000], dtype=np.int16))
+    bmp = encode_bmp_rgb24(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert decode_media(wav, "audio", codec="real").shape == (2,)
+    assert decode_media(bmp, "image", codec="real").shape == (4,)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media(b"\x89PNG....", "image", codec="real")
+
+
+def test_extract_features_real_codec_end_to_end(spark):
+    """The full Spark path over genuinely decodable synthetic payloads:
+    media_df(real=True) images+audio through extract_features
+    (codec='real') — every vector unit-norm, deterministic re-run."""
+    m = media_df(spark, n=60, real=True).filter(
+        F.col("media_type") != "video")
+    feats = extract_features(m, codec="real")
+    rows = {r["media_id"]: (list(r["feature"]), float(r["feature_norm"]))
+            for r in feats.collect()}
+    assert len(rows) == 40  # 2 of every 3 of 60
+    again = {r["media_id"]: (list(r["feature"]), float(r["feature_norm"]))
+             for r in extract_features(m, codec="real").collect()}
+    assert rows == again
+    for vec, _n in rows.values():
+        s = float(np.linalg.norm(np.asarray(vec, dtype=np.float64)))
+        assert s == pytest.approx(1.0, abs=1e-3) or s == 0.0
