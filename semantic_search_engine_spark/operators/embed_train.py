@@ -70,6 +70,14 @@ def cooccurrence_counts(feats: DataFrame, vocab: list[str],
     Self-pairs (same term at two positions) count like any other. The
     per-batch dict aggregation keeps the shuffle bounded by the batch's
     distinct pair count, not its token count.
+
+    Window semantics (ADVICE r3, documented choice): tokens are filtered
+    to ``vocab`` BEFORE the window applies, so offsets index the
+    vocab-filtered stream — two in-vocab terms separated by any number of
+    out-of-vocab tokens still co-occur if within ``window`` SURVIVING
+    positions. This is the word2vec convention (subsampled/OOV tokens
+    vanish before windowing) and changes pair counts versus windowing
+    over raw positions; choose ``vocab`` accordingly.
     """
     vset = frozenset(vocab)
     win = int(window)

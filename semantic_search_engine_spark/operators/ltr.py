@@ -84,7 +84,24 @@ def fit_linear_ltr(train: DataFrame, feature_cols: list[str],
         if fit_intercept:
             reg[-1, -1] = 0.0  # never shrink the intercept
         g = g + reg
-    w = np.linalg.solve(g, m)
+    # Singular/ill-conditioned Gram (collinear or constant features with
+    # l2=0, ADVICE r3): LAPACK's solve does not reliably raise here — for
+    # an exactly rank-deficient Gram it can silently return a garbage
+    # solution (rounding keeps the pivots nonzero). Detect it up front
+    # and name the fix; the try/except keeps the belt for the cases where
+    # LAPACK does hit an exact zero pivot.
+    singular_msg = (
+        "fit_linear_ltr: the feature Gram matrix is singular or "
+        "numerically rank-deficient — features are collinear (or a "
+        "feature is constant) and l2=0 gives no unique solution. Pass "
+        "l2>0 (any small ridge, e.g. 1e-6) or drop the redundant "
+        "feature(s).")
+    if l2 <= 0.0 and np.linalg.matrix_rank(g) < g.shape[0]:
+        raise ValueError(singular_msg)
+    try:
+        w = np.linalg.solve(g, m)
+    except np.linalg.LinAlgError as e:
+        raise ValueError(singular_msg) from e
     out = {c: float(w[i]) for i, c in enumerate(feature_cols)}
     out["_intercept"] = float(w[-1]) if fit_intercept else 0.0
     return out

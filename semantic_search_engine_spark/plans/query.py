@@ -238,15 +238,36 @@ class QueryEngine:
                   for t in terms]))
         return scan.filter(F.col("term").isin(terms))
 
+    def _df_lookup(self, qterms: list[str]) -> dict[str, int]:
+        """term → df for the query terms, cached per engine instance
+        (ADVICE r3: the auto-routing df check used to pay one extra
+        Spark collect per short query — now only terms not yet seen by
+        THIS engine cost a pruned scan; absent terms cache df=0 so they
+        never re-query). Same staleness convention as
+        ``corpus_stats()``: an index merge needs a fresh QueryEngine."""
+        cache = getattr(self, "_term_df_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_term_df_cache", cache)
+        missing = [t for t in qterms if t not in cache]
+        if missing:
+            rows = (self._pruned_term_scan(f"term_stats{self._sfx()}",
+                                           missing)
+                    .select("term", "df").collect())
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                cache[t] = got.get(t, 0)
+        return {t: cache[t] for t in qterms}
+
     def term_lookup(self, qterms: list[str]) -> dict[str, float]:
-        """One job: term → idf for the query terms (exhaustive path; the
-        WAND path folds the df lookup into its own job instead)."""
+        """term → idf for the query terms (exhaustive path; the WAND path
+        folds the df lookup into its own job instead). At most one job —
+        zero for terms already in the per-engine df cache."""
         if not qterms:
             return {}
         n = self.corpus_stats()["n_docs"]
-        rows = (self._pruned_term_scan(f"term_stats{self._sfx()}", qterms)
-                .select("term", "df").collect())
-        return {r["term"]: bm25_idf(n, int(r["df"])) for r in rows}
+        return {t: bm25_idf(n, df)
+                for t, df in self._df_lookup(qterms).items() if df > 0}
 
     # ------------------------------------------------------------------
     def scores_df(self, query: str,
@@ -440,20 +461,18 @@ class QueryEngine:
         Lucene's ``WANDScorer``/``MaxScoreBulkScorer`` selection makes.
         Both kernels are exact from the same blocks, so this is purely a
         cost call: term COUNT is free (the tokenized query), and the
-        df check reads the pruned term_stats scan — ≤ |qterms| rows, the
-        same lookup the exhaustive path already pays. Returns
-        ``"maxscore"`` or ``"wand"``; deterministic.
+        df check hits the per-engine df cache (``_df_lookup``) — a
+        pruned term_stats collect only the FIRST time this engine sees a
+        term, so repeat serving stays one job per query (ADVICE r3).
+        Returns ``"maxscore"`` or ``"wand"``; deterministic.
         """
         if len(qterms) >= self.MAXSCORE_MIN_TERMS:
             return "maxscore"
         n = self.corpus_stats()["n_docs"]
         if n <= 0:
             return "wand"
-        rows = (self._pruned_term_scan(f"term_stats{self._sfx()}",
-                                       qterms)
-                .select("term", "df").collect())
-        if rows and max(int(r["df"]) for r in rows) / n \
-                >= self.MAXSCORE_DF_RATIO:
+        dfs = self._df_lookup(qterms)
+        if dfs and max(dfs.values()) / n >= self.MAXSCORE_DF_RATIO:
             return "maxscore"
         return "wand"
 

@@ -150,3 +150,22 @@ def test_ltr_end_to_end_learns_the_label_blend(spark, built):
             for r in built.wand_top_k_df(q, k=10).collect()]
     assert got != bm25
     feats.unpersist()
+
+
+def test_singular_gram_raises_actionable_error(spark):
+    """ADVICE r3: collinear features with l2=0 must name the cause and
+    the fix (l2>0), not leak a bare numpy LinAlgError."""
+    import pytest
+
+    from semantic_search_engine_spark.operators.ltr import fit_linear_ltr
+
+    # f2 is byte-identical to f1: the Gram matrix has two equal rows and
+    # the LU factorization hits an exact zero pivot
+    rows = spark.createDataFrame(
+        [(float(i), float(i), float(i % 3)) for i in range(12)],
+        "f1 double, f2 double, label double")
+    with pytest.raises(ValueError, match="l2>0"):
+        fit_linear_ltr(rows, ["f1", "f2"], label_col="label", l2=0.0)
+    # the suggested fix works on the same frame
+    w = fit_linear_ltr(rows, ["f1", "f2"], label_col="label", l2=1e-6)
+    assert set(w) == {"f1", "f2", "_intercept"}

@@ -207,3 +207,21 @@ def test_auto_top_k_identical_to_both_kernels(built, tiny_rows, q):
     assert [d for d, _ in auto] == [d for d, _ in want], q
     for (gd, gs), (wd, ws) in zip(auto, want):
         assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-12)
+
+
+def test_df_lookup_cached_per_engine(built, monkeypatch):
+    """ADVICE r3: the auto-routing df check must not pay a Spark collect
+    per repeat query — after the first lookup the per-engine cache
+    answers without touching the term_stats scan."""
+    built.choose_strategy(["zipfhead0", "w0042"])
+    assert built._term_df_cache["zipfhead0"] > 0
+    assert "w0042" in built._term_df_cache
+
+    def boom(*a, **k):
+        raise AssertionError("df re-queried despite cache")
+
+    monkeypatch.setattr(built, "_pruned_term_scan", boom,
+                        raising=False)
+    # same terms again: answered from cache, no scan
+    assert built.choose_strategy(["zipfhead0", "w0042"]) == "maxscore"
+    assert built.choose_strategy(["zipfhead0"]) == "maxscore"
