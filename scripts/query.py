@@ -5,7 +5,7 @@ Usage:
     spark-submit --py-files sse_spark.zip scripts/query.py \
         --warehouse <path-or-catalog> [--store hadoop|iceberg] \
         [--field text|title] [--k 10] [--offset 0] [--min-score 0] \
-        [--lang en] [--mode wand|exhaustive|boolean|fuzzy] \
+        [--lang en] [--mode wand|exhaustive|boolean|fuzzy|hybrid|semantic] \
         [--count exact|approx|none] [--synonyms JSON|@file] \
         [--facet COL[:GRANULARITY]] [--suggest] [--explain DOC_ID] \
         [--log-dir <query-log dir>] "query text" ["another query" ...]
@@ -38,12 +38,15 @@ def main(argv=None) -> int:
     p.add_argument("--lang", default=None)
     p.add_argument("--mode", default="wand",
                    choices=["wand", "exhaustive", "boolean", "fuzzy",
-                            "hybrid", "prf", "impact"],
+                            "hybrid", "semantic", "prf", "impact"],
                    help="boolean = websearch syntax (AND/OR/-/\"phrase\"/"
                         "word*); fuzzy = typo-tolerant (needs the --fuzzy "
-                        "build); hybrid = BM25 ⊕ embedding-cosine RRF "
-                        "(needs the --embeddings build); prf = "
-                        "pseudo-relevance-feedback expansion")
+                        "build); hybrid = BM25 ⊕ embedding-cosine RRF, "
+                        "semantic = pure embedding-cosine (both need the "
+                        "--embeddings build; IVF-accelerated when "
+                        "build_ann ran, and both take --lang/--offset/"
+                        "--min-score); prf = pseudo-relevance-feedback "
+                        "expansion")
     p.add_argument("--count", default="none",
                    choices=["exact", "approx", "none"])
     p.add_argument("--synonyms", default=None, metavar="JSON",
@@ -142,10 +145,19 @@ def main(argv=None) -> int:
             spark.stop()
         return 0
 
-    if args.mode in ("hybrid", "prf") and (filters_set or synonyms):
-        print(f"--mode {args.mode} supports bare top-k only "
+    if args.mode == "prf" and (filters_set or synonyms):
+        print("--mode prf supports bare top-k only "
               "(no --lang/--min-score/--offset/--count/--synonyms)",
               file=sys.stderr)
+        return 2
+
+    if args.mode in ("hybrid", "semantic") and (args.count != "none"
+                                                or synonyms):
+        # vector modes serve the search() envelope with count_mode="none"
+        # semantics: an exact pre-limit count over a vector ranking would
+        # be a corpus-wide threshold scan (see QueryEngine.search)
+        print(f"--mode {args.mode} takes --lang/--offset/--min-score but "
+              "not --count/--synonyms", file=sys.stderr)
         return 2
 
     if args.mode == "impact" and filters_set:
@@ -317,7 +329,9 @@ def main(argv=None) -> int:
             out = {"results": [{"doc_id": d, "score": s} for d, s in hits],
                    "total_count": len(hits), "limit": args.k, "offset": 0,
                    "query": q, "corrections": corrections}
-        elif args.mode == "hybrid":
+        elif args.mode == "hybrid" and not (args.lang or args.offset
+                                            or args.min_score):
+            # bare hybrid keeps the per-path ranks for explainability
             rows = qe.hybrid_top_k_df(q, k=args.k).collect()
             out = {"results": [{"doc_id": int(r["doc_id"]),
                                 "rrf_score": float(r["rrf_score"]),
@@ -325,6 +339,11 @@ def main(argv=None) -> int:
                                 "sem_rank": r["sem_rank"]} for r in rows],
                    "total_count": len(rows), "limit": args.k, "offset": 0,
                    "query": q}
+        elif args.mode in ("hybrid", "semantic"):
+            # filtered/paged vector modes serve the full search() envelope
+            out = qe.search(q, k=args.k, offset=args.offset,
+                            min_score=args.min_score, lang=args.lang,
+                            count_mode="none", mode=args.mode)
         elif args.mode == "impact":
             hits = qe.impact_top_k(q, k=args.k)
             out = {"results": [{"doc_id": d, "score": s} for d, s in hits],

@@ -2357,7 +2357,11 @@ class QueryEngine:
     def semantic_top_k_df(self, query: str, k: int | None = None,
                           probe: list[float] | None = None,
                           ann: str = "auto",
-                          n_probe: int | None = None) -> DataFrame:
+                          n_probe: int | None = None,
+                          lang: str | None = None,
+                          warc_ts_min=None, warc_ts_max=None,
+                          site: str | None = None,
+                          neg_site: str | None = None) -> DataFrame:
         """Embedding-cosine top-k over the hashed doc_embeddings table
         (operators/hybrid.py) — the reference's actual ranking signal
         (``ProductRepository.java:72``: ``1 - (embedding <=> ?)``),
@@ -2391,6 +2395,16 @@ class QueryEngine:
         produces, so the scan/cosine/top-k plan serves ANY embedding the
         doc_embeddings table was built with; default is the hashed
         featurizer matching the default ``build_embeddings``.
+
+        ``lang``/``warc_ts_*``/``site``/``neg_site``: structured
+        PRE-filters (the reference's filtered vector query —
+        ``WHERE ... ORDER BY embedding <=> ?`` — with Qdrant/pgvector
+        pre-filter semantics): the doc_meta survivor set semi-joins the
+        scanned vectors BEFORE ranking, so the result is the exact top-k
+        OF THE FILTERED SET within the scanned lists. On the IVF path a
+        very selective filter can empty the probed lists — raise
+        ``n_probe`` with selectivity (``n_probe=n_lists`` ⇒ exact
+        filtered scan), the same trade ``IVFIndex.search`` documents.
         """
         from ..operators.hybrid import embed_query_tokens
 
@@ -2407,6 +2421,13 @@ class QueryEngine:
         if not any(probe):
             return self.spark.createDataFrame(
                 [], "doc_id long, cosine double")
+        allowed = None
+        if any(x is not None for x in (lang, warc_ts_min, warc_ts_max,
+                                       site, neg_site)):
+            allowed = self._apply_meta_filters(
+                self.store.read(f"doc_meta{self._sfx()}"),
+                lang, warc_ts_min, warc_ts_max,
+                site=site, neg_site=neg_site).select("doc_id")
         ivf = self._ann_ivf() if ann != "exact" else None
         if ann == "ivf" and ivf is None:
             raise ValueError(
@@ -2415,17 +2436,21 @@ class QueryEngine:
                 "IndexBuilder.build_ann() (a stale index from before an "
                 "embeddings rebuild does not count)")
         if ivf is not None:
-            return self._ivf_top_k_df(ivf, probe, k, n_probe)
+            return self._ivf_top_k_df(ivf, probe, k, n_probe,
+                                      allowed=allowed)
         e = (self.store.read(f"doc_embeddings{self._sfx()}")
              .select("doc_id", F.col("emb").cast("array<double>")
                      .alias("v")))
+        if allowed is not None:
+            e = e.join(allowed, "doc_id", "semi")
         cos = self._cosine_expr(probe)
         return (e.select("doc_id", cos.alias("cosine"))
                 .filter(F.col("cosine").isNotNull())
                 .orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k))
 
     def _ivf_top_k_df(self, ivf, probe: list[float], k: int,
-                      n_probe: int | None) -> DataFrame:
+                      n_probe: int | None,
+                      allowed: DataFrame | None = None) -> DataFrame:
         """Partition-pruned IVF probe: nearest ``n_probe`` centroids on
         the driver (n_lists×dim numpy — microseconds), then ONE scan of
         those lists' partitions with the same guarded JVM cosine as the
@@ -2447,6 +2472,10 @@ class QueryEngine:
         cand = (self.store.read(assign_tbl)
                 .filter(F.col("list_id").isin(probe_lists))
                 .select("doc_id", "v"))
+        if allowed is not None:
+            # pre-filter BEFORE ranking (Qdrant/Weaviate semantics): no
+            # result slot is wasted on ineligible rows
+            cand = cand.join(allowed, "doc_id", "semi")
         cos = self._cosine_expr(probe)
         return (cand.select("doc_id", cos.alias("cosine"))
                 .filter(F.col("cosine").isNotNull())
@@ -2530,7 +2559,11 @@ class QueryEngine:
                         w_lex: float = 1.0, w_sem: float = 1.0,
                         ann: str = "auto",
                         n_probe: int | None = None,
-                        probe: list[float] | None = None) -> DataFrame:
+                        probe: list[float] | None = None,
+                        lang: str | None = None,
+                        warc_ts_min=None, warc_ts_max=None,
+                        site: str | None = None,
+                        neg_site: str | None = None) -> DataFrame:
         """Hybrid retrieval: BM25 WAND ranks ⊕ embedding-cosine ranks via
         reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09).
         Returns (doc_id, rrf_score, lex_rank, sem_rank) — the per-path
@@ -2545,7 +2578,11 @@ class QueryEngine:
         ``doc_embeddings`` per query — the 10^12-doc serve shape.
         ``probe`` pre-embeds the query for the semantic leg — the hook
         for injected encoders (``operators/neural.encode_query``), so a
-        neural-embedded index fuses with BM25 through the same plan."""
+        neural-embedded index fuses with BM25 through the same plan.
+        Structured filters (``lang``/``warc_ts_*``/``site``/``neg_site``)
+        apply to BOTH legs — the lexical leg's cogrouped survivor set and
+        the semantic leg's pre-filter semi-join — so fusion only ever
+        sees eligible docs."""
         from ..operators.hybrid import rrf_fused_df
 
         cfg = self.cfg
@@ -2553,11 +2590,17 @@ class QueryEngine:
         k_each = k_each or 2 * k
         ranked = []
         if w_lex:
-            ranked.append((self.wand_top_k_df(query, k=k_each)
-                           .select("doc_id", "score"), "score", w_lex))
+            ranked.append((self.wand_top_k_df(
+                query, k=k_each, lang=lang, warc_ts_min=warc_ts_min,
+                warc_ts_max=warc_ts_max, site=site, neg_site=neg_site)
+                .select("doc_id", "score"), "score", w_lex))
         if w_sem:
             sem = self.semantic_top_k_df(query, k=k_each, ann=ann,
-                                         n_probe=n_probe, probe=probe)
+                                         n_probe=n_probe, probe=probe,
+                                         lang=lang,
+                                         warc_ts_min=warc_ts_min,
+                                         warc_ts_max=warc_ts_max,
+                                         site=site, neg_site=neg_site)
             if "cosine" in sem.columns:
                 ranked.append((sem, "cosine", w_sem))
         if not ranked:
@@ -2798,12 +2841,57 @@ class QueryEngine:
 
         ``mode``: "wand" (default) allows the block-max WAND fast path;
         "exhaustive" forces the score-every-candidate plan even when the
-        fast-path preconditions hold (timing/verification runs).
+        fast-path preconditions hold (timing/verification runs);
+        "semantic" ranks by embedding cosine and "hybrid" by BM25⊕cosine
+        RRF — the reference's vector serve shape in the same envelope
+        (filters pre-applied, IVF-accelerated when an index exists, hits
+        hydrated through the same DPP-pruned doc_meta join; totalCount
+        follows count_mode="none" semantics — an exact pre-limit count
+        over a vector ranking would be a corpus-wide threshold scan).
         """
         t0 = time.time()
         cfg = self.cfg
         k = cfg.default_k if k is None else min(k, cfg.max_k)
         offset = min(max(offset, 0), cfg.max_offset)
+
+        if mode in ("semantic", "hybrid"):
+            from ..functions.udfs import doc_bucket_expr
+
+            if mode == "hybrid":
+                base = self.hybrid_top_k_df(
+                    query, k=k + offset, lang=lang,
+                    warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max,
+                    site=site, neg_site=neg_site).select(
+                        "doc_id", F.col("rrf_score").alias("score"))
+            else:
+                base = self.semantic_top_k_df(
+                    query, k=k + offset, lang=lang,
+                    warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max,
+                    site=site, neg_site=neg_site).select(
+                        "doc_id", F.col("cosine").alias("score"))
+            if min_score > 0.0:
+                base = base.filter(F.col("score") >= F.lit(min_score))
+            # hits carry no partition_id (the vector tables key on
+            # doc_id) — recompute the doc-range bucket so hydration gets
+            # its DPP prune exactly like the WAND path
+            top = base.select(
+                doc_bucket_expr("doc_id", cfg.n_doc_buckets)
+                .alias("partition_id"), "doc_id", "score")
+            rows = self._hydrate_hits(top).collect()[offset:]
+            snips = (self.snippets([r["doc_id"] for r in rows], query)
+                     if highlight else None)
+            elapsed_ms = int((time.time() - t0) * 1000)
+            self._log_search(query, len(rows), elapsed_ms)
+            return {
+                "results": [
+                    (r.asDict() | {"snippet": snips.get(r["doc_id"], "")})
+                    if snips is not None else r.asDict() for r in rows],
+                "total_count": len(rows),
+                "limit": k,
+                "offset": offset,
+                "query": query,
+                "execution_time_ms": elapsed_ms,
+            }
 
         if mode == "wand" and count_mode in ("none", "approx"):
             # fast path: filtered block-max WAND; totalCount = page size

@@ -163,3 +163,67 @@ def test_stale_index_falls_back_and_rebuild_recovers(spark, tiny_corpus_dir,
     full = _rows(qe2.semantic_top_k_df(Q, k=5, ann="ivf",
                                        n_probe=N_LISTS))
     assert full == _rows(qe2.semantic_top_k_df(Q, k=5, ann="exact"))
+
+
+def test_filtered_semantic_prefilter_exact_and_ivf(spark, ann_built):
+    """Structured pre-filter on the semantic path (the reference's
+    filtered vector query): exact-path results equal a manual
+    doc_meta-filtered brute ranking, and the IVF path at full probe
+    equals the exact path under the same filter."""
+    store, cfg, _b, _n = ann_built
+    qe = _engine(spark, ann_built)
+    langs = [r["lang"] for r in
+             store.read("doc_meta").groupBy("lang").count()
+             .orderBy(F.desc("count")).limit(1).collect()]
+    lang = langs[0]
+    exact = _rows(qe.semantic_top_k_df(Q, k=10, ann="exact", lang=lang))
+    # manual mirror: unfiltered deep ranking, post-filtered by doc_meta
+    eligible = {int(r["doc_id"]) for r in
+                store.read("doc_meta").filter(F.col("lang") == lang)
+                .select("doc_id").collect()}
+    deep = _rows(qe.semantic_top_k_df(Q, k=10_000, ann="exact"))
+    manual = [(d, s) for d, s in deep if d in eligible][:10]
+    assert exact == manual
+    assert all(d in eligible for d, _ in exact)
+    full = _rows(qe.semantic_top_k_df(Q, k=10, ann="ivf",
+                                      n_probe=N_LISTS, lang=lang))
+    assert full == exact
+
+
+def test_filtered_hybrid_fuses_only_eligible_docs(spark, ann_built):
+    store, cfg, _b, _n = ann_built
+    qe = _engine(spark, ann_built)
+    lang = store.read("doc_meta").select("lang").first()["lang"]
+    eligible = {int(r["doc_id"]) for r in
+                store.read("doc_meta").filter(F.col("lang") == lang)
+                .select("doc_id").collect()}
+    rows = qe.hybrid_top_k_df(Q, k=10, lang=lang,
+                              n_probe=N_LISTS).collect()
+    assert rows, "filtered hybrid returned nothing"
+    assert all(int(r["doc_id"]) in eligible for r in rows)
+
+
+def test_search_envelope_semantic_and_hybrid_modes(spark, ann_built):
+    """search(mode='semantic'|'hybrid') returns the standard envelope
+    (results hydrated with doc_meta columns, limit/offset honored) ranked
+    by the vector paths — the reference's vector serve shape."""
+    qe = _engine(spark, ann_built)
+    for mode, score_src in (("semantic", "cosine"), ("hybrid",
+                                                     "rrf_score")):
+        env = qe.search(Q, k=5, mode=mode)
+        assert set(env) >= {"results", "total_count", "limit", "offset",
+                            "query", "execution_time_ms"}
+        assert env["limit"] == 5 and env["offset"] == 0
+        assert 0 < len(env["results"]) <= 5
+        r0 = env["results"][0]
+        assert {"doc_id", "url", "lang", "doc_len", "score"} <= set(r0)
+        # ranking agrees with the underlying df path
+        df = (qe.semantic_top_k_df(Q, k=5) if mode == "semantic"
+              else qe.hybrid_top_k_df(Q, k=5))
+        expect = [int(r["doc_id"]) for r in df.collect()]
+        assert [r["doc_id"] for r in env["results"]] == expect
+        # offset pages without overlap
+        env2 = qe.search(Q, k=2, offset=2, mode=mode)
+        full = [r["doc_id"] for r in qe.search(Q, k=4, mode=mode)
+                ["results"]]
+        assert [r["doc_id"] for r in env2["results"]] == full[2:4]

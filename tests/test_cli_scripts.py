@@ -208,10 +208,25 @@ def test_query_cli_hybrid_prf_after(spark, cli_env, capsys):
     ids1 = {r["doc_id"] for r in p1b["results"]}
     assert p2["results"] and not ids1 & {r["doc_id"] for r in p2["results"]}
 
-    # refusals: hybrid/prf are bare top-k; --after excludes offset/count
-    assert query_main(["--warehouse", wh, "--mode", "hybrid",
-                       "--lang", "en", "x"]) == 2
+    # filtered hybrid/semantic route through the search() envelope (r4):
+    # results hydrated with doc_meta columns and the lang filter applied
+    rc = query_main(["--warehouse", wh, "--mode", "hybrid", "--lang",
+                     "en", "--k", "3", "wireless bluetooth headphones"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["results"] and all(r["lang"] == "en"
+                                  for r in env["results"])
+    rc = query_main(["--warehouse", wh, "--mode", "semantic", "--k", "3",
+                     "wireless bluetooth headphones"])
+    assert rc == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["results"] and "score" in env["results"][0]
+
+    # refusals: prf is bare top-k; vector modes take no --count;
+    # --after excludes offset/count
     assert query_main(["--warehouse", wh, "--mode", "prf",
+                       "--count", "exact", "x"]) == 2
+    assert query_main(["--warehouse", wh, "--mode", "semantic",
                        "--count", "exact", "x"]) == 2
     assert query_main(["--warehouse", wh, "--after", "1.0:5",
                        "--offset", "3", "x"]) == 2
