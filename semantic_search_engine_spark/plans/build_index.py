@@ -30,6 +30,7 @@ the classic salt → partial → final-merge shape, with the salt chosen to be
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterator
 
 import numpy as np
@@ -56,6 +57,34 @@ POSTINGS_SCHEMA = (
     "tfs_vb binary, dls_vb binary, block_max_tf_norm double, cf_block long"
 )
 POSTINGS_COLS = [c.rsplit(" ", 1)[0] for c in POSTINGS_SCHEMA.split(", ")]
+
+_ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+#: Arrow batch sizing is a PER-STAGE property of row width, so the engine
+#: sets it around each Python stage instead of inheriting one global
+#: session value (bench.py historically set 512 globally for the ~45 KB
+#: HTML extract rows — which then shredded the encoder stages, whose rows
+#: are a few dozen bytes, into thousands of per-batch pandas round trips;
+#: measured: the positions encode stage spent ~3/4 of its wall on batch
+#: overhead at 512 rows/batch).
+_EXTRACT_ARROW_BATCH = 512       # ~45 KB html+text rows ⇒ ~23 MB/batch
+_ENCODE_ARROW_BATCH = 20_000     # tiny (term, ids, tf/positions) rows
+
+
+@contextmanager
+def _arrow_batch(spark: SparkSession, n: int):
+    """Scoped override of the Arrow max-records-per-batch session conf:
+    set for the stage action executed inside the block, restored after
+    (other concurrently-running sessions' stages are unaffected — the
+    conf is read per-query at execution start)."""
+    old = spark.conf.get(_ARROW_BATCH_KEY, None)
+    spark.conf.set(_ARROW_BATCH_KEY, str(n))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_ARROW_BATCH_KEY)
+        else:
+            spark.conf.set(_ARROW_BATCH_KEY, old)
 
 
 def make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
@@ -250,13 +279,15 @@ class IndexBuilder:
             # once per field. Fingerprint chains on the base table's
             # data_uuid: a merge into the text index cascades a rebuild
             # here too.
-            runner.run(f"doc_features{sfx}", f"doc_features{sfx}",
-                       ["doc_features"],
-                       lambda: self._refield_doc_features(field, positions),
-                       partition_by=df_layout,
-                       partition_col="partition_id",
-                       n_partitions=cfg.n_doc_buckets,
-                       extra_key="/positions" if positions else "")
+            with _arrow_batch(self.spark, _EXTRACT_ARROW_BATCH):
+                runner.run(f"doc_features{sfx}", f"doc_features{sfx}",
+                           ["doc_features"],
+                           lambda: self._refield_doc_features(field,
+                                                              positions),
+                           partition_by=df_layout,
+                           partition_col="partition_id",
+                           n_partitions=cfg.n_doc_buckets,
+                           extra_key="/positions" if positions else "")
         elif cfg.dedup != "none":
             # Content dedup at ingest (X60): extraction, the drop
             # decision, and the filtered corpus are SEPARATE resumable
@@ -269,24 +300,26 @@ class IndexBuilder:
             raw_fp = cfg.fingerprint_no_dedup() + f"/{field}"
             raw_runner = StageRunner(self.store, raw_fp,
                                      run_id=runner.run_id)
-            raw_runner.run(f"doc_features_raw{sfx}",
-                           f"doc_features_raw{sfx}", [],
+            with _arrow_batch(self.spark, _EXTRACT_ARROW_BATCH):
+                raw_runner.run(f"doc_features_raw{sfx}",
+                               f"doc_features_raw{sfx}", [],
+                               lambda: self._doc_features_df(
+                                   documents, field, positions),
+                               partition_by=df_layout,
+                               partition_col="partition_id",
+                               n_partitions=cfg.n_doc_buckets,
+                               extra_key=input_version)
+            runner.metrics.extend(raw_runner.metrics)
+            self._run_dedup_stages(runner, sfx)
+        else:
+            with _arrow_batch(self.spark, _EXTRACT_ARROW_BATCH):
+                runner.run(f"doc_features{sfx}", f"doc_features{sfx}", [],
                            lambda: self._doc_features_df(documents, field,
                                                          positions),
                            partition_by=df_layout,
                            partition_col="partition_id",
                            n_partitions=cfg.n_doc_buckets,
                            extra_key=input_version)
-            runner.metrics.extend(raw_runner.metrics)
-            self._run_dedup_stages(runner, sfx)
-        else:
-            runner.run(f"doc_features{sfx}", f"doc_features{sfx}", [],
-                       lambda: self._doc_features_df(documents, field,
-                                                     positions),
-                       partition_by=df_layout,
-                       partition_col="partition_id",
-                       n_partitions=cfg.n_doc_buckets,
-                       extra_key=input_version)
 
         self._run_downstream(runner, sfx)
         if positions and not self.store.exists(f"positions{sfx}"):
@@ -294,14 +327,15 @@ class IndexBuilder:
             # the pos_map column just committed (stage 4b handles every
             # later refresh; _positions_df's JVM fast path reads pos_map —
             # no text re-tokenization anywhere in this build)
-            runner.run(f"positions{sfx}", f"positions{sfx}",
-                       [f"doc_features{sfx}"],
-                       lambda: self._positions_df(sfx, field),
-                       partition_by=["term_bucket"],
-                       sort_within_partitions=["term", "partition_id",
-                                               "block_id"],
-                       partition_col="partition_id",
-                       n_partitions=cfg.n_doc_buckets)
+            with _arrow_batch(self.spark, _ENCODE_ARROW_BATCH):
+                runner.run(f"positions{sfx}", f"positions{sfx}",
+                           [f"doc_features{sfx}"],
+                           lambda: self._positions_df(sfx, field),
+                           partition_by=["term_bucket"],
+                           sort_within_partitions=["term", "partition_id",
+                                                   "block_id"],
+                           partition_col="partition_id",
+                           n_partitions=cfg.n_doc_buckets)
         self._persist_config(sfx)
         runner.commit_lineage(self.spark)
         return runner
@@ -763,29 +797,32 @@ class IndexBuilder:
             # bytes-of-corpus.
             return blocks.repartition(cfg.n_term_buckets, "term_bucket")
 
-        runner.run(f"postings{sfx}", f"postings{sfx}",
-                   [f"doc_features{sfx}", f"corpus_stats{sfx}"],
-                   build_postings,
-                   partition_by=["term_bucket"],
-                   sort_within_partitions=["term", "partition_id", "block_id"],
-                   partition_col="partition_id",
-                   n_partitions=cfg.n_doc_buckets)
+        with _arrow_batch(self.spark, _ENCODE_ARROW_BATCH):
+            runner.run(f"postings{sfx}", f"postings{sfx}",
+                       [f"doc_features{sfx}", f"corpus_stats{sfx}"],
+                       build_postings,
+                       partition_by=["term_bucket"],
+                       sort_within_partitions=["term", "partition_id",
+                                               "block_id"],
+                       partition_col="partition_id",
+                       n_partitions=cfg.n_doc_buckets)
 
         # -- stage 4b: positions (only when the opt-in positional index
         # exists — keeps it consistent through merges/deletes; carries
         # untouched buckets when ``pos_changed_buckets`` is sound) -------
         if self.store.exists(f"positions{sfx}"):
             pos_field = "text" if not sfx else sfx[1:]
-            runner.run(f"positions{sfx}", f"positions{sfx}",
-                       [f"doc_features{sfx}"],
-                       lambda: self._positions_df(
-                           sfx, pos_field,
-                           changed_buckets=pos_changed_buckets),
-                       partition_by=["term_bucket"],
-                       sort_within_partitions=["term", "partition_id",
-                                               "block_id"],
-                       partition_col="partition_id",
-                       n_partitions=cfg.n_doc_buckets)
+            with _arrow_batch(self.spark, _ENCODE_ARROW_BATCH):
+                runner.run(f"positions{sfx}", f"positions{sfx}",
+                           [f"doc_features{sfx}"],
+                           lambda: self._positions_df(
+                               sfx, pos_field,
+                               changed_buckets=pos_changed_buckets),
+                           partition_by=["term_bucket"],
+                           sort_within_partitions=["term", "partition_id",
+                                                   "block_id"],
+                           partition_col="partition_id",
+                           n_partitions=cfg.n_doc_buckets)
 
         # -- stage 5: term_stats (second-level merge of per-bucket partials) -
         runner.run(
@@ -1014,14 +1051,15 @@ class IndexBuilder:
                 "before its positional index")
         runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
                              run_id=run_id)
-        runner.run(f"positions{sfx}", f"positions{sfx}",
-                   [f"doc_features{sfx}"],
-                   lambda: self._positions_df(sfx, field),
-                   partition_by=["term_bucket"],
-                   sort_within_partitions=["term", "partition_id",
-                                           "block_id"],
-                   partition_col="partition_id",
-                   n_partitions=cfg.n_doc_buckets)
+        with _arrow_batch(self.spark, _ENCODE_ARROW_BATCH):
+            runner.run(f"positions{sfx}", f"positions{sfx}",
+                       [f"doc_features{sfx}"],
+                       lambda: self._positions_df(sfx, field),
+                       partition_by=["term_bucket"],
+                       sort_within_partitions=["term", "partition_id",
+                                               "block_id"],
+                       partition_col="partition_id",
+                       n_partitions=cfg.n_doc_buckets)
         runner.commit_lineage(self.spark)
         return runner
 
@@ -1415,11 +1453,12 @@ class IndexBuilder:
                     .select("term", "term_bucket", "doc_id", "tf", "dl")
                     .repartition(cfg.n_term_buckets, "term_bucket"))
 
-        runner.run(f"champions{sfx}", f"champions{sfx}",
-                   [f"postings{sfx}", f"corpus_stats{sfx}"],
-                   _champ,
-                   partition_by=["term_bucket"],
-                   sort_within_partitions=["term", "doc_id"])
+        with _arrow_batch(self.spark, _ENCODE_ARROW_BATCH):
+            runner.run(f"champions{sfx}", f"champions{sfx}",
+                       [f"postings{sfx}", f"corpus_stats{sfx}"],
+                       _champ,
+                       partition_by=["term_bucket"],
+                       sort_within_partitions=["term", "doc_id"])
         runner.commit_lineage(self.spark)
         return runner
 

@@ -106,28 +106,98 @@ def decode_position_block(row) -> tuple:
     return ids.astype(np.int64), dls, npos, offsets, flat.astype(np.int64)
 
 
+def encode_position_blocks_multi(group_starts: np.ndarray,
+                                 doc_ids: np.ndarray, dls: np.ndarray,
+                                 npos: np.ndarray, flat_pos: np.ndarray,
+                                 block_size: int):
+    """Encode MANY groups' position streams into block rows in one
+    vectorized pass — bit-identical to the per-group
+    :func:`encode_position_block` path (pinned by the fused-vs-two-pass
+    byte-equality tests), built like ``varbyte.encode_blocks_multi``:
+    per-group Python loops pay ~30 µs per tiny tail-term group, and a
+    zipf vocabulary makes tail groups the COUNT majority, so the group
+    loop was the dominant cost of the whole positions stage (measured).
+
+    ``group_starts``: sorted start offsets of each (term, partition)
+    group within the row arrays; ``flat_pos`` concatenates every row's
+    positions, ``npos`` gives per-row counts. No tail compaction —
+    positions blocks are plain ``block_size`` chunks, matching the
+    historical encoder. Returns ``(block_group_idx, rows)`` with rows
+    ``(block_id, n_docs, first_doc_id, last_doc_id, doc_ids_vb, dls_vb,
+    npos_vb, pos_vb)``.
+    """
+    from ..functions.varbyte import encode_varbyte_with_lengths
+
+    n = int(doc_ids.size)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), []
+    ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    dls_u = np.ascontiguousarray(dls, dtype=np.uint64)
+    npos_i = np.ascontiguousarray(npos, dtype=np.int64)
+    pos = np.ascontiguousarray(flat_pos, dtype=np.uint64)
+    gs = np.ascontiguousarray(group_starts, dtype=np.int64)
+
+    gidx_of_value = np.searchsorted(gs, np.arange(n), side="right") - 1
+    idx_in_group = np.arange(n) - gs[gidx_of_value]
+    is_start = (idx_in_group % block_size) == 0
+    starts = np.flatnonzero(is_start)
+    ends = np.append(starts[1:], n)
+    block_ids = (idx_in_group[starts] // block_size).astype(np.int64)
+    block_group = gidx_of_value[starts]
+
+    # doc ids: gaps everywhere, absolute at block starts (delta_encode
+    # per block ≡ this whole-array form)
+    id_deltas = ids.copy()
+    id_deltas[1:] -= ids[:-1]
+    id_deltas[starts] = ids[starts]
+
+    # positions: gaps within each doc, absolute at each doc's first
+    # position — the reset is PER DOC, so it is block-independent and
+    # valid computed over the whole batch at once
+    po = np.concatenate(([0], np.cumsum(npos_i)))
+    deltas = pos.copy()
+    if pos.size:
+        deltas[1:] -= pos[:-1]
+        doc_starts = po[:-1][npos_i > 0]
+        deltas[doc_starts] = pos[doc_starts]
+
+    ids_b, ids_len = encode_varbyte_with_lengths(id_deltas)
+    dls_b, dls_len = encode_varbyte_with_lengths(dls_u)
+    np_b, np_len = encode_varbyte_with_lengths(
+        npos_i.astype(np.uint64))
+    pos_b, pos_len = encode_varbyte_with_lengths(deltas)
+    ids_off = np.concatenate(([0], np.cumsum(ids_len)))
+    dls_off = np.concatenate(([0], np.cumsum(dls_len)))
+    np_off = np.concatenate(([0], np.cumsum(np_len)))
+    pos_voff = np.concatenate(([0], np.cumsum(pos_len)))
+
+    rows = []
+    for i in range(len(starts)):
+        s, e = int(starts[i]), int(ends[i])
+        rows.append((
+            int(block_ids[i]), e - s, int(ids[s]), int(ids[e - 1]),
+            ids_b[ids_off[s]:ids_off[e]],
+            dls_b[dls_off[s]:dls_off[e]],
+            np_b[np_off[s]:np_off[e]],
+            pos_b[pos_voff[po[s]]:pos_voff[po[e]]],
+        ))
+    return block_group, rows
+
+
 def make_positions_encoder(block_size: int):
     """mapInPandas body over a (term, partition_id, doc_id)-sorted stream
     of (term, partition_id, doc_id, dl, positions) rows → position block
-    rows. Blocks hold ``block_size`` docs; only the stream's last group
-    keeps a carry across Arrow batches, so peak memory is O(block) like
-    the postings encoder (build_index.make_block_encoder)."""
+    rows. Per Arrow batch ALL groups are encoded in one vectorized pass
+    (:func:`encode_position_blocks_multi`); only the stream's last group
+    keeps a carry across batches, so peak memory is O(block) like the
+    postings encoder (build_index.make_block_encoder)."""
 
-    def _emit(key, ids, dls, npos, flat, base, out):
-        term, pid = key
-        n = len(ids)
-        bounds = list(range(0, n, block_size)) or [0]
-        po = np.concatenate(([0], np.cumsum(npos)))
-        for bi, lo in enumerate(bounds):
-            hi = min(lo + block_size, n)
-            if hi <= lo:
-                continue
-            dvb, lvb, nvb, pvb = encode_position_block(
-                ids[lo:hi], dls[lo:hi], npos[lo:hi],
-                flat[po[lo]:po[hi]])
-            out.append((term, pid, base + bi, hi - lo,
-                        int(ids[lo]), int(ids[hi - 1]),
-                        dvb, lvb, nvb, pvb))
+    def emit_multi(keys, gs, ids, dls, npos, flat, bases, out):
+        bg, rows = encode_position_blocks_multi(gs, ids, dls, npos, flat,
+                                                block_size)
+        for gi, row in zip(bg, rows):
+            term, pid = keys[gi]
+            out.append((term, pid, row[0] + bases[gi]) + row[1:])
 
     def encode_stream(
             batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -141,57 +211,68 @@ def make_positions_encoder(block_size: int):
                 continue
             terms = pdf["term"].to_numpy()
             pids = pdf["partition_id"].to_numpy()
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            plists = pdf["positions"].to_numpy()
+            npos = np.fromiter((len(p) for p in plists), dtype=np.int64,
+                               count=len(plists))
+            flat = (np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in plists])
+                if len(plists) and npos.sum()
+                else np.zeros(0, dtype=np.int64))
             out: list = []
+
             change = np.ones(len(pdf), dtype=bool)
             change[1:] = (terms[1:] != terms[:-1]) | (pids[1:] != pids[:-1])
             starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(pdf))
-            plists = pdf["positions"].to_numpy()
+            keys = [(terms[s], int(pids[s])) for s in starts]
 
-            for gi, (s, e) in enumerate(zip(starts, ends)):
-                key = (terms[s], int(pids[s]))
-                ids = pdf["doc_id"].to_numpy(dtype=np.int64)[s:e]
-                dls = pdf["dl"].to_numpy(dtype=np.int64)[s:e]
-                group_pl = [np.asarray(p, dtype=np.int64)
-                            for p in plists[s:e]]
-                npos = np.array([len(p) for p in group_pl], dtype=np.int64)
-                flat = (np.concatenate(group_pl) if group_pl
-                        else np.zeros(0, dtype=np.int64))
-                base = 0
-                if cur_key is not None:
-                    if key == cur_key:
-                        ids = np.concatenate([c_ids, ids])
-                        dls = np.concatenate([c_dls, dls])
-                        npos = np.concatenate([c_npos, npos])
-                        flat = np.concatenate([c_flat, flat])
-                        base = block_base
-                    else:
-                        # previous group ended at a batch boundary
-                        if c_ids.size:
-                            _emit(cur_key, c_ids, c_dls, c_npos, c_flat,
-                                  block_base, out)
-                    cur_key = None
-                if gi == len(starts) - 1:
-                    # last group of the batch: hold back the partial tail
-                    n_full = (len(ids) // block_size) * block_size
-                    po = np.concatenate(([0], np.cumsum(npos)))
-                    cur_key = key
-                    block_base = base + n_full // block_size
-                    c_ids = ids[n_full:].copy()
-                    c_dls = dls[n_full:].copy()
-                    c_npos = npos[n_full:].copy()
-                    c_flat = flat[po[n_full]:].copy()
-                    if n_full:
-                        _emit(key, ids[:n_full], dls[:n_full],
-                              npos[:n_full], flat[:po[n_full]], base, out)
-                else:
-                    _emit(key, ids, dls, npos, flat, base, out)
+            first_key = keys[0]
+            if cur_key is not None and first_key != cur_key:
+                # carried group ended exactly at the batch boundary
+                if c_ids.size:
+                    emit_multi([cur_key], np.array([0]), c_ids, c_dls,
+                               c_npos, c_flat, [block_base], out)
+                cur_key, block_base = None, 0
+                c_ids = c_dls = c_npos = np.zeros(0, dtype=np.int64)
+                c_flat = np.zeros(0, dtype=np.int64)
+
+            bases = [0] * len(keys)
+            if cur_key is not None:
+                # prepend the carry to its continuing group
+                ids = np.concatenate([c_ids, ids])
+                dls = np.concatenate([c_dls, dls])
+                npos = np.concatenate([c_npos, npos])
+                flat = np.concatenate([c_flat, flat])
+                starts = np.concatenate(([0], starts[1:] + c_ids.size))
+                bases[0] = block_base
+
+            # hold back the last group's sub-block_size tail (positions
+            # blocks have no tail compaction, so a full last block can be
+            # emitted immediately — carry stays < block_size docs)
+            po = np.concatenate(([0], np.cumsum(npos)))
+            last_s = int(starts[-1])
+            last_len = len(ids) - last_s
+            n_full = (last_len // block_size) * block_size
+            cut = last_s + n_full
+            cur_key = keys[-1]
+            block_base = bases[-1] + n_full // block_size
+            c_ids = ids[cut:].copy()
+            c_dls = dls[cut:].copy()
+            c_npos = npos[cut:].copy()
+            c_flat = flat[po[cut]:].copy()
+            if cut:
+                sel = starts < cut
+                emit_multi(keys[:int(sel.sum())], starts[sel],
+                           ids[:cut], dls[:cut], npos[:cut],
+                           flat[:po[cut]], bases, out)
             if out:
                 yield pd.DataFrame(out, columns=POSITIONS_COLS)
 
         if cur_key is not None and c_ids.size:
             out = []
-            _emit(cur_key, c_ids, c_dls, c_npos, c_flat, block_base, out)
+            emit_multi([cur_key], np.array([0]), c_ids, c_dls, c_npos,
+                       c_flat, [block_base], out)
             yield pd.DataFrame(out, columns=POSITIONS_COLS)
 
     return encode_stream
