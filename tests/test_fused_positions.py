@@ -150,3 +150,38 @@ def test_incremental_ingest_maintains_fused_positions(
                      for v in r)
                for r in store2.read("positions").select(*cols).collect())
     assert a == b
+
+
+def test_arrow_batch_override_scoped_and_restored(spark):
+    """The per-stage Arrow batch override must restore the session conf
+    whether it was set or unset before (bench sets 512 globally; tests
+    usually leave it unset)."""
+    from semantic_search_engine_spark.plans.build_index import (
+        _ARROW_BATCH_KEY, _arrow_batch)
+
+    prev = spark.conf.get(_ARROW_BATCH_KEY, None)
+    try:
+        spark.conf.set(_ARROW_BATCH_KEY, "512")
+        with _arrow_batch(spark, 20_000):
+            assert spark.conf.get(_ARROW_BATCH_KEY) == "20000"
+        assert spark.conf.get(_ARROW_BATCH_KEY) == "512"
+        spark.conf.unset(_ARROW_BATCH_KEY)
+        with _arrow_batch(spark, 512):
+            assert spark.conf.get(_ARROW_BATCH_KEY) == "512"
+        assert spark.conf.get(_ARROW_BATCH_KEY, None) in (None, "10000")
+        # exception inside the block must still restore
+        spark.conf.set(_ARROW_BATCH_KEY, "777")
+        try:
+            with _arrow_batch(spark, 123):
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert spark.conf.get(_ARROW_BATCH_KEY) == "777"
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset(_ARROW_BATCH_KEY)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(_ARROW_BATCH_KEY, prev)
