@@ -92,10 +92,12 @@ def fit_linear_ltr(train: DataFrame, feature_cols: list[str],
     # LAPACK does hit an exact zero pivot.
     singular_msg = (
         "fit_linear_ltr: the feature Gram matrix is singular or "
-        "numerically rank-deficient — features are collinear (or a "
-        "feature is constant) and l2=0 gives no unique solution. Pass "
-        "l2>0 (any small ridge, e.g. 1e-6) or drop the redundant "
-        "feature(s).")
+        "numerically rank-deficient — features are collinear, a feature "
+        "is constant, or feature scales differ so wildly (the Gram's "
+        "condition number is the feature-scale ratio SQUARED) that no "
+        "float64 solution has meaningful digits. Pass l2>0 (any small "
+        "ridge, e.g. 1e-6), rescale the features, or drop the redundant "
+        "one(s).")
     if l2 <= 0.0 and np.linalg.matrix_rank(g) < g.shape[0]:
         raise ValueError(singular_msg)
     try:

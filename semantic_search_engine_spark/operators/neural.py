@@ -38,11 +38,15 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 #: per-worker memo for ``loader=``-injected encoders (one load per
-#: Python worker process, like the reference's module-level model)
-_WORKER_ENCODERS: dict[int, Callable] = {}
+#: Python worker process, like the reference's module-level model).
+#: Keyed by a uuid minted per ``make_encoder_embedding_udf`` call —
+#: NOT by id(loader): CPython reuses freed addresses, so a long-lived
+#: worker could otherwise serve a previous loader's model to a later
+#: UDF with the same id (code-review r4).
+_WORKER_ENCODERS: dict[str, Callable] = {}
 
 
-def _resolve(encoder, loader, key: int):
+def _resolve(encoder, loader, key: str):
     if encoder is not None:
         return encoder
     enc = _WORKER_ENCODERS.get(key)
@@ -78,9 +82,13 @@ def make_encoder_embedding_udf(dim: int,
     (per-worker factory) must be given. NULL/empty text embeds to the zero
     vector — the same no-signal convention as the hashed featurizer
     (zero-norm rows are excluded by the query-side cosine guard)."""
+    import uuid as _uuid
+
     if (encoder is None) == (loader is None):
         raise ValueError("pass exactly one of encoder= or loader=")
-    memo_key = id(encoder) if encoder is not None else id(loader)
+    # collision-free across UDF instances: rides the pickled closure, so
+    # every task of THIS udf shares it and no other udf can alias it
+    memo_key = _uuid.uuid4().hex
 
     @pandas_udf("array<float>")
     def encode_texts(text: pd.Series) -> pd.Series:

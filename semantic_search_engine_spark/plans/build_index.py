@@ -327,7 +327,7 @@ class IndexBuilder:
             # the pos_map column just committed (stage 4b handles every
             # later refresh; _positions_df's JVM fast path reads pos_map —
             # no text re-tokenization anywhere in this build)
-            with _arrow_batch(self.spark, _ENCODE_ARROW_BATCH):
+            with _arrow_batch(self.spark, self._positions_batch(sfx)):
                 runner.run(f"positions{sfx}", f"positions{sfx}",
                            [f"doc_features{sfx}"],
                            lambda: self._positions_df(sfx, field),
@@ -812,7 +812,7 @@ class IndexBuilder:
         # untouched buckets when ``pos_changed_buckets`` is sound) -------
         if self.store.exists(f"positions{sfx}"):
             pos_field = "text" if not sfx else sfx[1:]
-            with _arrow_batch(self.spark, _ENCODE_ARROW_BATCH):
+            with _arrow_batch(self.spark, self._positions_batch(sfx)):
                 runner.run(f"positions{sfx}", f"positions{sfx}",
                            [f"doc_features{sfx}"],
                            lambda: self._positions_df(
@@ -1051,7 +1051,7 @@ class IndexBuilder:
                 "before its positional index")
         runner = StageRunner(self.store, cfg.fingerprint() + f"/{field}",
                              run_id=run_id)
-        with _arrow_batch(self.spark, _ENCODE_ARROW_BATCH):
+        with _arrow_batch(self.spark, self._positions_batch(sfx)):
             runner.run(f"positions{sfx}", f"positions{sfx}",
                        [f"doc_features{sfx}"],
                        lambda: self._positions_df(sfx, field),
@@ -1377,7 +1377,12 @@ class IndexBuilder:
         """
         import math as _math
 
-        from ..operators.ann import _IVF_ASSIGN_TBL, IVFIndex, save_ivf
+        from ..operators.ann import (
+            _IVF_ASSIGN_TBL,
+            _IVF_CENTROID_TBL,
+            IVFIndex,
+            save_ivf,
+        )
 
         sfx = "" if field == "text" else f"_{field}"
         emb_tbl = f"doc_embeddings{sfx}"
@@ -1392,10 +1397,16 @@ class IndexBuilder:
                                  int(_math.sqrt(max(int(cs["n_docs"]), 1)))))
         name = f"doc_emb{sfx}"
         meta = self.store.table_meta(_IVF_ASSIGN_TBL.format(name=name)) or {}
+        cmeta = self.store.table_meta(
+            _IVF_CENTROID_TBL.format(name=name)) or {}
         if (meta.get("source_uuid") == src_uuid
                 and int(meta.get("n_lists", 0)) == int(n_lists)
                 and int(meta.get("ann_n_iters", -1)) == int(n_iters)
-                and int(meta.get("ann_seed", -1)) == int(seed)):
+                and int(meta.get("ann_seed", -1)) == int(seed)
+                # a torn re-save (assignments committed, centroids not) is
+                # NOT a checkpoint hit — re-run to repair (code-review r4)
+                and meta.get("save_id") is not None
+                and meta.get("save_id") == cmeta.get("save_id")):
             return name  # checkpoint hit: same source, same parameters
         idx = IVFIndex.build(self.store.read(emb_tbl),
                              n_lists=n_lists, n_iters=n_iters, seed=seed,
@@ -1461,6 +1472,17 @@ class IndexBuilder:
                        sort_within_partitions=["term", "doc_id"])
         runner.commit_lineage(self.spark)
         return runner
+
+    def _positions_batch(self, sfx: str) -> int:
+        """Arrow batch size for the positions stage: the ENCODE size only
+        when the stage is the pure-JVM pos_map fast path; the non-fused
+        path's first UDF transfers full document text, where 20k-row
+        batches would be ~900 MB of Arrow per in-flight task (code-review
+        r4) — it gets the extract-sized batches instead."""
+        feats = f"doc_features{sfx}"
+        fused = (self.store.exists(feats)
+                 and "pos_map" in self.store.read(feats).columns)
+        return _ENCODE_ARROW_BATCH if fused else _EXTRACT_ARROW_BATCH
 
     def _positions_current(self, sfx: str, field: str) -> bool:
         """Positional-index analogue of :meth:`_postings_current`: may an

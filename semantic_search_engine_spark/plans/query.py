@@ -2339,6 +2339,14 @@ class QueryEngine:
         src = meta.get("source_uuid")
         if src is not None and src != emb_meta.get("data_uuid"):
             return None  # embeddings rebuilt since the index was saved
+        cmeta = self.store.table_meta(f"ann_{name}_centroids") or {}
+        if (meta.get("save_id") is not None
+                and meta.get("save_id") != cmeta.get("save_id")):
+            # torn re-save (load_ivf's save_id cross-check, code-review
+            # r4): new assignments against old centroids would probe the
+            # wrong lists — refuse and fall back; build_ann treats the
+            # torn state as not-a-checkpoint and repairs it
+            return None
         uuid = meta.get("data_uuid")
         cached = getattr(self, "_ann_ivf_cache", None)
         if cached is not None and cached[0] == uuid:
@@ -2820,12 +2828,41 @@ class QueryEngine:
         return page
 
     # ------------------------------------------------------------------
+    def _envelope(self, rows, total: int, k: int, query: str, t0: float,
+                  highlight: bool, offset: int | None = None,
+                  log_n: int | None = None, **extra) -> dict:
+        """The one definition of the SearchResponse dict every serve
+        surface returns (code-review r4: three hand-rolled copies had
+        started drifting). ``offset=None`` omits the key (search_after's
+        cursor envelope); ``log_n`` overrides the logged result count
+        when it differs from ``total`` (approx/exact pre-limit counts)."""
+        snips = (self.snippets([r["doc_id"] for r in rows], query)
+                 if highlight else None)
+        elapsed_ms = int((time.time() - t0) * 1000)
+        self._log_search(query, total if log_n is None else log_n,
+                         elapsed_ms)
+        out = {
+            "results": [
+                (r.asDict() | {"snippet": snips.get(r["doc_id"], "")})
+                if snips is not None else r.asDict() for r in rows],
+            "total_count": total,
+            "limit": k,
+        }
+        if offset is not None:
+            out["offset"] = offset
+        out.update(extra)
+        out["query"] = query
+        out["execution_time_ms"] = elapsed_ms
+        return out
+
     def search(self, query: str, k: int | None = None, offset: int = 0,
                min_score: float = 0.0, lang: str | None = None,
                warc_ts_min=None, warc_ts_max=None,
                count_mode: str = "exact", mode: str = "wand",
                highlight: bool = False, site: str | None = None,
-               neg_site: str | None = None) -> dict:
+               neg_site: str | None = None,
+               probe: list[float] | None = None,
+               ann: str = "auto", n_probe: int | None = None) -> dict:
         """Materialized result envelope — the analogue of the reference's
         ``SearchResponse`` (``model/SearchResponse.java:5-12`` +
         ``SearchService.java:63-78``: results, totalCount, limit, offset,
@@ -2848,6 +2885,14 @@ class QueryEngine:
         hydrated through the same DPP-pruned doc_meta join; totalCount
         follows count_mode="none" semantics — an exact pre-limit count
         over a vector ranking would be a corpus-wide threshold scan).
+
+        ``probe``/``ann``/``n_probe`` apply to the vector modes only and
+        pass straight through to :meth:`semantic_top_k_df` /
+        :meth:`hybrid_top_k_df` — in particular ``probe`` is how an
+        index built with an injected encoder (operators/neural.py) is
+        served through this envelope: without it the default hashed
+        query featurizer would be ranked against neural doc vectors
+        (code-review r4).
         """
         t0 = time.time()
         cfg = self.cfg
@@ -2861,13 +2906,15 @@ class QueryEngine:
                 base = self.hybrid_top_k_df(
                     query, k=k + offset, lang=lang,
                     warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max,
-                    site=site, neg_site=neg_site).select(
+                    site=site, neg_site=neg_site, probe=probe,
+                    ann=ann, n_probe=n_probe).select(
                         "doc_id", F.col("rrf_score").alias("score"))
             else:
                 base = self.semantic_top_k_df(
                     query, k=k + offset, lang=lang,
                     warc_ts_min=warc_ts_min, warc_ts_max=warc_ts_max,
-                    site=site, neg_site=neg_site).select(
+                    site=site, neg_site=neg_site, probe=probe,
+                    ann=ann, n_probe=n_probe).select(
                         "doc_id", F.col("cosine").alias("score"))
             if min_score > 0.0:
                 base = base.filter(F.col("score") >= F.lit(min_score))
@@ -2878,20 +2925,8 @@ class QueryEngine:
                 doc_bucket_expr("doc_id", cfg.n_doc_buckets)
                 .alias("partition_id"), "doc_id", "score")
             rows = self._hydrate_hits(top).collect()[offset:]
-            snips = (self.snippets([r["doc_id"] for r in rows], query)
-                     if highlight else None)
-            elapsed_ms = int((time.time() - t0) * 1000)
-            self._log_search(query, len(rows), elapsed_ms)
-            return {
-                "results": [
-                    (r.asDict() | {"snippet": snips.get(r["doc_id"], "")})
-                    if snips is not None else r.asDict() for r in rows],
-                "total_count": len(rows),
-                "limit": k,
-                "offset": offset,
-                "query": query,
-                "execution_time_ms": elapsed_ms,
-            }
+            return self._envelope(rows, len(rows), k, query, t0,
+                                  highlight, offset=offset)
 
         if mode == "wand" and count_mode in ("none", "approx"):
             # fast path: filtered block-max WAND; totalCount = page size
@@ -2906,8 +2941,6 @@ class QueryEngine:
                 min_score=min_score, site=site, neg_site=neg_site
             ).select("partition_id", "doc_id", "score")
             rows = self._hydrate_hits(top).collect()[offset:]
-            snips = (self.snippets([r["doc_id"] for r in rows], query)
-                     if highlight else None)
             if count_mode == "approx":
                 total = max(self.approx_count(
                     query, min_score=min_score, lang=lang,
@@ -2916,18 +2949,8 @@ class QueryEngine:
                     len(rows))
             else:
                 total = len(rows)
-            elapsed_ms = int((time.time() - t0) * 1000)
-            self._log_search(query, len(rows), elapsed_ms)
-            return {
-                "results": [
-                    (r.asDict() | {"snippet": snips.get(r["doc_id"], "")})
-                    if snips is not None else r.asDict() for r in rows],
-                "total_count": total,
-                "limit": k,
-                "offset": offset,
-                "query": query,
-                "execution_time_ms": elapsed_ms,
-            }
+            return self._envelope(rows, total, k, query, t0, highlight,
+                                  offset=offset, log_n=len(rows))
 
         out = self._scored_filtered(query, min_score, lang,
                                     warc_ts_min, warc_ts_max,
@@ -2945,20 +2968,8 @@ class QueryEngine:
                      else len(rows))
         finally:
             out.unpersist()
-        snips = (self.snippets([r["doc_id"] for r in rows], query)
-                 if highlight else None)
-        elapsed_ms = int((time.time() - t0) * 1000)
-        self._log_search(query, total, elapsed_ms)
-        return {
-            "results": [
-                (r.asDict() | {"snippet": snips.get(r["doc_id"], "")})
-                if snips is not None else r.asDict() for r in rows],
-            "total_count": total,
-            "limit": k,
-            "offset": offset,
-            "query": query,
-            "execution_time_ms": elapsed_ms,
-        }
+        return self._envelope(rows, total, k, query, t0, highlight,
+                              offset=offset)
 
     def search_after(self, query: str, k: int | None = None,
                      cursor: tuple[float, int] | None = None,
@@ -2988,22 +2999,11 @@ class QueryEngine:
             after=(float(cursor[0]), int(cursor[1])) if cursor else None
         ).select("partition_id", "doc_id", "score")
         rows = self._hydrate_hits(top).collect()
-        snips = (self.snippets([r["doc_id"] for r in rows], query)
-                 if highlight else None)
-        elapsed_ms = int((time.time() - t0) * 1000)
-        self._log_search(query, len(rows), elapsed_ms)
-        return {
-            "results": [
-                (r.asDict() | {"snippet": snips.get(r["doc_id"], "")})
-                if snips is not None else r.asDict() for r in rows],
-            "total_count": len(rows),
-            "limit": k,
-            "next_cursor": ((float(rows[-1]["score"]),
-                             int(rows[-1]["doc_id"]))
-                            if len(rows) == k else None),
-            "query": query,
-            "execution_time_ms": elapsed_ms,
-        }
+        return self._envelope(
+            rows, len(rows), k, query, t0, highlight,
+            next_cursor=((float(rows[-1]["score"]),
+                          int(rows[-1]["doc_id"]))
+                         if len(rows) == k else None))
 
     def _champions_current(self) -> bool:
         """May the champion table (plans/champions.py) be trusted for THIS

@@ -227,3 +227,39 @@ def test_search_envelope_semantic_and_hybrid_modes(spark, ann_built):
         full = [r["doc_id"] for r in qe.search(Q, k=4, mode=mode)
                 ["results"]]
         assert [r["doc_id"] for r in env2["results"]] == full[2:4]
+
+
+def test_torn_save_detected_on_serve_and_repaired_by_rebuild(
+        spark, tiny_corpus_dir, tmp_path_factory):
+    """A crashed re-save (assignments committed, centroids not) must not
+    serve: _ann_ivf refuses (exact fallback) and build_ann treats the
+    torn state as not-a-checkpoint, repairing it (code-review r4)."""
+    from semantic_search_engine_spark.plans.build_index import IndexBuilder
+    from semantic_search_engine_spark.plans.query import QueryEngine
+    from semantic_search_engine_spark.sources.store import HadoopTableStore
+
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=8,
+                       shuffle_partitions=8, block_size=32)
+    store = HadoopTableStore(spark,
+                             str(tmp_path_factory.mktemp("ann_torn_wh")))
+    docs = spark.read.parquet(f"{tiny_corpus_dir}/documents.parquet")
+    builder = IndexBuilder(spark, store, cfg)
+    builder.build(docs)
+    builder.build_embeddings(dim=DIM)
+    name = builder.build_ann(n_lists=N_LISTS, n_iters=2)
+    # simulate the torn re-save: flip the assignments save_id only
+    atbl = f"ann_{name}_assignments"
+    meta = dict(store.table_meta(atbl))
+    meta["save_id"] = "deadbeef" + meta["save_id"][8:]
+    store.write(atbl, store.read(atbl), partition_by=["list_id"],
+                meta=meta)
+    qe = QueryEngine(spark, store, cfg)
+    assert qe._ann_ivf() is None  # torn: serve falls back to exact
+    exact = _rows(qe.semantic_top_k_df(Q, k=5, ann="exact"))
+    assert _rows(qe.semantic_top_k_df(Q, k=5)) == exact
+    # build_ann must NOT checkpoint-hit on the torn state
+    builder.build_ann(n_lists=N_LISTS, n_iters=2)
+    qe2 = QueryEngine(spark, store, cfg)
+    assert qe2._ann_ivf() is not None
+    assert _rows(qe2.semantic_top_k_df(Q, k=5, ann="ivf",
+                                       n_probe=N_LISTS)) == exact

@@ -138,3 +138,25 @@ def test_encoder_shape_contract_enforced(spark, neural_built):
     feats = store.read("doc_features").select("text").limit(4)
     with pytest.raises(Exception, match="expected"):
         feats.select(bad("text")).collect()
+
+
+def test_search_envelope_serves_injected_probe(spark, neural_built):
+    """search(mode='semantic'/'hybrid', probe=...) ranks the neural index
+    with the neural query probe — the envelope-level hook (code-review
+    r4: without it the hashed featurizer would silently rank against
+    neural doc vectors)."""
+    from semantic_search_engine_spark.plans.query import QueryEngine
+
+    store, cfg, _b, enc = neural_built
+    qe = QueryEngine(spark, store, cfg)
+    probe = encode_query(enc, Q, DIM)
+    env = qe.search(Q, k=5, mode="semantic", probe=probe,
+                    count_mode="none")
+    expect = [int(r["doc_id"]) for r in
+              qe.semantic_top_k_df(Q, k=5, probe=probe).collect()]
+    assert [r["doc_id"] for r in env["results"]] == expect
+    env_h = qe.search(Q, k=5, mode="hybrid", probe=probe,
+                      count_mode="none")
+    expect_h = [int(r["doc_id"]) for r in
+                qe.hybrid_top_k_df(Q, k=5, probe=probe).collect()]
+    assert [r["doc_id"] for r in env_h["results"]] == expect_h
