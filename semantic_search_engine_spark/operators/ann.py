@@ -180,6 +180,10 @@ class IVFIndex:
         filter empties the nearest lists, so scale ``n_probe`` with
         selectivity (``n_probe=n_lists`` ⇒ exact filtered brute force,
         pinned by test)."""
+        if n_probe < 1:
+            # ADVICE r4: 0 probed lists would yield silently empty
+            # results — refuse rather than "no matches"
+            raise ValueError(f"n_probe must be >= 1, got {n_probe}")
         p = _unit(np.asarray(probe, dtype=np.float64))
         d2 = ((self.centroids - p) ** 2).sum(axis=1)
         probe_lists = [int(j) for j in np.argsort(d2, kind="stable")

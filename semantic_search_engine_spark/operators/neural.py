@@ -106,9 +106,13 @@ def make_encoder_embedding_udf(dim: int,
 
 
 def encode_query(encoder: Callable, query: str, dim: int) -> list[float]:
-    """Query-side probe from the same callable: float64 list for
-    ``semantic_top_k_df(probe=...)`` (only document vectors round to
-    float32 at rest — the hashed/trained featurizers' convention)."""
+    """Query-side probe from the same callable, for
+    ``semantic_top_k_df(probe=...)``. The encoder output is rounded to
+    float32 BEFORE widening to the float64 list (ADVICE r4: documented,
+    deliberate) — document vectors are stored float32, so a float64
+    encoder's probe is rounded identically to what the same text would
+    store, keeping loader≡encoder and query-vs-stored cosines
+    consistent."""
     vecs = np.asarray(encoder([query]), dtype=np.float32)
     if vecs.shape != (1, dim):
         raise ValueError(

@@ -243,12 +243,20 @@ class QueryEngine:
         (ADVICE r3: the auto-routing df check used to pay one extra
         Spark collect per short query — now only terms not yet seen by
         THIS engine cost a pruned scan; absent terms cache df=0 so they
-        never re-query). Same staleness convention as
-        ``corpus_stats()``: an index merge needs a fresh QueryEngine."""
-        cache = getattr(self, "_term_df_cache", None)
-        if cache is None:
+        never re-query). Keyed on the term_stats ``data_uuid``, so an
+        index merge invalidates it automatically — unlike
+        ``corpus_stats()``, which still needs a fresh QueryEngine."""
+        uuid = (self.store.table_meta(f"term_stats{self._sfx()}")
+                or {}).get("data_uuid")
+        cached = getattr(self, "_term_df_cache", None)
+        if cached is not None and cached[0] == uuid:
+            cache = cached[1]
+        else:
+            # keyed on the term_stats data_uuid (ADVICE r4): an index
+            # merge rewrites the table and auto-invalidates the cache —
+            # one manifest read per call, no Spark job
             cache = {}
-            object.__setattr__(self, "_term_df_cache", cache)
+            object.__setattr__(self, "_term_df_cache", (uuid, cache))
         missing = [t for t in qterms if t not in cache]
         if missing:
             rows = (self._pruned_term_scan(f"term_stats{self._sfx()}",
@@ -2320,7 +2328,7 @@ class QueryEngine:
         object.__setattr__(self, "_embedding_dim_cache", dim)
         return dim
 
-    def _ann_ivf(self):
+    def _ann_ivf(self, require_provenance: bool = True):
         """The persisted IVF sidecar over ``doc_embeddings`` (built by
         ``IndexBuilder.build_ann``), as ``(centroids, assign_tbl)`` —
         or ``None`` when absent OR stale (its recorded ``source_uuid``
@@ -2328,7 +2336,14 @@ class QueryEngine:
         the serve path must fall back to exact, never rank against
         vectors that no longer exist). The centroid matrix (n_lists×dim
         floats) is cached per assignments ``data_uuid``; the staleness
-        check is one manifest read per query — no Spark job."""
+        check is one manifest read per query — no Spark job.
+
+        ``require_provenance`` (the ``ann='auto'`` posture, ADVICE r4):
+        an index whose meta lacks ``source_uuid`` — e.g. persisted via
+        bare ``save_ivf`` under the doc_emb name, outside ``build_ann``
+        — CANNOT be staleness-checked, so auto mode treats it as stale
+        and falls back to exact; only ``ann='ivf'`` (an explicit user
+        assertion that the index is current) serves it."""
         name = f"doc_emb{self._sfx()}"
         assign_tbl = f"ann_{name}_assignments"
         meta = self.store.table_meta(assign_tbl)
@@ -2337,7 +2352,10 @@ class QueryEngine:
         emb_meta = self.store.table_meta(
             f"doc_embeddings{self._sfx()}") or {}
         src = meta.get("source_uuid")
-        if src is not None and src != emb_meta.get("data_uuid"):
+        if src is None:
+            if require_provenance:
+                return None  # unverifiable provenance — auto won't serve
+        elif src != emb_meta.get("data_uuid"):
             return None  # embeddings rebuilt since the index was saved
         cmeta = self.store.table_meta(f"ann_{name}_centroids") or {}
         if (meta.get("save_id") is not None
@@ -2436,7 +2454,8 @@ class QueryEngine:
                 self.store.read(f"doc_meta{self._sfx()}"),
                 lang, warc_ts_min, warc_ts_max,
                 site=site, neg_site=neg_site).select("doc_id")
-        ivf = self._ann_ivf() if ann != "exact" else None
+        ivf = (self._ann_ivf(require_provenance=(ann == "auto"))
+               if ann != "exact" else None)
         if ann == "ivf" and ivf is None:
             raise ValueError(
                 "ann='ivf' but no current persisted IVF index over "
@@ -2469,6 +2488,10 @@ class QueryEngine:
 
         cent, assign_tbl = ivf
         n_lists = int(cent.shape[0])
+        if n_probe is not None and n_probe < 1:
+            # ADVICE r4: 0 probed lists would yield silently empty
+            # results — refuse rather than "no matches"
+            raise ValueError(f"n_probe must be >= 1, got {n_probe}")
         np_eff = min(n_probe if n_probe is not None
                      else max(1, int(round(_math.sqrt(n_lists)))), n_lists)
         p = _np.asarray(probe, dtype=_np.float64)

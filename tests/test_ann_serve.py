@@ -263,3 +263,69 @@ def test_torn_save_detected_on_serve_and_repaired_by_rebuild(
     assert qe2._ann_ivf() is not None
     assert _rows(qe2.semantic_top_k_df(Q, k=5, ann="ivf",
                                        n_probe=N_LISTS)) == exact
+
+
+def test_n_probe_zero_or_negative_refused(spark, ann_built):
+    """ADVICE r4: n_probe<=0 would probe zero lists and return silently
+    empty results — both serve paths must raise instead."""
+    from semantic_search_engine_spark.operators.ann import load_ivf
+
+    qe = _engine(spark, ann_built)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="n_probe"):
+            qe.semantic_top_k_df(Q, k=5, ann="ivf", n_probe=bad)
+    store, _cfg, _b, name = ann_built
+    idx = load_ivf(store, name)
+    with pytest.raises(ValueError, match="n_probe"):
+        idx.search([1.0] * DIM, k=5, n_probe=0)
+
+
+def test_unprovenanced_index_not_served_in_auto_mode(
+        spark, tiny_corpus_dir, tmp_path_factory):
+    """ADVICE r4: an index persisted via bare save_ivf (no source_uuid)
+    cannot be staleness-checked, so ann='auto' must fall back to exact;
+    the explicit ann='ivf' assertion still serves it."""
+    from semantic_search_engine_spark.operators.ann import (
+        IVFIndex,
+        save_ivf,
+    )
+    from semantic_search_engine_spark.plans.build_index import IndexBuilder
+    from semantic_search_engine_spark.plans.query import QueryEngine
+    from semantic_search_engine_spark.sources.store import HadoopTableStore
+
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=8,
+                       shuffle_partitions=8, block_size=32)
+    store = HadoopTableStore(spark,
+                             str(tmp_path_factory.mktemp("ann_bare_wh")))
+    docs = spark.read.parquet(f"{tiny_corpus_dir}/documents.parquet")
+    builder = IndexBuilder(spark, store, cfg)
+    builder.build(docs)
+    builder.build_embeddings(dim=DIM)
+    idx = IVFIndex.build(store.read("doc_embeddings"), n_lists=N_LISTS,
+                         n_iters=2, key="doc_id", vec_col="emb")
+    save_ivf(idx, store, "doc_emb")  # bare save: no source_uuid
+    qe = QueryEngine(spark, store, cfg)
+    assert qe._ann_ivf(require_provenance=True) is None
+    assert qe._ann_ivf(require_provenance=False) is not None
+    exact = _rows(qe.semantic_top_k_df(Q, k=5, ann="exact"))
+    assert _rows(qe.semantic_top_k_df(Q, k=5, ann="auto")) == exact
+    # explicit ivf mode serves it (full probe => same ranking)
+    assert _rows(qe.semantic_top_k_df(Q, k=5, ann="ivf",
+                                      n_probe=N_LISTS)) == exact
+
+
+def test_default_n_lists_sizing_targets_list_rows():
+    """VERDICT r4 #3: default sizing is clamp(round(N/4000), 8,
+    min(round(sqrt(N)), 65536)) — target-rows form below 16M docs,
+    sqrt cap above, never the r4 sqrt(N)-always form that gave
+    316-vector lists at 100k docs."""
+    from semantic_search_engine_spark.plans.build_index import (
+        default_n_lists as sizing,
+    )
+
+    assert sizing(1_000) == 8            # tiny corpus: floor
+    assert sizing(100_000) == 25         # ~4k rows/list, NOT sqrt=316
+    assert sizing(1_000_000) == 250
+    assert sizing(16_000_000) == 4000    # crossover: N/4000 == sqrt(N)
+    assert sizing(100_000_000) == 10000  # sqrt cap takes over
+    assert sizing(10**12) == 65536       # driver-memory ceiling

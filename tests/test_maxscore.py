@@ -214,8 +214,9 @@ def test_df_lookup_cached_per_engine(built, monkeypatch):
     per repeat query — after the first lookup the per-engine cache
     answers without touching the term_stats scan."""
     built.choose_strategy(["zipfhead0", "w0042"])
-    assert built._term_df_cache["zipfhead0"] > 0
-    assert "w0042" in built._term_df_cache
+    _uuid, cache = built._term_df_cache  # (data_uuid, dict) since r5
+    assert cache["zipfhead0"] > 0
+    assert "w0042" in cache
 
     def boom(*a, **k):
         raise AssertionError("df re-queried despite cache")
@@ -225,3 +226,23 @@ def test_df_lookup_cached_per_engine(built, monkeypatch):
     # same terms again: answered from cache, no scan
     assert built.choose_strategy(["zipfhead0", "w0042"]) == "maxscore"
     assert built.choose_strategy(["zipfhead0"]) == "maxscore"
+
+
+def test_df_cache_invalidated_by_term_stats_rewrite(built):
+    """ADVICE r4: the per-engine df cache is keyed on the term_stats
+    data_uuid, so an index merge (any rewrite of the table) makes the
+    SAME engine re-query instead of serving stale df/idf."""
+    built.choose_strategy(["zipfhead0"])
+    uuid_before, cache = built._term_df_cache
+    assert "zipfhead0" in cache
+    # rewrite term_stats with identical content: only data_uuid changes
+    store = built.store
+    tbl = store.read("term_stats")
+    cols = tbl.columns
+    store.write("term_stats", tbl.select(*cols).localCheckpoint(),
+                partition_by=(["term_bucket"]
+                              if "term_bucket" in cols else None))
+    built.choose_strategy(["zipfhead0"])  # must re-query, not KeyError
+    uuid_after, cache2 = built._term_df_cache
+    assert uuid_after != uuid_before
+    assert cache2["zipfhead0"] == cache["zipfhead0"]
