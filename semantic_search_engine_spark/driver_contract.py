@@ -1373,6 +1373,70 @@ FROM scored ORDER BY raw_cos DESC, vec_id LIMIT 10
 """
 
 
+#: list count for the IVF probe gate — small corpus (500 vectors at
+#: sf0.01), so the sizing floor; the gate probes ALL of them (bit-equal
+#: regime), making the oracle independent of the k-means outcome
+ANN_IVF_GATE_LISTS = 8
+
+
+def q_ann_ivf_probe_topk(spark, sf_dir):
+    """THE DEFAULT SEMANTIC SERVE PLAN under the driver oracle (VERDICT
+    r4 #2): the persisted-IVF lifecycle end-to-end — ``build_ann`` over
+    a committed ``doc_embeddings`` table (k-means centroids + list-
+    partitioned assignments, save/resume via source_uuid), then
+    ``QueryEngine.semantic_top_k_df(ann='ivf')`` serving the probe from
+    storage with partition-pruned ``list_id`` probes. At
+    ``n_probe = n_lists`` every list is scanned, so the result must be
+    EXACTLY the brute cosine top-10 the SQL oracle computes — the same
+    bit-equal pin as ``tests/test_ann_serve.py``, now driver-verified.
+
+    The reference's analogue is its pgvector ivfflat accelerator
+    (``data-pipeline/database.py:47-54``) serving
+    ``ProductRepository.java:72``'s cosine ranking.
+    """
+    import hashlib as _hl
+    import os as _os
+
+    from .config import EngineConfig
+    from .lineage import ENGINE_FORMAT_VERSION
+    from .plans.build_index import IndexBuilder
+    from .plans.query import QueryEngine
+    from .sources.store import HadoopTableStore
+
+    wh = _os.path.join(
+        "/tmp", f"sse_contract_annwh_v{ENGINE_FORMAT_VERSION}_"
+        + _hl.sha256(sf_dir.encode()).hexdigest()[:10])
+    store = HadoopTableStore(spark, wh)
+    meta = store.table_meta("doc_embeddings") if store.exists(
+        "doc_embeddings") else None
+    if not meta or meta.get("input_version") != sf_dir:
+        # vec 0 is the probe, not a candidate (mirrors the oracle's
+        # vec_id != 0) — keep it out of the served table
+        e = (_t(spark, sf_dir, "embeddings")
+             .filter(F.col("vec_id") != 0)
+             .select(F.col("vec_id").alias("doc_id"),
+                     F.col("embedding").alias("emb")))
+        store.write("doc_embeddings", e, meta={"input_version": sf_dir})
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=8,
+                       shuffle_partitions=8, block_size=32)
+    IndexBuilder(spark, store, cfg).build_ann(
+        n_lists=ANN_IVF_GATE_LISTS, n_iters=3)  # resume no-op on rerun
+    probe = [float(x) for x in
+             _t(spark, sf_dir, "embeddings")
+             .filter(F.col("vec_id") == 0)
+             .select("embedding").collect()[0]["embedding"]]
+    qe = QueryEngine(spark, store, cfg)
+    top = qe.semantic_top_k_df("", k=10, probe=probe, ann="ivf",
+                               n_probe=ANN_IVF_GATE_LISTS)
+    return top.select(F.col("doc_id").alias("vec_id"),
+                      F.round("cosine", 4).alias("cosine"))
+
+
+#: exact brute cosine vs vec 0 — identical to SQL_EMBEDDING_COSINE: at
+#: full probe the IVF plan must reproduce it exactly
+SQL_ANN_IVF_PROBE = SQL_EMBEDDING_COSINE
+
+
 def q_simhash(spark, sf_dir):
     """SimHash (16-bit, md5-derived bit weights) per document.
 
@@ -2236,10 +2300,13 @@ REGISTRY: dict[str, tuple] = {
     "bm25_boolean_engine": (q_bm25_boolean_engine, SQL_BM25_BOOLEAN_ENGINE),
     "facet_counts": (q_facet_counts_engine, SQL_FACET_COUNTS),
     # relational operators
-    "agg_pushdown": (q_agg_pushdown, SQL_AGG_PUSHDOWN),
-    # topk_orderby_limit retired to tests/test_driver_contract.py pins
-    # (subsumed by pagination_offset's ranking) to admit the MaxScore
-    # engine gate within the 50-entry driver window (VERDICT r3 #5)
+    # agg_pushdown retired to tests/test_driver_contract.py pins in r5
+    # (its aggregate shape is covered by rollup_set_ops +
+    # join_agg_broadcast) to admit ann_ivf_probe_topk — the persisted-IVF
+    # default serve plan — within the 50-entry window (VERDICT r4 #2);
+    # topk_orderby_limit likewise retired in r4 (subsumed by
+    # pagination_offset's ranking) to admit the MaxScore engine gate
+    # (VERDICT r3 #5)
     "pagination_offset": (q_pagination_offset, SQL_PAGINATION),
     "filter_range_count": (q_filter_range_count, SQL_FILTER_RANGE_COUNT),
     "substring_ci_filter": (q_substring_ci_filter, SQL_SUBSTRING_CI),
@@ -2275,6 +2342,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_neardup_pairs": (q_embedding_neardup_pairs,
                                 SQL_EMBEDDING_NEARDUP),
     "ann_lsh_bucket_topk": (q_ann_lsh_bucket_topk, SQL_ANN_LSH_BUCKET),
+    "ann_ivf_probe_topk": (q_ann_ivf_probe_topk, SQL_ANN_IVF_PROBE),
     # event-stream analytics + relational completeness
     "events_windows": (q_events_windows, _sql_events_windows()),
     "events_session_gap": (q_events_session_gap, SQL_EVENTS_SESSION_GAP),

@@ -79,12 +79,14 @@ def _retired_pins():
     having_exists and token_counts into text_quality_metrics) stay
     pinned here so the capability never regresses."""
     from semantic_search_engine_spark.driver_contract import (
+        SQL_AGG_PUSHDOWN,
         SQL_EXISTS_SUBQUERY,
         SQL_HAVING,
         SQL_SHINGLE3,
         SQL_SIMHASH,
         SQL_TOPK,
         _sql_token_counts,
+        q_agg_pushdown,
         q_exists_subquery,
         q_having_filter,
         q_shingle3_stats,
@@ -100,7 +102,11 @@ def _retired_pins():
             "token_counts": (q_token_counts, _sql_token_counts()),
             # r4: retired to admit the MaxScore engine gate (subsumed by
             # pagination_offset's ranking over the same ORDER BY)
-            "topk_orderby_limit": (q_topk_orderby_limit, SQL_TOPK)}
+            "topk_orderby_limit": (q_topk_orderby_limit, SQL_TOPK),
+            # r5: retired to admit the persisted-IVF serve gate
+            # (aggregate shape covered by rollup_set_ops +
+            # join_agg_broadcast — VERDICT r4 #2)
+            "agg_pushdown": (q_agg_pushdown, SQL_AGG_PUSHDOWN)}
 
 
 @pytest.mark.parametrize("name", sorted(_retired_pins()))
