@@ -229,27 +229,34 @@ def write_corpus(path: str, n_docs: int, seed: int = SEED) -> str:
     if os.path.exists(fpath) and os.path.exists(marker):
         return fpath
 
-    rows = list(generate_rows(n_docs, seed))
-    table = pa.Table.from_pydict(
-        {
-            "url": [r["url"] for r in rows],
-            "warc_ts": [r["warc_ts"] for r in rows],
-            "html": [r["html"] for r in rows],
-            "text": [r["text"] for r in rows],
-            "lang": [r["lang"] for r in rows],
-        },
-        schema=pa.schema([
-            ("url", pa.string()),
-            ("warc_ts", pa.timestamp("us")),
-            ("html", pa.binary()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-        ]),
-    )
-    # Small row groups keep the single file splittable: Spark parallelism on
-    # a parquet scan is bounded by row-group boundaries, and the extract UDF
-    # is the most expensive stage — one giant row group would serialize it.
-    pq.write_table(table, fpath, row_group_size=2048)
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ])
+    # Streamed in bounded chunks (round 5): materializing all rows first
+    # put the WHOLE corpus (~45 KB of HTML per doc — tens of GB at
+    # 500k+ docs) in driver memory at once; ParquetWriter keeps the peak
+    # at one chunk regardless of n_docs. Small row groups keep the
+    # single file splittable: Spark parallelism on a parquet scan is
+    # bounded by row-group boundaries, and the extract UDF is the most
+    # expensive stage — one giant row group would serialize it.
+    chunk = 2048
+    gen = generate_rows(n_docs, seed)
+    with pq.ParquetWriter(fpath, schema) as w:
+        while True:
+            rows = []
+            for r in gen:
+                rows.append(r)
+                if len(rows) >= chunk:
+                    break
+            if not rows:
+                break
+            w.write_table(pa.Table.from_pydict(
+                {c: [r[c] for r in rows] for c in schema.names},
+                schema=schema), row_group_size=chunk)
     with open(marker, "w") as f:
         f.write("ok")
     return fpath
