@@ -2298,6 +2298,59 @@ class QueryEngine:
                 .select("doc_id", "snippet").collect())
         return {int(r["doc_id"]): r["snippet"] for r in rows}
 
+    # ---------------------------------------------- cross-encoder rerank
+    def rerank_top_k_df(self, query: str, k: int | None = None,
+                        first_k: int = 100,
+                        scorer=None, loader=None,
+                        batch_size: int = 32) -> DataFrame:
+        """Two-stage retrieve → rerank (X116): block-max WAND retrieves
+        the top ``first_k`` candidates, an injected cross-encoder
+        (``CrossEncoder.predict``-shaped ``pairs -> scores`` callable —
+        the production second stage over the reference's bi-encoder
+        ranking, ``ml-model/app.py:59-90``) rescores the (query, text)
+        pairs jointly, and the window re-sorts by the model score.
+
+        ONE job, bounded by construction: the ≤ first_k WAND hits keep
+        their ``partition_id``, so broadcasting them against
+        ``doc_features`` prunes the text read to the hit buckets — via
+        dynamic partition pruning under the at-scale
+        ``partition_doc_features=True`` layout (plan-asserted,
+        ``tests/test_rerank.py``), via the join itself on the compact
+        default layout — and the scoring UDF runs on ≤ first_k rows:
+        O(first_k) model calls regardless of corpus size. Returns (doc_id, score, rerank_score) ordered by
+        (rerank_score DESC, doc_id ASC) limited to ``k``; ``score`` is
+        the first-stage BM25, kept so callers can blend or audit stage
+        disagreement."""
+        from ..operators.rerank import make_cross_scorer_udf
+
+        cfg = self.cfg
+        k = cfg.default_k if k is None else min(k, cfg.max_k)
+        first_k = max(int(first_k), k)
+        top = self._batch_wand_ranked([query], k=first_k).select(
+            "partition_id", "doc_id", "score")
+        field_col = "text" if self.field == "text" else self.field
+        feats = (self.store.read(f"doc_features{self._sfx()}")
+                 .select("partition_id", "doc_id",
+                         F.col(field_col).alias("_text")))
+        sp = make_cross_scorer_udf(scorer=scorer, loader=loader,
+                                   batch_size=batch_size)
+        return (F.broadcast(top).join(feats, ["partition_id", "doc_id"])
+                .withColumn("rerank_score", sp(F.lit(query), F.col("_text")))
+                .select("doc_id", "score", "rerank_score")
+                .orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+                .limit(k))
+
+    def rerank_top_k(self, query: str, k: int = 10, first_k: int = 100,
+                     scorer=None, loader=None, batch_size: int = 32
+                     ) -> list[tuple[int, float, float]]:
+        """Materialized :meth:`rerank_top_k_df`:
+        [(doc_id, rerank_score, bm25_score)] in rerank order."""
+        rows = self.rerank_top_k_df(query, k=k, first_k=first_k,
+                                    scorer=scorer, loader=loader,
+                                    batch_size=batch_size).collect()
+        return [(int(r["doc_id"]), float(r["rerank_score"]),
+                 float(r["score"])) for r in rows]
+
     def batch_top_k(self, queries: list[str], k: int = 10
                     ) -> dict[str, list[tuple[int, float]]]:
         """Materialized form of :meth:`batch_wand_top_k_df`: query string →
