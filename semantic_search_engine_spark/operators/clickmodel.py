@@ -46,7 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["position_ctr", "coec_relevance", "implicit_judgments"]
+__all__ = ["position_ctr", "coec_relevance", "implicit_judgments",
+           "ips_policy_estimate"]
 
 _COLS = ("query_id", "doc_id", "position", "clicked")
 
@@ -114,3 +115,72 @@ def implicit_judgments(impressions: DataFrame,
     return rel.select("query_id", "doc_id",
                       grade.alias("grade"),
                       "coec", "n_impressions")
+
+
+def ips_policy_estimate(impressions: DataFrame,
+                        new_ranking: DataFrame) -> DataFrame:
+    """Offline (counterfactual) evaluation of a NEW ranking policy from
+    clicks logged under the OLD one — inverse propensity scoring under
+    the position-based model (Joachims et al. '17, "Unbiased
+    learning-to-rank with biased feedback"): a logged click on (q, d)
+    shown at ``position`` counts ``exam(new_rank)/exam(old_position)``
+    clicks for the new policy, where the examination propensity is the
+    fleet CTR-by-position curve normalized to position 1 (the standard
+    PBM proxy; valid insofar as average relevance is position-balanced
+    in the log). Answers "would the reranker (X116) / new LTR model
+    (X112) raise CTR?" BEFORE an A/B test.
+
+    ``new_ranking``: (query_id, doc_id, rank) — or score, ranked by the
+    engine's (score DESC, doc_id ASC) tie-break. (query, doc) pairs the
+    new policy does not rank get examination 0 (never shown → never
+    clicked).
+
+    Returns ONE row: (n_impressions, n_clicks, logged_ctr, ips_ctr,
+    ess) — ``ips_ctr`` is the new policy's estimated clicks per logged
+    impression on the same query traffic (identity ranking ⇒ ips_ctr ==
+    logged_ctr exactly), ``ess`` the effective sample size of the
+    clicked, reweighted rows ((Σw)²/Σw², Kong '92) — the confidence
+    diagnostic; a high estimate carried by a tiny ESS is noise.
+
+    Scale: one broadcast of the ≤-depth propensity curve joined twice,
+    one (query_id, doc_id) equi-join to the new ranking (both sides
+    keyed alike), one map-side-combined global aggregate. Pure JVM.
+    """
+    from .mining import _with_rank
+
+    imp = _checked(impressions)
+    prop = position_ctr(imp).select("position", "ctr")
+    # normalize to exam(1) = 1.0 — a pure scale choice; it cancels in
+    # the ratio but keeps the weights interpretable
+    base = prop.orderBy("position").limit(1).select(
+        F.col("ctr").alias("_base"))
+    exam = (prop.crossJoin(F.broadcast(base))
+            .select("position",
+                    F.when(F.col("_base") > 0,
+                           F.col("ctr") / F.col("_base"))
+                    .otherwise(F.lit(0.0)).alias("exam")))
+    new = _with_rank(new_ranking).select(
+        "query_id", "doc_id", F.col("rank").alias("new_rank"))
+    j = (imp.join(F.broadcast(exam), "position")
+         .withColumnRenamed("exam", "exam_old")
+         .join(new, ["query_id", "doc_id"], "left")
+         .join(F.broadcast(exam.withColumnRenamed("position",
+                                                  "new_rank")
+                           .withColumnRenamed("exam", "exam_new")),
+               "new_rank", "left")
+         # unranked under the new policy, or ranked past any logged
+         # display depth (no curve sample) → examined with prob. 0
+         .withColumn("exam_new", F.coalesce("exam_new", F.lit(0.0)))
+         .withColumn("w", F.when(F.col("exam_old") > 0,
+                                 F.col("exam_new") / F.col("exam_old"))
+                     .otherwise(F.lit(0.0))))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_impressions"),
+        F.sum("clicked").cast("long").alias("n_clicks"),
+        (F.sum("clicked") / F.count(F.lit(1))).alias("logged_ctr"),
+        (F.sum(F.col("clicked") * F.col("w"))
+         / F.count(F.lit(1))).alias("ips_ctr"),
+        F.when(F.sum(F.col("clicked") * F.col("w") * F.col("w")) > 0,
+               F.pow(F.sum(F.col("clicked") * F.col("w")), 2)
+               / F.sum(F.col("clicked") * F.col("w") * F.col("w")))
+        .otherwise(F.lit(0.0)).alias("ess"))

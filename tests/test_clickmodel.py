@@ -17,6 +17,7 @@ import pytest
 from semantic_search_engine_spark.operators.clickmodel import (
     coec_relevance,
     implicit_judgments,
+    ips_policy_estimate,
     position_ctr,
 )
 
@@ -152,3 +153,95 @@ def test_composes_with_rank_eval_and_mining(spark):
                for r in training_triples(results, jud, n_neg=3).collect()}
     assert (1, 10, 11) in triples            # clicked pos, unclicked neg
     assert (2, 20, 21) in triples            # unjudged retrieved doc
+
+
+# ------------------------------------------------ IPS policy estimate
+def _balanced_log(spark, n=400):
+    """Impression log where every position's traffic has the SAME
+    average relevance, so the pooled CTR curve is EXACTLY proportional
+    to the examination propensities (1.0/0.5/0.25) and the IPS
+    arithmetic is closed-form. Two relevance levels (0.8, 0.2) rotate
+    through all three positions under distinct query_ids; query 1 is
+    the pair whose policy swap the tests evaluate."""
+    exam = {1: 1.00, 2: 0.50, 3: 0.25}
+    cells = [(1, 100, 1, n, int(exam[1] * 0.2 * n)),   # A rel .2 at pos1
+             (1, 200, 3, n, int(exam[3] * 0.8 * n))]   # B rel .8 at pos3
+    qid = 10
+    for rel, doc in ((0.8, 300), (0.2, 301)):
+        for pos in (1, 2, 3):
+            cells.append((qid, doc + 10 * pos, pos, n,
+                          int(exam[pos] * rel * n)))
+            qid += 1
+    # rebalance positions 1 and 3 so every position's mean relevance is
+    # 0.5: query 1's A (rel .2) sits at pos1 and B (rel .8) at pos3, so
+    # add a rel-.8 pos1 doc and a rel-.2 pos3 doc
+    cells.append((qid, 400, 1, n, int(exam[1] * 0.8 * n))); qid += 1
+    cells.append((qid, 401, 3, n, int(exam[3] * 0.2 * n)))
+    return _simulate(spark, cells), exam, n, cells
+
+
+def test_ips_identity_policy_reproduces_logged_ctr(spark):
+    imp, exam, n, cells = _balanced_log(spark)
+    # identity: every (query, doc) ranked exactly where it was shown
+    ident = spark.createDataFrame(
+        [(q, d, p) for q, d, p, _n, _c in cells],
+        "query_id long, doc_id long, rank int")
+    row = ips_policy_estimate(imp, ident).collect()[0]
+    assert row["ips_ctr"] == pytest.approx(row["logged_ctr"], rel=1e-12)
+    assert row["n_impressions"] == sum(c[3] for c in cells)
+
+
+def test_ips_predicts_swap_gain_closed_form(spark):
+    """Swapping query 1's mis-ordered pair (rel-.2 doc at rank 1,
+    rel-.8 doc at rank 3) must be predicted to GAIN clicks, and the
+    estimate must match the closed-form examination arithmetic."""
+    imp, exam, n, cells = _balanced_log(spark)
+    swapped = [(q, d, {1: 3, 3: 1}.get(p, p) if q == 1 else p)
+               for q, d, p, _n, _c in cells]
+    new = spark.createDataFrame(swapped,
+                                "query_id long, doc_id long, rank int")
+    row = ips_policy_estimate(imp, new).collect()[0]
+    # closed form: clicks reweighted by exam(new)/exam(old) — exact
+    # because the balanced log makes the CTR curve proportional to exam
+    w = {1: exam[3] / exam[1], 3: exam[1] / exam[3]}
+    est_clicks = sum(c * (w[p] if q == 1 else 1.0)
+                     for q, d, p, _n, c in cells)
+    n_imp = sum(c[3] for c in cells)
+    assert row["ips_ctr"] == pytest.approx(est_clicks / n_imp, rel=1e-9)
+    assert row["ips_ctr"] > row["logged_ctr"]   # the swap is a win
+    assert row["ess"] > 0
+
+
+def test_ips_unranked_docs_get_zero_examination(spark):
+    imp, exam, n, cells = _balanced_log(spark)
+    # new policy ranks NOTHING for query 1 → its clicks contribute 0
+    rest = [(q, d, p) for q, d, p, _n, _c in cells if q != 1]
+    new = spark.createDataFrame(rest,
+                                "query_id long, doc_id long, rank int")
+    row = ips_policy_estimate(imp, new).collect()[0]
+    kept = sum(c for q, _d, _p, _n2, c in cells if q != 1)
+    n_imp = sum(c[3] for c in cells)
+    assert row["ips_ctr"] == pytest.approx(kept / n_imp, rel=1e-9)
+
+
+def test_ips_accepts_score_ranked_policy(spark):
+    """A score column works like everywhere else (rank derived by
+    score DESC, doc_id ASC per query — note row_number yields DENSE
+    per-query ranks 1..m, so the explicit-rank equivalent of score=-p
+    is each query's docs renumbered in position order)."""
+    imp, exam, n, cells = _balanced_log(spark)
+    dense = []
+    byq: dict[int, list] = {}
+    for q, d, p, _n, _c in cells:
+        byq.setdefault(q, []).append((p, d))
+    for q, docs in byq.items():
+        for r, (_p, d) in enumerate(sorted(docs), start=1):
+            dense.append((q, d, r))
+    explicit = spark.createDataFrame(
+        dense, "query_id long, doc_id long, rank int")
+    scored = spark.createDataFrame(
+        [(q, d, float(-p)) for q, d, p, _n, _c in cells],
+        "query_id long, doc_id long, score double")
+    a = ips_policy_estimate(imp, explicit).collect()[0]
+    b = ips_policy_estimate(imp, scored).collect()[0]
+    assert b["ips_ctr"] == pytest.approx(a["ips_ctr"], rel=1e-12)
