@@ -8,6 +8,7 @@ Usage:
         [--lang en] [--mode wand|exhaustive|boolean|fuzzy|hybrid|semantic] \
         [--count exact|approx|none] [--synonyms JSON|@file] \
         [--facet COL[:GRANULARITY]] [--suggest] [--explain DOC_ID] \
+        [--rerank FIRST_K] \
         [--log-dir <query-log dir>] "query text" ["another query" ...]
 
 Prints one JSON line per query: the result envelope (results, total_count,
@@ -91,6 +92,12 @@ def main(argv=None) -> int:
                    help="BM25F multi-field weights, e.g. "
                         "'{\"text\": 1.0, \"anchor\": 2.0}' — each field "
                         "needs its own built index")
+    p.add_argument("--rerank", type=int, default=None, metavar="FIRST_K",
+                   help="cross-encoder rerank of the WAND top-FIRST_K "
+                        "window (X116) using the deterministic fake "
+                        "scorer — a demo surface; real models are "
+                        "injected via QueryEngine.rerank_top_k(loader=); "
+                        "bare WAND top-k")
     p.add_argument("--log-dir", default=None)
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
@@ -228,6 +235,31 @@ def main(argv=None) -> int:
                               "counts": [{by: r[by],
                                           "n_docs": int(r["n_docs"])}
                                          for r in rows]}, default=str))
+        if not preexisting:
+            spark.stop()
+        return 0
+
+    if args.rerank is not None:
+        if (filters_set or synonyms or args.mode != "wand" or args.batch
+                or args.rescore is not None or args.boost
+                or args.static is not None or args.weights is not None):
+            print("--rerank is a bare WAND top-k surface (no filters/"
+                  "offset/count/synonyms/batch/other ranking modes)",
+                  file=sys.stderr)
+            return 2
+        from semantic_search_engine_spark.operators.rerank import (
+            deterministic_fake_cross_scorer,
+        )
+
+        fake = deterministic_fake_cross_scorer()
+        for q in args.queries:
+            hits = qe.rerank_top_k(q, k=args.k, first_k=args.rerank,
+                                   scorer=fake)
+            print(json.dumps(
+                {"results": [{"doc_id": d, "rerank_score": rs,
+                              "score": s} for d, rs, s in hits],
+                 "total_count": len(hits), "limit": args.k, "offset": 0,
+                 "query": q, "rerank": args.rerank}, default=str))
         if not preexisting:
             spark.stop()
         return 0

@@ -383,3 +383,47 @@ def test_query_cli_boost_and_rescore(spark, cli_env, capsys):
     rc = query_main(["--warehouse", wh, "--boost",
                      "--rescore", "10", "q"])
     assert rc == 2
+
+
+def test_query_cli_rerank(spark, cli_env, capsys):
+    """--rerank rescores the WAND window with the deterministic fake
+    cross-scorer and matches the programmatic API bit-for-bit; refuses
+    composition with filters and other ranking modes."""
+    wh, corpus = cli_env
+    from scripts.build_index import main as build_main
+    from scripts.query import main as query_main
+
+    rc = build_main(["--input", corpus, "--warehouse", wh,
+                     "--shuffle-partitions", "4", "--doc-buckets", "4",
+                     "--term-buckets", "4", "--input-version", "v1"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = query_main(["--warehouse", wh, "--k", "5", "--rerank", "30",
+                     "zipfhead0 zipfhead1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rerank"] == 30 and len(out["results"]) == 5
+    # descending by rerank_score, and bit-identical to the API
+    rs = [r["rerank_score"] for r in out["results"]]
+    assert rs == sorted(rs, reverse=True)
+
+    from semantic_search_engine_spark.operators.rerank import (
+        deterministic_fake_cross_scorer,
+    )
+    from semantic_search_engine_spark.plans.query import QueryEngine
+    from semantic_search_engine_spark.sources.store import HadoopTableStore
+
+    # cfg=None binds to the persisted build config (4-bucket layout)
+    qe = QueryEngine(spark, HadoopTableStore(spark, wh), None)
+    api = qe.rerank_top_k("zipfhead0 zipfhead1", k=5, first_k=30,
+                          scorer=deterministic_fake_cross_scorer())
+    assert [(r["doc_id"], r["rerank_score"], r["score"])
+            for r in out["results"]] == api
+
+    rc = query_main(["--warehouse", wh, "--rerank", "30",
+                     "--lang", "en", "q"])
+    assert rc == 2
+    rc = query_main(["--warehouse", wh, "--rerank", "30",
+                     "--boost", "q"])
+    assert rc == 2
