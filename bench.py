@@ -535,7 +535,8 @@ def _consistent_baseline(levels: list[int],
               f"{b} — retrying", file=sys.stderr)
         if fallback is None or b[1] > fallback[1]:
             fallback = b
-        time.sleep(10)
+        if i < attempts - 1:  # no dead sleep after the last attempt
+            time.sleep(10)
     return fallback, False
 
 
@@ -717,7 +718,10 @@ def scaling_main() -> None:
             | {"baseline": rs["_baseline"],
                "baseline_consistent": rs["_baseline_ok"]}
             for rs in cycle_runs],
-        "runs": {str(c): r for c, r in best.items()},
+        # per-level run envelopes only — the per-cycle "_baseline"/
+        # "_baseline_ok" bookkeeping keys ride cycle dicts, not this map
+        "runs": {str(c): r for c, r in best.items()
+                 if not (isinstance(c, str) and c.startswith("_"))},
     }
     print(json.dumps(result))
     _write_bench_md(result, levels)

@@ -137,6 +137,14 @@ def main(argv=None) -> int:
     # must refuse filter/paging flags rather than silently drop them
     filters_set = (args.lang is not None or args.min_score != 0.0
                    or args.offset != 0 or args.count != "none")
+    if args.rerank is not None and (
+            args.after is not None or args.suggest or args.did_you_mean
+            or args.explain is not None or args.facet is not None):
+        # those surfaces dispatch before the --rerank block below would
+        # run; refuse rather than silently return un-reranked output
+        print("--rerank composes with none of --after/--suggest/"
+              "--did-you-mean/--explain/--facet", file=sys.stderr)
+        return 2
     if args.after is not None:
         if args.offset != 0 or args.count != "none" or args.mode != "wand":
             print("--after is cursor paging on the WAND fast path "

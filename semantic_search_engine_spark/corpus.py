@@ -165,24 +165,51 @@ def _edge_docs() -> dict[int, dict]:
     return e
 
 
-def generate_rows(n_docs: int, seed: int = SEED):
-    """Yield document rows (url, warc_ts, html, text, lang), deterministic."""
+#: docs per token-draw chunk in generate_rows — the peak-memory knob
+#: (chunk tokens ≈ 180 × this, int64)
+_TOKEN_CHUNK_DOCS = 4096
+
+
+def generate_rows(n_docs: int, seed: int = SEED,
+                  token_chunk_docs: int | None = None):
+    """Yield document rows (url, warc_ts, html, text, lang), deterministic.
+
+    Token indices are drawn per DOC-CHUNK (round-5 review): the old
+    single ``rng.choice(size=total)`` call held ~180·n_docs int64 on
+    the driver (≈0.7 GB at 500k docs, linear in corpus size) before
+    the first row could stream — defeating write_corpus's chunked
+    writer. ``Generator.choice(replace=True, p=...)`` draws its
+    uniforms sequentially from the bit stream, so chunked calls
+    consume the identical stream and the corpus is BIT-IDENTICAL at
+    any ``token_chunk_docs`` (pinned by test_corpus_chunk_invariance).
+    """
     vocab = np.array(build_vocab())
     probs = zipf_probs(len(vocab))
     rng = np.random.Generator(np.random.PCG64(seed))
+    chunk_docs = int(token_chunk_docs or _TOKEN_CHUNK_DOCS)
 
-    # vectorized draws for all regular docs
+    # per-doc lengths stay one vectorized draw (8 B/doc — 4 MB at 500k)
     lengths = np.clip(
         np.exp(rng.normal(np.log(120.0), 0.9, size=n_docs)).astype(np.int64),
         20, 2000)
-    total = int(lengths.sum())
-    token_idx = rng.choice(len(vocab), size=total, p=probs)
     offsets = np.concatenate(([0], np.cumsum(lengths)))
 
     langs_cycle = ["de", "fr", "es", "nonsense"]
     edges = _edge_docs()
+    tok_buf = np.empty(0, dtype=np.int64)
+    buf_hi = 0    # docs [buf_lo, buf_hi) are covered by tok_buf
+    buf_base = 0  # global token offset of tok_buf[0]
 
     for i in range(n_docs):
+        if i >= buf_hi:
+            # refill BEFORE the edge-doc skip: edge docs consumed token
+            # draws in the single-call form too, so the stream position
+            # (and with it every later doc's text) is unchanged
+            hi = min(n_docs, i + chunk_docs)
+            size = int(offsets[hi] - offsets[i])
+            buf_base = int(offsets[i])
+            tok_buf = rng.choice(len(vocab), size=size, p=probs)
+            buf_hi = hi
         url = f"https://site{i % 97:04d}.example/page/{i:05d}"
         warc_ts = BASE_TS + _dt.timedelta(minutes=i)
         if i in edges:
@@ -191,7 +218,8 @@ def generate_rows(n_docs: int, seed: int = SEED):
                        text=row["text"], lang=row["lang"])
             continue
 
-        words = list(vocab[token_idx[offsets[i]:offsets[i + 1]]])
+        words = list(vocab[tok_buf[offsets[i] - buf_base:
+                                   offsets[i + 1] - buf_base]])
         # plant query phrases at fixed intervals, with tf varied so ranking
         # is non-trivial (repeats cycle 1..3)
         for qi, pq in enumerate(QUERY_CORPUS):

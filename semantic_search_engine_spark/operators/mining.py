@@ -47,15 +47,12 @@ __all__ = ["hard_negatives", "training_triples"]
 
 
 def _with_rank(results: DataFrame) -> DataFrame:
-    """rank_eval's derivation, verbatim semantics: keep a provided
-    ``rank``; else require ``score`` and rank by (score DESC, doc_id
-    ASC) per query."""
-    if "rank" not in results.columns:
-        if "score" not in results.columns:
-            raise ValueError("results needs a 'rank' or 'score' column")
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("doc_id").asc())
-        results = results.withColumn("rank", F.row_number().over(w))
+    """rank_eval's shared :func:`~.rank_eval.derive_rank` plus the
+    miner's column contract (score carried through, NULL when the
+    caller provided ranks only)."""
+    from .rank_eval import derive_rank
+
+    results = derive_rank(results)
     if "score" not in results.columns:
         results = results.withColumn("score", F.lit(None).cast("double"))
     return results.select("query_id", "doc_id",

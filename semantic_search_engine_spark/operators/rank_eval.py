@@ -54,7 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rank_eval", "summarize"]
+__all__ = ["derive_rank", "rank_eval", "summarize"]
 
 _LOG2 = 0.6931471805599453  # ln(2); Spark's log() is natural log
 
@@ -70,6 +70,21 @@ def _dcg_at_k(grade_col, rank_col, k: int):
                  .otherwise(F.lit(0.0)))
 
 
+def derive_rank(results: DataFrame) -> DataFrame:
+    """THE rank-derivation rule, shared by evaluation (rank_eval), the
+    hard-negative miner (X117) and IPS policy evaluation (X118): keep a
+    provided ``rank`` column; else require ``score`` and rank per query
+    by (score DESC, doc_id ASC) — the engine's own tie-break
+    (plans/query.py). One definition so the consumers cannot drift."""
+    if "rank" not in results.columns:
+        if "score" not in results.columns:
+            raise ValueError("results needs a 'rank' or 'score' column")
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        results = results.withColumn("rank", F.row_number().over(w))
+    return results
+
+
 def rank_eval(results: DataFrame, judgments: DataFrame, k: int = 10,
               max_grade: int = 4, rel_threshold: int = 1) -> DataFrame:
     """Per-query retrieval metrics @k; see module docstring.
@@ -79,14 +94,8 @@ def rank_eval(results: DataFrame, judgments: DataFrame, k: int = 10,
     err). Queries with no relevant judgments score 0 on every metric
     (recall included — defined as 0/0 -> 0, Elasticsearch's choice).
     """
-    if "rank" not in results.columns:
-        if "score" not in results.columns:
-            raise ValueError("results needs a 'rank' or 'score' column")
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("doc_id").asc())
-        results = results.withColumn("rank", F.row_number().over(w))
-    res = results.select("query_id", "doc_id",
-                         F.col("rank").cast("int").alias("rank"))
+    res = derive_rank(results).select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("rank"))
     jud = judgments.select(
         "query_id", "doc_id",
         F.least(F.col("grade").cast("double"), F.lit(float(max_grade)))

@@ -781,7 +781,7 @@ class QueryEngine:
         cands = (decoded.groupBy("doc_id")
                  .agg(F.countDistinct("term").alias("_nt"))
                  .filter(F.col("_nt") == len(uniq)).select("doc_id"))
-        field_col = "text" if self.field == "text" else self.field
+        field_col = self.field  # doc_features text column IS the field name
         feats = self.store.read(f"doc_features{self._sfx()}").select(
             "doc_id", "partition_id", "doc_len", "tf_map",
             F.col(field_col).alias("_text"))
@@ -1223,7 +1223,7 @@ class QueryEngine:
         uncond = (local.filter(F.col("pending_mask") == 0)
                   .select("partition_id", "doc_id", "score"))
         pend = local.filter(F.col("pending_mask") != 0)
-        field_col = "text" if self.field == "text" else self.field
+        field_col = self.field  # doc_features text column IS the field name
         feats = self.store.read(f"doc_features{self._sfx()}").select(
             "partition_id", "doc_id", F.col(field_col).alias("_text"))
         mtl, mnl = cfg.max_token_len, cfg.min_token_len
@@ -2276,7 +2276,7 @@ class QueryEngine:
                                      cfg.min_token_len, cfg.analyzer)))
         buckets = sorted({doc_bucket(d, cfg.n_doc_buckets)
                           for d in doc_ids})
-        field_col = "text" if self.field == "text" else self.field
+        field_col = self.field  # doc_features text column IS the field name
         feats = (self.store.read(f"doc_features{self._sfx()}")
                  .filter(F.col("partition_id").isin(buckets))
                  .select("doc_id", F.col(field_col).alias("_text")))
@@ -2328,7 +2328,7 @@ class QueryEngine:
         first_k = max(int(first_k), k)
         top = self._batch_wand_ranked([query], k=first_k).select(
             "partition_id", "doc_id", "score")
-        field_col = "text" if self.field == "text" else self.field
+        field_col = self.field  # doc_features text column IS the field name
         feats = (self.store.read(f"doc_features{self._sfx()}")
                  .select("partition_id", "doc_id",
                          F.col(field_col).alias("_text")))

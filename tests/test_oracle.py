@@ -88,3 +88,17 @@ def test_corpus_deterministic():
     b = list(generate_rows(50))
     assert all(x["html"] == y["html"] and x["url"] == y["url"]
                for x, y in zip(a, b))
+
+
+def test_corpus_chunk_invariance():
+    """generate_rows draws token indices per doc-chunk (round-5 review:
+    the single-call form held O(n_docs) token indices in driver
+    memory); the corpus must be BIT-identical at any chunk size —
+    token_chunk_docs=n_docs reproduces the old single-call stream
+    exactly, and a deliberately awkward chunk size (crossing the
+    edge-doc block and the planted-query intervals) must match it."""
+    n = 900
+    single = list(generate_rows(n, token_chunk_docs=n))
+    for chunk in (7, 256):
+        chunked = list(generate_rows(n, token_chunk_docs=chunk))
+        assert chunked == single
