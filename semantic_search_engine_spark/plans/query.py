@@ -2351,6 +2351,53 @@ class QueryEngine:
         return [(int(r["doc_id"]), float(r["rerank_score"]),
                  float(r["score"])) for r in rows]
 
+    def mine_training_triples(self, queries: list[str],
+                              judgments: DataFrame,
+                              depth: int = 100, n_neg: int = 5,
+                              rel_threshold: int = 1,
+                              skip_unjudged_top: int = 0,
+                              with_text: bool = False) -> DataFrame:
+        """One-call training-data mining (X117 over the X13 batch
+        engine): rank every query at ``depth`` in ONE batch WAND job,
+        mine DPR-style (positive, hard-negative) triples against
+        ``judgments`` ((query_id, doc_id, grade) — query_id is the
+        position in ``queries``; X118's ``implicit_judgments`` output
+        plugs in directly), and optionally hydrate both texts for
+        direct consumption by a trainer (X112/X115/X116).
+
+        Returns (query_id, query, pos_doc_id, neg_doc_id, neg_rank,
+        neg_score[, pos_text, neg_text]). Text hydration at mining
+        scale is a BULK equi-join on doc_id against ``doc_features``
+        (triple volume is |positives| × n_neg — training-set sized, so
+        a broadcast-point-lookup plan would be wrong here); a judged
+        positive absent from the corpus keeps its triple with NULL
+        ``pos_text`` (left join — the judgment may predate a recrawl)."""
+        from ..operators.mining import training_triples
+
+        ranked = self.batch_wand_top_k_df(queries, k=depth).select(
+            "query_id", "doc_id", "score")
+        trip = training_triples(ranked, judgments, n_neg=n_neg,
+                                rel_threshold=rel_threshold,
+                                skip_unjudged_top=skip_unjudged_top)
+        qmap = self.spark.createDataFrame(
+            list(enumerate(queries)), "query_id int, query string")
+        out = trip.join(F.broadcast(qmap), "query_id")
+        if with_text:
+            feats = (self.store.read(f"doc_features{self._sfx()}")
+                     .select("doc_id", F.col(self.field).alias("_t")))
+            out = (out
+                   .join(feats.withColumnRenamed("doc_id", "pos_doc_id")
+                         .withColumnRenamed("_t", "pos_text"),
+                         "pos_doc_id", "left")
+                   .join(feats.withColumnRenamed("doc_id", "neg_doc_id")
+                         .withColumnRenamed("_t", "neg_text"),
+                         "neg_doc_id", "left"))
+        cols = ["query_id", "query", "pos_doc_id", "neg_doc_id",
+                "neg_rank", "neg_score"]
+        if with_text:
+            cols += ["pos_text", "neg_text"]
+        return out.select(*cols)
+
     def batch_top_k(self, queries: list[str], k: int = 10
                     ) -> dict[str, list[tuple[int, float]]]:
         """Materialized form of :meth:`batch_wand_top_k_df`: query string →

@@ -169,3 +169,53 @@ def test_end_to_end_from_engine_batch(spark, tiny_corpus_dir,
         assert len(negs) == min(3, len(hits) - 1)
         # mined negatives are the TOP-ranked non-positives, in order
         assert negs == {d for d, _ in hits[1:1 + len(negs)]}
+
+
+def test_mine_training_triples_engine_convenience(spark, tiny_corpus_dir,
+                                                  tmp_path_factory):
+    """QueryEngine.mine_training_triples == batch rank + training_triples
+    + text hydration, in one call; judged-but-unretrieved positives keep
+    their triples with hydrated text, and an out-of-corpus positive
+    survives with NULL pos_text."""
+    from semantic_search_engine_spark.config import EngineConfig
+    from semantic_search_engine_spark.plans.build_index import IndexBuilder
+    from semantic_search_engine_spark.plans.query import QueryEngine
+    from semantic_search_engine_spark.sources.store import HadoopTableStore
+
+    cfg = EngineConfig(n_doc_buckets=8, n_term_buckets=8,
+                       shuffle_partitions=8, block_size=32)
+    store = HadoopTableStore(spark,
+                             str(tmp_path_factory.mktemp("mine_conv_wh")))
+    docs = spark.read.parquet(f"{tiny_corpus_dir}/documents.parquet")
+    IndexBuilder(spark, store, cfg).build(docs)
+    qe = QueryEngine(spark, store, cfg)
+
+    queries = ["zipfhead0 zipfhead1", "wireless bluetooth"]
+    per_q = qe.batch_top_k(queries, k=10)
+    jud_rows = [(qi, per_q[q][0][0], 2)
+                for qi, q in enumerate(queries)]
+    jud_rows.append((0, 999999999, 2))  # judged positive not in corpus
+    jud = spark.createDataFrame(jud_rows,
+                                "query_id int, doc_id long, grade int")
+
+    got = qe.mine_training_triples(queries, jud, depth=10, n_neg=3,
+                                   with_text=True).collect()
+    assert got
+    # matches the manual composition exactly (modulo row order)
+    ranked = qe.batch_wand_top_k_df(queries, k=10).select(
+        "query_id", "doc_id", "score")
+    want = {(r["query_id"], r["pos_doc_id"], r["neg_doc_id"])
+            for r in training_triples(ranked, jud, n_neg=3).collect()}
+    assert {(r["query_id"], r["pos_doc_id"], r["neg_doc_id"])
+            for r in got} == want
+    texts = {int(r["doc_id"]): r["text"] for r in
+             store.read("doc_features").select("doc_id", "text")
+             .collect()}
+    for r in got:
+        assert r["query"] == queries[r["query_id"]]
+        assert r["neg_text"] == texts[r["neg_doc_id"]]
+        if r["pos_doc_id"] == 999999999:
+            assert r["pos_text"] is None   # out-of-corpus judgment
+        else:
+            assert r["pos_text"] == texts[r["pos_doc_id"]]
+    assert any(r["pos_doc_id"] == 999999999 for r in got)
