@@ -136,11 +136,15 @@ def ips_policy_estimate(impressions: DataFrame,
     clicked).
 
     Returns ONE row: (n_impressions, n_clicks, logged_ctr, ips_ctr,
-    ess) — ``ips_ctr`` is the new policy's estimated clicks per logged
-    impression on the same query traffic (identity ranking ⇒ ips_ctr ==
-    logged_ctr exactly), ``ess`` the effective sample size of the
-    clicked, reweighted rows ((Σw)²/Σw², Kong '92) — the confidence
-    diagnostic; a high estimate carried by a tiny ESS is noise.
+    snips_ctr, ess) — ``ips_ctr`` is the new policy's estimated clicks
+    per logged impression on the same query traffic (identity ranking ⇒
+    ips_ctr == logged_ctr exactly); ``snips_ctr`` is the
+    self-normalized estimator (Swaminathan & Joachims '15: Σ clicked·w
+    / Σ w over ALL impressions) — biased but lower-variance, and robust
+    to the new policy examining more or less total traffic than the old
+    one; ``ess`` the effective sample size of the clicked, reweighted
+    rows ((Σw)²/Σw², Kong '92) — the confidence diagnostic; a high
+    estimate carried by a tiny ESS is noise.
 
     Scale: one broadcast of the ≤-depth propensity curve joined twice,
     one (query_id, doc_id) equi-join to the new ranking (both sides
@@ -180,6 +184,9 @@ def ips_policy_estimate(impressions: DataFrame,
         (F.sum("clicked") / F.count(F.lit(1))).alias("logged_ctr"),
         (F.sum(F.col("clicked") * F.col("w"))
          / F.count(F.lit(1))).alias("ips_ctr"),
+        F.when(F.sum("w") > 0,
+               F.sum(F.col("clicked") * F.col("w")) / F.sum("w"))
+        .otherwise(F.lit(0.0)).alias("snips_ctr"),
         F.when(F.sum(F.col("clicked") * F.col("w") * F.col("w")) > 0,
                F.pow(F.sum(F.col("clicked") * F.col("w")), 2)
                / F.sum(F.col("clicked") * F.col("w") * F.col("w")))

@@ -188,6 +188,10 @@ def test_ips_identity_policy_reproduces_logged_ctr(spark):
         "query_id long, doc_id long, rank int")
     row = ips_policy_estimate(imp, ident).collect()[0]
     assert row["ips_ctr"] == pytest.approx(row["logged_ctr"], rel=1e-12)
+    # identity weights are all 1 ⇒ the self-normalized estimator
+    # coincides with both (Σw = n_impressions)
+    assert row["snips_ctr"] == pytest.approx(row["logged_ctr"],
+                                             rel=1e-12)
     assert row["n_impressions"] == sum(c[3] for c in cells)
 
 
@@ -245,3 +249,21 @@ def test_ips_accepts_score_ranked_policy(spark):
     a = ips_policy_estimate(imp, explicit).collect()[0]
     b = ips_policy_estimate(imp, scored).collect()[0]
     assert b["ips_ctr"] == pytest.approx(a["ips_ctr"], rel=1e-12)
+
+
+def test_snips_closed_form_on_swap(spark):
+    """SNIPS = sum(clicked*w) / sum(w) over ALL impressions — verify to
+    closed form on the swap policy and that it lands between the two
+    unnormalized readings when the new policy examines more traffic."""
+    imp, exam, n, cells = _balanced_log(spark)
+    swapped = [(q, d, {1: 3, 3: 1}.get(p, p) if q == 1 else p)
+               for q, d, p, _n, _c in cells]
+    new = spark.createDataFrame(swapped,
+                                "query_id long, doc_id long, rank int")
+    row = ips_policy_estimate(imp, new).collect()[0]
+    w = {1: exam[3] / exam[1], 3: exam[1] / exam[3]}
+    num = sum(c * (w[p] if q == 1 else 1.0)
+              for q, d, p, _n, c in cells)
+    den = sum(_n * (w[p] if q == 1 else 1.0)
+              for q, d, p, _n, _c in cells)
+    assert row["snips_ctr"] == pytest.approx(num / den, rel=1e-9)
