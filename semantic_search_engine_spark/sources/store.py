@@ -58,6 +58,15 @@ class TableStore:
         snapshot). For unpartitioned fact/log tables (lineage)."""
         raise NotImplementedError
 
+    def compact(self, table: str) -> dict:
+        """Fold accumulated append snapshots into one (Iceberg's
+        ``rewrite_data_files`` compaction). MUST be content-preserving
+        and keep the table's current ``data_uuid``: compaction is a
+        PHYSICAL layout change, not a logical one, so checkpoint
+        fingerprints chained on the data identity stay valid across it.
+        No-op on a table with nothing to fold."""
+        raise NotImplementedError
+
     def delete_by_key(self, table: str, keys: DataFrame, key: str,
                       partition_by=None) -> dict:
         """Remove all rows whose ``key`` appears in ``keys`` (the
@@ -333,6 +342,31 @@ class HadoopTableStore(TableStore):
         prev_paths = [] if m is None else m.get("paths", [m["path"]])
         return self._commit(table, snap, meta, paths=prev_paths + [snap])
 
+    def compact(self, table: str) -> dict:
+        """Fold the manifest's append path LIST back to ONE snapshot.
+
+        After N append commits every read lists and footer-reads N
+        ``snap-*`` dirs — the small-file problem at 10^6 log commits
+        (ingest lineage, fetch logs). Compaction reads the accumulated
+        list once and rewrites it as a single snapshot. Content-identical
+        by construction, so the commit CARRIES the table's existing meta
+        including ``data_uuid`` (unlike write/merge, which mint a fresh
+        identity) — downstream checkpoints stay valid; the superseded
+        snap dirs remain on disk for snapshot GC to sweep. No-op when
+        the manifest already holds one path."""
+        m = self._read_manifest(table)
+        if m is None:
+            raise FileNotFoundError(
+                f"table {table!r} has no committed snapshot")
+        paths = m.get("paths", [m["path"]])
+        if len(paths) <= 1:
+            return m
+        df = self.spark.read.parquet(*paths)
+        snap = os.path.join(self._tdir(table),
+                            f"snap-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(snap)
+        return self._commit(table, snap, dict(m["meta"]), paths=[snap])
+
 
 class IcebergCatalogStore(TableStore):
     """Real Iceberg tables via a configured Spark catalog.
@@ -447,6 +481,19 @@ class IcebergCatalogStore(TableStore):
         df.writeTo(self._qual(table)).append()
         self._set_meta(table, meta)
         return {"snapshot": "iceberg-append", "meta": meta}
+
+    def compact(self, table: str) -> dict:
+        """Iceberg's own compaction: ``rewrite_data_files`` bin-packs
+        the accumulated small files into target-sized ones. A new
+        REPLACE snapshot advances the table, but the engine meta
+        (including ``data_uuid``) lives in table properties and is
+        untouched — the content-preserving contract holds natively."""
+        catalog = self.prefix.split(".", 1)[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files("
+            f"table => '{self._qual(table)}')")
+        return {"snapshot": "iceberg-compact",
+                "meta": dict(self.table_meta(table) or {})}
 
 
 def make_store(spark: SparkSession, root_or_catalog: str,

@@ -164,3 +164,32 @@ def test_read_sees_committed_snapshot_only(spark, store):
     store.write("t", _df(spark, [(1, "a", "x")]))
     store.write("t", _df(spark, [(2, "b", "y")]))
     assert _rows(store, "t") == [(2, "b", "y")]
+
+
+def test_compact_folds_appends_preserving_identity(spark, store):
+    """compact() is a PHYSICAL change only: content and data_uuid are
+    preserved (checkpoints chained on the data identity stay valid),
+    reads return the identical rows, and the table keeps accepting
+    appends afterwards."""
+    store.append("log", _df(spark, [(1, "a", "x")]))
+    store.append("log", _df(spark, [(2, "b", "y")]))
+    store.append("log", _df(spark, [(3, "c", "z")]))
+    before_rows = _rows(store, "log")
+    before_uuid = store.table_meta("log")["data_uuid"]
+
+    store.compact("log")
+    assert _rows(store, "log") == before_rows
+    assert store.table_meta("log")["data_uuid"] == before_uuid
+    if isinstance(store, HadoopTableStore):
+        # the manifest's path list really folded to one snapshot
+        m = store._read_manifest("log")
+        assert len(m.get("paths", [m["path"]])) == 1
+
+    # idempotent: a second compaction changes nothing
+    store.compact("log")
+    assert _rows(store, "log") == before_rows
+    assert store.table_meta("log")["data_uuid"] == before_uuid
+
+    # the compacted table is still appendable
+    store.append("log", _df(spark, [(4, "d", "w")]))
+    assert _rows(store, "log") == before_rows + [(4, "d", "w")]
