@@ -5,7 +5,8 @@ Usage:
 
     spark-submit --py-files sse_spark.zip scripts/audit_index.py \
         --warehouse <path-or-catalog> [--store hadoop|iceberg] \
-        [--field text|title|anchor] [--sample-buckets 0,1,2]
+        [--field text|title|anchor] [--sample-buckets 0,1,2] \
+        [--compact-logs]
 
 Prints one JSON line: {"ok": bool, "checks": [...]}; exit code 1 when any
 check fails — wire it into the maintenance schedule (full sweep after
@@ -28,6 +29,15 @@ def main(argv=None) -> int:
     p.add_argument("--sample-buckets", default=None,
                    help="comma-separated doc-bucket ids: restrict the "
                         "payload-decoding checks to this subset")
+    p.add_argument("--compact-logs", action="store_true",
+                   help="after the audit, fold every append-accumulated "
+                        "table (multi-snapshot manifest path list: ingest "
+                        "lineage, fetch logs) into one snapshot via "
+                        "TableStore.compact — content- and data_uuid-"
+                        "preserving, so it belongs in the same maintenance "
+                        "schedule as the audit itself (hadoop store; an "
+                        "Iceberg catalog runs its own rewrite_data_files "
+                        "maintenance)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -45,6 +55,21 @@ def main(argv=None) -> int:
               if args.sample_buckets else None)
     report = audit_report(spark, store, field=args.field,
                           sample_buckets=sample)
+    if args.compact_logs:
+        import os
+
+        from semantic_search_engine_spark.sources.store import (
+            HadoopTableStore,
+        )
+
+        compacted = []
+        if isinstance(store, HadoopTableStore):
+            for t in sorted(os.listdir(store.root)):
+                m = store._read_manifest(t)
+                if m and len(m.get("paths", [m["path"]])) > 1:
+                    store.compact(t)
+                    compacted.append(t)
+        report["compacted_logs"] = compacted
     print(json.dumps(report, default=str))
     if not preexisting:
         spark.stop()

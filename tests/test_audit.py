@@ -127,3 +127,27 @@ def test_audit_cli(spark, tiny_corpus_dir, tmp_path_factory, capsys):
     rc = audit_main(["--warehouse", store.root, "--sample-buckets", "1,3"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["ok"]
+
+
+def test_audit_cli_compact_logs(spark, tiny_corpus_dir,
+                                tmp_path_factory, capsys):
+    import json
+    store = _build(spark, tiny_corpus_dir, tmp_path_factory,
+                   "audit_cli_compact")
+    # accumulate a multi-snapshot append log next to the index tables
+    log = spark.createDataFrame([(1, "a")], "k long, v string")
+    store.append("custom_log", log)
+    store.append("custom_log", spark.createDataFrame([(2, "b")],
+                                                     "k long, v string"))
+    assert len(store._read_manifest("custom_log")["paths"]) == 2
+
+    from scripts.audit_index import main as audit_main
+    rc = audit_main(["--warehouse", store.root, "--compact-logs"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"]
+    assert "custom_log" in out["compacted_logs"]
+    m = store._read_manifest("custom_log")
+    assert len(m.get("paths", [m["path"]])) == 1
+    assert sorted((r["k"], r["v"]) for r in
+                  store.read("custom_log").collect()) == [(1, "a"),
+                                                          (2, "b")]
