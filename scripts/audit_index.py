@@ -56,20 +56,31 @@ def main(argv=None) -> int:
     report = audit_report(spark, store, field=args.field,
                           sample_buckets=sample)
     if args.compact_logs:
-        import os
-
         from semantic_search_engine_spark.sources.store import (
             HadoopTableStore,
         )
 
-        compacted = []
         if isinstance(store, HadoopTableStore):
-            for t in sorted(os.listdir(store.root)):
-                m = store._read_manifest(t)
-                if m and len(m.get("paths", [m["path"]])) > 1:
+            compacted, errors = [], {}
+            for t in store.append_accumulated_tables():
+                # a per-table failure (vanished snap dir, concurrent
+                # writer) must not swallow the audit result itself
+                try:
                     store.compact(t)
                     compacted.append(t)
-        report["compacted_logs"] = compacted
+                except Exception as e:  # noqa: BLE001 — reported, not hidden
+                    errors[t] = f"{type(e).__name__}: {e}"
+            report["compacted_logs"] = compacted
+            if errors:
+                report["compact_errors"] = errors
+        else:
+            # loud, not a silent no-op: an Iceberg catalog schedules its
+            # own rewrite_data_files maintenance (store.compact(table)
+            # is available per-table programmatically)
+            report["compacted_logs"] = None
+            print("--compact-logs sweep supports the hadoop store only; "
+                  "use Iceberg's table maintenance (rewrite_data_files) "
+                  "or store.compact(table) per table", file=sys.stderr)
     print(json.dumps(report, default=str))
     if not preexisting:
         spark.stop()

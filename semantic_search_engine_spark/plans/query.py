@@ -2360,10 +2360,14 @@ class QueryEngine:
         """One-call training-data mining (X117 over the X13 batch
         engine): rank every query at ``depth`` in ONE batch WAND job,
         mine DPR-style (positive, hard-negative) triples against
-        ``judgments`` ((query_id, doc_id, grade) — query_id is the
-        position in ``queries``; X118's ``implicit_judgments`` output
-        plugs in directly), and optionally hydrate both texts for
-        direct consumption by a trainer (X112/X115/X116).
+        ``judgments`` ((query_id, doc_id, grade) — query_id MUST be the
+        position in ``queries``; judgments keyed some other way, e.g.
+        X118's ``implicit_judgments`` output keyed by a hashed
+        normalized-query id, must be re-keyed first (hash these N query
+        strings the same way and broadcast-join the two keyspaces —
+        otherwise the inner joins silently match nothing), and
+        optionally hydrate both texts for direct consumption by a
+        trainer (X112/X115/X116).
 
         Returns (query_id, query, pos_doc_id, neg_doc_id, neg_rank,
         neg_score[, pos_text, neg_text]). Text hydration at mining

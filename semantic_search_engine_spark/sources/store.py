@@ -342,6 +342,18 @@ class HadoopTableStore(TableStore):
         prev_paths = [] if m is None else m.get("paths", [m["path"]])
         return self._commit(table, snap, meta, paths=prev_paths + [snap])
 
+    def append_accumulated_tables(self) -> list[str]:
+        """Tables whose manifest carries a multi-snapshot append path
+        list — the candidates :meth:`compact` would fold. Public so
+        maintenance callers (``audit_index.py --compact-logs``) never
+        poke the manifest format directly."""
+        out = []
+        for t in sorted(os.listdir(self.root)):
+            m = self._read_manifest(t)
+            if m and len(m.get("paths", [m["path"]])) > 1:
+                out.append(t)
+        return out
+
     def compact(self, table: str) -> dict:
         """Fold the manifest's append path LIST back to ONE snapshot.
 
@@ -353,7 +365,16 @@ class HadoopTableStore(TableStore):
         including ``data_uuid`` (unlike write/merge, which mint a fresh
         identity) — downstream checkpoints stay valid; the superseded
         snap dirs remain on disk for snapshot GC to sweep. No-op when
-        the manifest already holds one path."""
+        the manifest already holds one path.
+
+        Concurrency: this store's manifest protocol is atomic for
+        READERS but assumes ONE writer per table (two concurrent
+        appends already race on the path list) — run compaction in the
+        same maintenance schedule as the audit, not concurrently with
+        ingest. As a guard, the manifest is re-read immediately before
+        the commit and a snapshot that moved underneath (an append
+        landing mid-compaction) raises instead of silently dropping the
+        new rows; re-run the compaction after the writer quiesces."""
         m = self._read_manifest(table)
         if m is None:
             raise FileNotFoundError(
@@ -361,11 +382,19 @@ class HadoopTableStore(TableStore):
         paths = m.get("paths", [m["path"]])
         if len(paths) <= 1:
             return m
-        df = self.spark.read.parquet(*paths)
+        df = self.read(table)  # the one read path (and its cache key)
         snap = os.path.join(self._tdir(table),
                             f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(snap)
-        return self._commit(table, snap, dict(m["meta"]), paths=[snap])
+        cur = self._read_manifest(table)
+        if cur is None or cur["snapshot"] != m["snapshot"]:
+            raise RuntimeError(
+                f"table {table!r} was committed concurrently during "
+                "compaction (single-writer contract); re-run after the "
+                "writer quiesces")
+        out = self._commit(table, snap, dict(m["meta"]), paths=[snap])
+        self._read_cache.pop(table, None)  # drop the pre-compaction plan
+        return out
 
 
 class IcebergCatalogStore(TableStore):

@@ -193,3 +193,29 @@ def test_compact_folds_appends_preserving_identity(spark, store):
     # the compacted table is still appendable
     store.append("log", _df(spark, [(4, "d", "w")]))
     assert _rows(store, "log") == before_rows + [(4, "d", "w")]
+
+
+def test_compact_concurrent_commit_guard(spark, tmp_path, monkeypatch):
+    """An append landing mid-compaction (between the manifest read and
+    the commit) must raise, never be silently discarded — the
+    single-writer contract made loud. Hadoop-store-specific: the guard
+    is the manifest re-read; Iceberg's rewrite_data_files validates
+    conflicts natively."""
+    store = HadoopTableStore(spark, str(tmp_path / "wh_race"))
+    store.append("log", _df(spark, [(1, "a", "x")]))
+    store.append("log", _df(spark, [(2, "b", "y")]))
+
+    writer = HadoopTableStore(spark, store.root)  # the concurrent writer
+    orig_read = store.read
+
+    def read_then_concurrent_append(table):
+        df = orig_read(table)
+        writer.append(table, _df(spark, [(3, "c", "z")]))
+        return df
+
+    monkeypatch.setattr(store, "read", read_then_concurrent_append)
+    with pytest.raises(RuntimeError, match="concurrent"):
+        store.compact("log")
+    # the racing append's rows were NOT lost
+    assert _rows(store, "log") == [(1, "a", "x"), (2, "b", "y"),
+                                   (3, "c", "z")]
