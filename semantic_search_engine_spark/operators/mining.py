@@ -43,7 +43,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hard_negatives", "training_triples"]
+__all__ = ["hard_negatives", "rekey_judgments", "training_triples"]
+
+
+def rekey_judgments(spark, judgments: DataFrame, queries: list[str],
+                    max_token_len: int = 64,
+                    min_token_len: int = 1) -> DataFrame:
+    """Map judgments keyed by a HASHED normalized-query id — the X118
+    impression-log convention (``xxhash64`` of the analyzer-grid text,
+    the same normalization :mod:`.querylog` pools counts by) — onto the
+    POSITIONAL query_ids that :func:`training_triples` /
+    ``QueryEngine.mine_training_triples`` use (position in the query
+    list). One broadcast join of the N query strings hashed with the
+    identical JVM expression; judgments for queries outside the list
+    drop (inner join — they have no position to mine against).
+    Returns (query_id, doc_id, grade) in the positional keyspace."""
+    from pyspark.sql import functions as F  # noqa: F811 (module alias)
+
+    from .querylog import _norm_expr
+
+    qdf = spark.createDataFrame(list(enumerate(queries)),
+                                "pos int, q string")
+    qdf = qdf.select(
+        "pos",
+        F.xxhash64(_norm_expr("q", max_token_len,
+                              min_token_len)).alias("query_id"))
+    return (judgments.join(F.broadcast(qdf), "query_id")
+            .select(F.col("pos").alias("query_id"), "doc_id", "grade"))
 
 
 def _with_rank(results: DataFrame) -> DataFrame:

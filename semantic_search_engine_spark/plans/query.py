@@ -2363,11 +2363,11 @@ class QueryEngine:
         ``judgments`` ((query_id, doc_id, grade) — query_id MUST be the
         position in ``queries``; judgments keyed some other way, e.g.
         X118's ``implicit_judgments`` output keyed by a hashed
-        normalized-query id, must be re-keyed first (hash these N query
-        strings the same way and broadcast-join the two keyspaces —
-        otherwise the inner joins silently match nothing), and
-        optionally hydrate both texts for direct consumption by a
-        trainer (X112/X115/X116).
+        normalized-query id, must be re-keyed first via
+        :func:`..operators.mining.rekey_judgments` — otherwise the
+        inner joins silently match nothing), and optionally hydrate
+        both texts for direct consumption by a trainer
+        (X112/X115/X116).
 
         Returns (query_id, query, pos_doc_id, neg_doc_id, neg_rank,
         neg_score[, pos_text, neg_text]). Text hydration at mining

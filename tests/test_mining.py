@@ -219,3 +219,38 @@ def test_mine_training_triples_engine_convenience(spark, tiny_corpus_dir,
         else:
             assert r["pos_text"] == texts[r["pos_doc_id"]]
     assert any(r["pos_doc_id"] == 999999999 for r in got)
+
+
+def test_rekey_judgments_bridges_clickmodel_keyspace(spark):
+    """X118 judgments keyed by xxhash64(analyzer-grid text) map onto
+    query positions with the identical JVM normalization — messy query
+    strings ("Wireless   BLUETOOTH!") land on the same key as their
+    normalized form, and judgments for unlisted queries drop."""
+    from pyspark.sql import functions as F
+
+    from semantic_search_engine_spark.operators.mining import (
+        rekey_judgments,
+    )
+    from semantic_search_engine_spark.operators.querylog import _norm_expr
+
+    queries = ["Wireless   BLUETOOTH!", "zipfhead0 zipfhead1"]
+    # build judgments the way a click pipeline would: hash the
+    # impression log's normalized query text
+    logged = spark.createDataFrame(
+        [("wireless bluetooth", 10, 2),
+         ("zipfhead0 zipfhead1", 20, 1),
+         ("some other query", 30, 2)],        # not in the list -> drops
+        "qtext string, doc_id long, grade int")
+    jud_hashed = logged.select(
+        F.xxhash64(_norm_expr("qtext")).alias("query_id"),
+        "doc_id", "grade")
+
+    got = {(r["query_id"], r["doc_id"], r["grade"])
+           for r in rekey_judgments(spark, jud_hashed, queries).collect()}
+    assert got == {(0, 10, 2), (1, 20, 1)}
+
+    # and the re-keyed frame drives training_triples end to end
+    res = _df(spark, [(0, 10, 4.0), (0, 11, 3.0)], RES_SCHEMA)
+    trip = training_triples(res, rekey_judgments(spark, jud_hashed,
+                                                 queries)).collect()
+    assert {(r["pos_doc_id"], r["neg_doc_id"]) for r in trip} == {(10, 11)}
